@@ -1,0 +1,182 @@
+"""Deterministic synthetic fixtures (FIXTURES.md group A). Seed-stable:
+same seed ⇒ bit-identical tables, so phash/digest test vectors are fixed
+(the reference pins known checksum vectors the same way,
+TestUtil.java:64-112).
+
+No external data: everything derives from ``numpy.random.Generator``
+seeded with ``seed`` (default 42).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .codec import encode_image, phash64
+
+# hot-cluster centers (lon, lat) — include an antimeridian-adjacent and a
+# high-latitude cluster to exercise wrap + polar handling and hot-cell skew
+HOT_CENTERS = [
+    (-122.42, 37.77),   # SF
+    (2.35, 48.86),      # Paris
+    (139.69, 35.68),    # Tokyo
+    (179.9, -16.5),     # Fiji (antimeridian)
+    (25.0, 78.2),       # Svalbard (high lat)
+]
+
+
+def images_meta_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Metadata-only images table (no bytes) — cheap at bench scale.
+
+    80% of points cluster tightly around HOT_CENTERS (power-law-ish
+    hot-cell skew per north_star), 20% uniform; plus pinned edge-case
+    rows: lon exactly ±180, lat ±89.9, (0, 0).
+    """
+    rng = np.random.default_rng(seed)
+    n_hot = int(n * 0.8)
+    centers = np.array(HOT_CENTERS)
+    idx = rng.integers(0, len(centers), n_hot)
+    # skew within hot: first center gets quadratically more mass
+    idx = np.minimum(idx, rng.integers(0, len(centers), n_hot))
+    lon = np.empty(n, dtype=np.float64)
+    lat = np.empty(n, dtype=np.float64)
+    lon[:n_hot] = centers[idx, 0] + rng.normal(0, 0.05, n_hot)
+    lat[:n_hot] = centers[idx, 1] + rng.normal(0, 0.05, n_hot)
+    n_uni = n - n_hot
+    lon[n_hot:] = rng.uniform(-180.0, 180.0, n_uni)
+    lat[n_hot:] = rng.uniform(-90.0, 90.0, n_uni)
+    # pinned edge cases (overwrite the first uniform rows if present)
+    pins = [(-180.0, 0.0), (180.0, 0.0), (179.999, -16.6), (0.0, 89.9), (0.0, -89.9), (0.0, 0.0)]
+    for j, (plon, plat) in enumerate(pins):
+        if n_hot + j < n:
+            lon[n_hot + j], lat[n_hot + j] = plon, plat
+    lon = (lon + 180.0) % 360.0 - 180.0
+    lat = np.clip(lat, -90.0, 90.0)
+    ids = np.array([f"img{i:012d}" for i in range(n)])
+    w = (16 + (rng.integers(0, 49, n))).astype(np.int32)
+    h = (16 + (rng.integers(0, 49, n))).astype(np.int32)
+    fmt = np.where(rng.random(n) < 0.5, "png", "jpeg")
+    caption = np.array(
+        [f"caption for {ids[i]} at {lat[i]:.4f},{lon[i]:.4f}" for i in range(n)]
+    )
+    # metadata-only phash: deterministic surrogate derived from id (real
+    # phash needs pixels; images_pdf computes it)
+    ph = np.array([np.int64(hash_surrogate(s)) for s in ids])
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": caption,
+            "phash": ph,
+            "lon": lon,
+            "lat": lat,
+        }
+    )
+
+
+def hash_surrogate(s: str) -> int:
+    """Deterministic 63-bit FNV-1a of a string (hash() is salted per
+    process — never use it for reproducible fixtures)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Full images table with real encoded bytes + real DCT phash.
+    Use small n (tests) — encoding is driver-side and O(n·w·h)."""
+    meta = images_meta_pdf(n, seed)
+    rng = np.random.default_rng(seed + 1)
+    all_bytes, phs = [], []
+    for i in range(n):
+        w, h = int(meta.w[i]), int(meta.h[i])
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_image(pix, str(meta.fmt[i]))
+        all_bytes.append(data)
+        phs.append(phash64(pix))
+    meta.insert(1, "bytes", pd.Series(all_bytes, dtype=object))
+    meta["phash"] = np.array(phs, dtype=np.int64)
+    return meta
+
+
+def polygons(seed: int = 42) -> list[dict]:
+    """Polygon fixtures covering every mandatory kind (FIXTURES.md A2):
+    simple, concave, antimeridian, polar_cap, degenerate, boundary."""
+    rng = np.random.default_rng(seed + 2)
+    polys: list[dict] = []
+
+    def add(pid, ring, kind):
+        polys.append({"poly_id": pid, "ring": [(float(a), float(b)) for a, b in ring], "kind": kind})
+
+    # simple convex quads over the first three hot clusters
+    for j, (clon, clat) in enumerate(HOT_CENTERS[:3]):
+        d = 0.15 + 0.05 * j
+        add(
+            f"poly_simple_{j}",
+            [(clon - d, clat - d), (clon + d, clat - d), (clon + d, clat + d), (clon - d, clat + d), (clon - d, clat - d)],
+            "simple",
+        )
+    # concave star over Paris
+    clon, clat = HOT_CENTERS[1]
+    star = []
+    for k in range(10):
+        ang = 2 * np.pi * k / 10
+        r = 0.25 if k % 2 == 0 else 0.08
+        star.append((clon + r * np.cos(ang), clat + r * np.sin(ang)))
+    star.append(star[0])
+    add("poly_concave_0", star, "concave")
+    # antimeridian-crossing quad around Fiji cluster
+    add(
+        "poly_anti_0",
+        [(179.5, -17.2), (-179.3, -17.2), (-179.3, -15.9), (179.5, -15.9), (179.5, -17.2)],
+        "antimeridian",
+    )
+    # north polar cap: ring at lat 85 winding fully around
+    cap = [(lon, 85.0) for lon in range(-180, 181, 30)]
+    add("poly_polar_0", cap, "polar_cap")
+    # south polar cap
+    caps = [(lon, -85.0) for lon in range(-180, 181, 30)]
+    add("poly_polar_1", caps, "polar_cap")
+    # degenerate: collinear (zero area), repeated vertex, bowtie
+    add("poly_degen_line", [(10.0, 10.0), (11.0, 10.0), (12.0, 10.0), (10.0, 10.0)], "degenerate")
+    add("poly_degen_pt", [(20.0, 20.0), (20.0, 20.0), (20.0, 20.0), (20.0, 20.0)], "degenerate")
+    add(
+        "poly_degen_bowtie",
+        [(30.0, 30.0), (31.0, 31.0), (31.0, 30.0), (30.0, 31.0), (30.0, 30.0)],
+        "degenerate",
+    )
+    # boundary: axis-aligned square whose edges pass exactly through pinned points
+    add(
+        "poly_boundary_0",
+        [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0), (-1.0, -1.0)],
+        "boundary",
+    )
+    return polys
+
+
+def polygons_pdf(seed: int = 42) -> pd.DataFrame:
+    rows = polygons(seed)
+    return pd.DataFrame(
+        {
+            "poly_id": [p["poly_id"] for p in rows],
+            "ring": [[{"lon": a, "lat": b} for a, b in p["ring"]] for p in rows],
+            "kind": [p["kind"] for p in rows],
+        }
+    )
+
+
+def knn_queries_pdf(seed: int = 42) -> pd.DataFrame:
+    """kNN query fixtures (FIXTURES.md A3): hot-cluster hits, a remote
+    point (forces ≥2 k-ring expansions), and an exact-tie point."""
+    rows = [
+        ("q_sf", -122.42, 37.77, 5),
+        ("q_paris", 2.35, 48.86, 1),
+        ("q_remote", -45.0, -60.0, 5),       # sparse ocean — multiple ring expansions
+        ("q_tie", 0.0, 0.0, 2),              # equidistant pair pinned in tests
+        ("q_anti", 179.95, -16.5, 3),        # antimeridian neighborhood
+        ("q_pole", 10.0, 89.5, 3),           # near-polar: lon shrink → anisotropic disk
+    ]
+    return pd.DataFrame(rows, columns=["query_id", "lon", "lat", "k"])
