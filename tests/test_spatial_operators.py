@@ -1,0 +1,155 @@
+"""E2E Spark tests for PIP join, tile assignment, and kNN — each checked
+against an independent pure-Python oracle (SURVEY.md §5.2 item 2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from htrc_ingester_spark import data
+from htrc_ingester_spark import functions as EF
+from htrc_ingester_spark.geo import h3lite as H
+from htrc_ingester_spark.operators.knn_join import knn_join, knn_join_bruteforce
+from htrc_ingester_spark.operators.pip_join import build_cell_cover, pip_join
+from htrc_ingester_spark.operators.tiles import assign_tiles
+
+from .test_geo import oracle_point_in_ring
+
+N_IMAGES = 1500
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    return data.images_meta_pdf(N_IMAGES, seed=42)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark, images_pdf):
+    return spark.createDataFrame(images_pdf).persist()
+
+
+class TestPIPJoin:
+    def test_matches_pure_python_oracle(self, spark, images_df, images_pdf):
+        polys = data.polygons()
+        got = (
+            pip_join(spark, images_df, polys, res=7)
+            .select("image_id", "poly_id")
+            .toPandas()
+            .sort_values(["image_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        want_rows = []
+        for p in polys:
+            for r in images_pdf.itertuples(index=False):
+                if oracle_point_in_ring(r.lon, r.lat, p["ring"]):
+                    want_rows.append((r.image_id, p["poly_id"]))
+        want = (
+            pd.DataFrame(want_rows, columns=["image_id", "poly_id"])
+            .sort_values(["image_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert len(want) > 0  # fixture actually exercises containment
+
+    def test_full_cells_exist_for_large_polygons(self):
+        # polar cap at res 7 must classify interior cells as full —
+        # otherwise the refine UDF sees O(area) instead of O(perimeter)
+        polys = [p for p in data.polygons() if p["kind"] == "polar_cap"]
+        cover = build_cell_cover(polys, 7)
+        frac_full = cover.full.mean()
+        assert frac_full > 0.8
+
+    def test_full_and_partial_agree_with_oracle_everywhere(self, spark):
+        # dense probe grid across one simple polygon's bbox: the
+        # full-cell fast path must never contradict exact ray casting
+        poly = [p for p in data.polygons() if p["poly_id"] == "poly_simple_0"][0]
+        lon = np.linspace(-123.0, -121.8, 60)
+        lat = np.linspace(37.2, 38.3, 60)
+        gx, gy = np.meshgrid(lon, lat)
+        pdf = pd.DataFrame(
+            {"image_id": [f"g{i}" for i in range(gx.size)], "lon": gx.ravel(), "lat": gy.ravel()}
+        )
+        got = pip_join(spark, spark.createDataFrame(pdf), [poly], res=8).toPandas()
+        got_ids = set(got.image_id)
+        for r in pdf.itertuples(index=False):
+            assert (r.image_id in got_ids) == oracle_point_in_ring(r.lon, r.lat, poly["ring"]), r
+
+    def test_plan_is_broadcast_join_no_shuffle_of_points(self, spark, images_df):
+        polys = data.polygons()
+        plan = pip_join(spark, images_df, polys, res=7)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestTiles:
+    def test_deterministic_and_sql_parity(self, spark, images_df, images_pdf):
+        got = (
+            assign_tiles(images_df, zoom_res=5, n_tiles=64)
+            .select("image_id", "tile_id")
+            .toPandas()
+            .set_index("image_id")["tile_id"]
+        )
+        cells = H.latlng_to_cell(images_pdf.lat.to_numpy(), images_pdf.lon.to_numpy(), 5)
+        want = EF.tile_id_np(cells, 64)
+        np.testing.assert_array_equal(
+            got.loc[images_pdf.image_id].to_numpy(), want
+        )
+
+    def test_parent_derivation_equals_direct_encode(self, spark, images_df):
+        from pyspark.sql import functions as F
+
+        df = images_df.withColumn("cell10", EF.h3_cell("lon", "lat", 10))
+        a = assign_tiles(df, zoom_res=5, n_tiles=64, cell_col="cell10").select("image_id", "tile_id")
+        b = assign_tiles(images_df, zoom_res=5, n_tiles=64).select("image_id", "tile_id")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_duckdb_oracle_parity(self, images_pdf):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("pts", images_pdf[["lon", "lat"]])
+        cell_sql = H.h3_sql_expr("lon", "lat", 5)
+        got = con.sql(
+            f"select {EF.tile_sql_expr(cell_sql, 64, dialect='duckdb')} as t from pts"
+        ).df()["t"]
+        cells = H.latlng_to_cell(images_pdf.lat.to_numpy(), images_pdf.lon.to_numpy(), 5)
+        np.testing.assert_array_equal(got.to_numpy(), EF.tile_id_np(cells, 64))
+
+
+class TestKNN:
+    def test_iterative_matches_bruteforce(self, spark, images_df):
+        queries = data.knn_queries_pdf()
+        got = knn_join(spark, images_df, queries, res=7).toPandas()
+        want = knn_join_bruteforce(spark, images_df, queries).toPandas()
+        g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[["query_id", "image_id", "rank"]], w[["query_id", "image_id", "rank"]]
+        )
+        np.testing.assert_allclose(g.dist_m, w.dist_m, rtol=1e-9)
+
+    def test_tie_break_deterministic(self, spark):
+        # two images exactly equidistant from the query → lower image_id wins
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["img_b", "img_a", "img_far"],
+                "lon": [1.0, -1.0, 50.0],
+                "lat": [0.0, 0.0, 0.0],
+            }
+        )
+        q = pd.DataFrame({"query_id": ["q"], "lon": [0.0], "lat": [0.0], "k": [2]})
+        got = knn_join(spark, spark.createDataFrame(pdf), q, res=7).toPandas()
+        assert list(got.sort_values("rank").image_id) == ["img_a", "img_b"]
+
+    def test_k_larger_than_dataset(self, spark):
+        pdf = pd.DataFrame({"image_id": ["x", "y"], "lon": [0.0, 10.0], "lat": [0.0, 10.0]})
+        q = pd.DataFrame({"query_id": ["q"], "lon": [0.0], "lat": [0.0], "k": [5]})
+        got = knn_join(spark, spark.createDataFrame(pdf), q, res=5).toPandas()
+        assert len(got) == 2
+
+    def test_forces_multiple_ring_expansions(self, spark, images_df):
+        # q_remote sits in empty ocean: ring 0/1 are empty, so a correct
+        # result proves the expansion + termination logic
+        q = pd.DataFrame({"query_id": ["q_remote"], "lon": [-45.0], "lat": [-60.0], "k": [5]})
+        got = knn_join(spark, images_df, q, res=7).toPandas()
+        want = knn_join_bruteforce(spark, images_df, q).toPandas()
+        assert list(got.sort_values("rank").image_id) == list(want.sort_values("rank").image_id)
