@@ -1,0 +1,525 @@
+"""Operator catalog backing the driver contract (__spark_entry__.py).
+
+One entry per implemented operator family from SURVEY.md §2. Each entry
+has a Spark callable ``(spark, sf_dir) -> DataFrame`` and, where the
+semantics are SQL-expressible, a DuckDB oracle SQL string the driver
+value-checks at sf0.01. Non-SQL-expressible ops (ray-cast PIP over
+general polygons, S2 quadratic projection, MinHash/SimHash) ship
+without an oracle → the driver records the weaker rows-only check; the
+pytest suite carries their pure-python oracles instead.
+
+Column names are aliased IDENTICALLY in both dialects (driver hashes
+values under sorted column names). Double aggregates are rounded in
+both dialects to dodge summation-order ulp drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import flagship as FS
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# registry: name -> (spark_fn, oracle_sql_or_None)
+_REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _register(name: str, tables: list[str], spark_sql: str, duck_sql: str | None) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _sql=spark_sql, _tabs=tuple(tables)) -> DataFrame:
+        _load(spark, sf_dir, *_tabs)
+        return spark.sql(_sql)
+
+    _REG[name] = (fn, duck_sql)
+
+
+def _register_fn(name: str, fn: Callable, duck_sql: str | None) -> None:
+    _REG[name] = (fn, duck_sql)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REG.items() if v[1] is not None}
+
+
+# ===========================================================================
+# Spatial pipeline (north rule) — flagship + components
+# ===========================================================================
+
+_register_fn("flagship_pip_tiles", FS.flagship, FS.flagship_oracle_sql())
+
+
+def _h3_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-scan + H3 encode (column expr) + per-cell counts — the encode
+    stage of the north-star pipeline in isolation."""
+    from pyspark.sql import functions as F
+
+    from ..functions import h3_cell
+
+    img = FS.load_images(spark, sf_dir)
+    return (
+        img.withColumn("cell_r7", h3_cell("lon", "lat", 7))
+        .groupBy("cell_r7")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("cell_r7"))
+        .limit(50)
+    )
+
+
+def _h3_hist_oracle() -> str:
+    from ..geo import h3lite as H
+
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select {H.h3_sql_expr('lon', 'lat', 7)} as cell_r7, cast(count(*) as bigint) as n
+    from img group by 1 order by n desc, cell_r7 limit 50
+    """
+
+
+_register_fn("h3_encode_hist", _h3_hist, _h3_hist_oracle())
+
+
+def _tile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import assign_tiles
+
+    img = FS.load_images(spark, sf_dir)
+    return (
+        assign_tiles(img, zoom_res=FS.ZOOM_RES, n_tiles=FS.N_TILES)
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tile_id")
+    )
+
+
+def _tile_hist_oracle() -> str:
+    from ..functions import tile_sql_expr
+    from ..geo import h3lite as H
+
+    zoom = H.h3_sql_expr("lon", "lat", FS.ZOOM_RES)
+    tile = tile_sql_expr(zoom, FS.N_TILES, dialect="duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select {tile} as tile_id, cast(count(*) as bigint) as n
+    from img group by 1 order by 1
+    """
+
+
+_register_fn("tile_assign_hist", _tile_hist, _tile_hist_oracle())
+
+
+def _pip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-polygon PIP (concave/antimeridian/polar/degenerate) —
+    ray-casting refine isn't ANSI-SQL-expressible, so: rows-only driver
+    check; the exact oracle lives in tests/test_spatial_operators.py."""
+    from .. import data
+    from ..operators.pip_join import pip_join
+
+    img = FS.load_images(spark, sf_dir)
+    return pip_join(spark, img, data.polygons(), res=7).select("image_id", "poly_id")
+
+
+_register_fn("pip_join_polygons", _pip_general, None)
+
+_POINTS_SQL = """
+    select cast(c_custkey as string) as point_id,
+           cast((c_custkey * 7919) % 360000 as double) / 1000.0 - 180.0 as lon,
+           cast((c_custkey * 104729) % 180000 as double) / 1000.0 - 90.0 as lat
+    from customer
+"""
+_QUERIES_SQL = """
+    select cast(s_suppkey as string) as query_id,
+           cast((s_suppkey * 13007) % 360000 as double) / 1000.0 - 180.0 as lon,
+           cast((s_suppkey * 29429) % 180000 as double) / 1000.0 - 90.0 as lat,
+           5 as k
+    from supplier
+"""
+
+
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn_join import knn_join
+
+    _load(spark, sf_dir, "customer", "supplier")
+    points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
+    qs = spark.sql(_QUERIES_SQL).toPandas()
+    return knn_join(spark, points, qs, res=5).select("query_id", "image_id", "rank")
+
+
+def _knn_oracle() -> str:
+    from ..functions import haversine_sql_expr
+
+    dist = haversine_sql_expr("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+    with p as ({_POINTS_SQL}), q as ({_QUERIES_SQL}),
+    ranked as (
+      select q.query_id, p.point_id as image_id,
+             row_number() over (partition by q.query_id
+                                order by {dist}, p.point_id) as rank
+      from q cross join p
+    )
+    select query_id, image_id, cast(rank as int) as rank
+    from ranked where rank <= 5
+    """
+
+
+_register_fn("knn_join_suppliers", _knn, _knn_oracle())
+
+
+def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-lite encode (Arrow pandas_udf — trig, not SQL) → per-face
+    counts. Rows-only driver check; numpy oracle in pytest."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..geo import s2lite
+
+    def _s2c(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(s2lite.latlng_to_cell(lat.to_numpy(), lon.to_numpy(), 12))
+
+    # annotations must be resolvable in the module namespace; pd is local
+    _s2c.__annotations__ = {"lat": pd.Series, "lon": pd.Series, "return": pd.Series}
+    s2c = F.pandas_udf(_s2c, T.LongType())
+
+    img = FS.load_images(spark, sf_dir)
+    return (
+        img.withColumn("s2_cell", s2c(F.col("lat"), F.col("lon")))
+        .withColumn("face", F.expr(f"cast(s2_cell div {1 << 59} as int)"))
+        .groupBy("face")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("face")
+    )
+
+
+_register_fn("s2_encode_hist", _s2_hist, None)
+
+
+# ===========================================================================
+# Reference relational parity (SURVEY.md §2.2/2.3/2.4/2.5/2.6/2.7)
+# ===========================================================================
+
+# C1 — md5 digest parity (Util.java:66-78; known-vector discipline of
+# TestUtil.java:64-112). Spark needs an explicit binary cast.
+_register(
+    "c1_md5_digest",
+    ["customer"],
+    """select cast(c_custkey as bigint) as c_custkey,
+              md5(cast(c_name as binary)) as name_md5
+       from customer order by c_custkey limit 100""",
+    """select cast(c_custkey as bigint) as c_custkey, md5(c_name) as name_md5
+       from customer order by c_custkey limit 100""",
+)
+
+# F1 — hash-space shard filter (Util.java:86-103, Ingester.java:303-319):
+# partition pruning by key mod N — the reference's horizontal-scale scheme.
+_SHARD = """select cast(o_orderkey as bigint) as o_orderkey,
+                   cast(o_custkey as bigint) as o_custkey
+            from orders where o_orderkey % 16 = 3 order by o_orderkey"""
+_register("f1_hash_shard", ["orders"], _SHARD, _SHARD)
+
+# F2 — regex predicates (PairtreeToCassandraDataSyncker.java:60,87 state
+# machine file selection).
+_register(
+    "f2_regex_filter",
+    ["documents"],
+    """select source, cast(count(*) as bigint) as n from documents
+       where source rlike '^src1[0-9]$' group by source order by source""",
+    """select source, cast(count(*) as bigint) as n from documents
+       where regexp_matches(source, '^src1[0-9]$') group by source order by source""",
+)
+
+# F3/F4 — path depth + suffix/prefix classification
+# (PathDepthFilter.java:69-92; DeltaLogParser.java:289-322).
+_register(
+    "f3_f4_path_classify",
+    ["documents"],
+    """with paths as (
+         select doc_id, concat('/data/', source, '/', cast(doc_id as string),
+                case when doc_id % 3 = 0 then '.zip'
+                     when doc_id % 3 = 1 then '.mets.xml' else '' end) as path
+         from documents)
+       select case when path like '%.zip' then 'zip'
+                   when path like '%.mets.xml' then 'mets'
+                   else 'other' end as kind,
+              cast(size(split(path, '/')) - 1 as bigint) as depth,
+              cast(count(*) as bigint) as n
+       from paths group by 1, 2 order by 1, 2""",
+    """with paths as (
+         select doc_id, concat('/data/', source, '/', cast(doc_id as string),
+                case when doc_id % 3 = 0 then '.zip'
+                     when doc_id % 3 = 1 then '.mets.xml' else '' end) as path
+         from documents)
+       select case when path like '%.zip' then 'zip'
+                   when path like '%.mets.xml' then 'mets'
+                   else 'other' end as kind,
+              cast(len(string_split(path, '/')) - 1 as bigint) as depth,
+              cast(count(*) as bigint) as n
+       from paths group by 1, 2 order by 1, 2""",
+)
+
+# F5/F6 — pairtree ID cleaning + zero-padded sequence (DeltaLogParser.java:
+# 372,433; Util.java:186-195; HectorManager.java:616-634).
+_F5 = """select cast(doc_id as bigint) as doc_id,
+                translate(concat('uc2.ark:/13960/t', cast(doc_id as string)),
+                          ':/.', '+=,') as cleaned,
+                lpad(cast(doc_id % 100 as string), 8, '0') as seq
+         from documents order by doc_id limit 200"""
+_register("f5_f6_pairtree_seq", ["documents"], _F5, _F5)
+
+# J1 — equi joins chained (the METS build+probe joins re-expressed,
+# DeltaLogProcessor.java:297-302 / METSParser.java:375-407).
+_J1 = """select n.n_name as nation, cast(count(*) as bigint) as n_orders,
+                round(sum(o.o_totalprice), 2) as revenue
+         from orders o join customer c on o.o_custkey = c.c_custkey
+         join nation n on c.c_nationkey = n.n_nationkey
+         group by n.n_name order by n.n_name"""
+_register("j1_equi_join_chain", ["orders", "customer", "nation"], _J1, _J1)
+
+# J3 — last-writer-wins dedup (DeltaLogParser.java:242-244 upsert maps):
+# latest event per user, ties broken by event_id (total order).
+_J3 = """select user_id, event_id, event_type
+         from (select cast(user_id as bigint) as user_id,
+                      cast(event_id as bigint) as event_id, event_type,
+                      row_number() over (partition by user_id
+                                         order by ts desc, event_id desc) as rn
+               from events) t
+         where rn = 1 order by user_id"""
+_register("j3_lastwriter_dedup", ["events"], _J3, _J3)
+
+# J4 — anti join (PairtreeTrimmer.java:327-357 delete-what-is-not-kept).
+_J4 = """select cast(c_custkey as bigint) as c_custkey from customer
+         where c_custkey not in (select o_custkey from orders)
+         order by c_custkey"""
+_register("j4_anti_join", ["customer", "orders"], _J4, _J4)
+
+# J5 — validation join: computed vs declared (HectorManager.java:451-475,
+# Verifier.java:288-333) — the checksum discipline as a relational check.
+_J5 = """select source,
+                cast(sum(case when length(text) = n_chars then 1 else 0 end) as bigint) as n_ok,
+                cast(sum(case when length(text) = n_chars then 0 else 1 end) as bigint) as n_bad
+         from documents group by source order by source"""
+_register("j5_validation_join", ["documents"], _J5, _J5)
+
+# J6 — membership semi join (HectorManager.java:340-407 collection sets).
+_J6 = """select c.c_mktsegment as segment, cast(count(*) as bigint) as n_members
+         from customer c where exists
+           (select 1 from orders o where o.o_custkey = c.c_custkey)
+         group by c.c_mktsegment order by segment"""
+_register("j6_semi_join", ["customer", "orders"], _J6, _J6)
+
+# A1 — count per group with the reference's max-of-two-counts pageCount
+# rule (DeltaLogProcessor.java:365-368).
+_A1 = """select cast(l_orderkey as bigint) as l_orderkey,
+                cast(count(*) as bigint) as n_lines,
+                cast(count(distinct l_partkey) as bigint) as n_parts,
+                cast(greatest(count(*), count(distinct l_partkey)) as bigint) as page_count
+         from lineitem group by l_orderkey order by l_orderkey limit 500"""
+_register("a1_count_per_group", ["lineitem"], _A1, _A1)
+
+# A2 — group + sorted collect (HectorManager.java:576-589 feature reverse
+# index: feature → comma-joined sorted page list).
+_register(
+    "a2_collect_sorted_list",
+    ["lineitem"],
+    """select cast(l_orderkey as bigint) as l_orderkey,
+              array_join(sort_array(collect_list(cast(l_linenumber as string))), ',') as lines
+       from lineitem group by l_orderkey order by l_orderkey limit 500""",
+    """select cast(l_orderkey as bigint) as l_orderkey,
+              string_agg(cast(l_linenumber as varchar), ',' order by cast(l_linenumber as varchar)) as lines
+       from lineitem group by l_orderkey order by l_orderkey limit 500""",
+)
+
+# A3 — grouped set-accumulate (ExtractVIDFromErrorLogs.java:66-96).
+_register(
+    "a3_collect_sorted_set",
+    ["events"],
+    """select cast(user_id as bigint) as user_id,
+              array_join(array_sort(collect_set(event_type)), ',') as types
+       from events group by user_id order by user_id""",
+    """select cast(user_id as bigint) as user_id,
+              string_agg(distinct event_type, ',' order by event_type) as types
+       from events group by user_id order by user_id""",
+)
+
+# A4 — scalar size metrics (byteCount/characterCount,
+# HectorManager.java:451-489).
+_register(
+    "a4_size_metrics",
+    ["documents"],
+    """select cast(doc_id as bigint) as doc_id,
+              cast(length(text) as bigint) as char_count,
+              cast(octet_length(text) as bigint) as byte_count
+       from documents order by doc_id limit 500""",
+    """select cast(doc_id as bigint) as doc_id,
+              cast(length(text) as bigint) as char_count,
+              cast(octet_length(encode(text)) as bigint) as byte_count
+       from documents order by doc_id limit 500""",
+)
+
+# A5/SO1/SO3 — distinct union of names (collectionNameSet,
+# HectorManager.java:274-277).
+_A5 = """select name from (
+           select distinct lang as name from documents
+           union select distinct source as name from documents) t
+         order by name"""
+_register("a5_distinct_union", ["documents"], _A5, _A5)
+
+# SO2 — except (delete-from-set, HectorManager.java:175-179).
+_SO2 = """select event_type from (
+            select distinct event_type from events
+            except select 'error' as event_type) t order by event_type"""
+_register("so2_except", ["events"], _SO2, _SO2)
+
+# W1 — rank within group (sequence ordering, METSParser.java:347-357).
+_W1 = """select o_custkey, o_orderkey, rn from (
+           select cast(o_custkey as bigint) as o_custkey,
+                  cast(o_orderkey as bigint) as o_orderkey,
+                  row_number() over (partition by o_custkey
+                                     order by o_totalprice desc, o_orderkey) as rn
+           from orders) t
+         where rn <= 3 order by o_custkey, rn"""
+_register("w1_topk_per_group", ["orders"], _W1, _W1)
+
+# W3 — sequential completeness check 1..pageCount (Verifier.java:239-263):
+# a volume whose page sequence has gaps fails verification.
+_W3 = """select cast(l_orderkey as bigint) as l_orderkey,
+                cast(count(*) as bigint) as n,
+                cast(max(l_linenumber) as bigint) as max_line
+         from lineitem group by l_orderkey
+         having count(*) <> max(l_linenumber) order by l_orderkey"""
+_register("w3_sequence_gap_check", ["lineitem"], _W3, _W3)
+
+# TPC-H Q1-style pricing summary — headline scan+agg throughput shape.
+_Q1 = """select l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) as sum_qty,
+                round(sum(l_extendedprice), 2) as sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                round(avg(l_quantity), 4) as avg_qty,
+                cast(count(*) as bigint) as count_order
+         from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00'
+         group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"""
+_register("tpch_q1_pricing_summary", ["lineitem"], _Q1, _Q1)
+
+# TPC-H Q3-style shipping priority — join + agg + top-k.
+_Q3 = """select cast(l.l_orderkey as bigint) as l_orderkey,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue,
+                o.o_orderpriority
+         from customer c join orders o on c.c_custkey = o.o_custkey
+         join lineitem l on l.l_orderkey = o.o_orderkey
+         where c.c_mktsegment = 'BUILDING'
+         group by l.l_orderkey, o.o_orderpriority
+         order by revenue desc, l_orderkey limit 10"""
+_register("tpch_q3_shipping_priority", ["customer", "orders", "lineitem"], _Q3, _Q3)
+
+
+# ===========================================================================
+# Training-data ops over documents/embeddings (task brief: dedup,
+# similarity, text analysis) — SQL-expressible ones carry oracles.
+# ===========================================================================
+
+# exact dedup by content hash (hash-groupBy)
+_register(
+    "dedup_exact_hash",
+    ["documents"],
+    """select md5(cast(text as binary)) as text_md5,
+              cast(count(*) as bigint) as n_copies,
+              cast(min(doc_id) as bigint) as keep_id
+       from documents group by 1 having count(*) >= 1
+       order by keep_id limit 500""",
+    """select md5(text) as text_md5, cast(count(*) as bigint) as n_copies,
+              cast(min(doc_id) as bigint) as keep_id
+       from documents group by 1 having count(*) >= 1
+       order by keep_id limit 500""",
+)
+
+# token counting (whitespace tokenization)
+_register(
+    "text_token_count",
+    ["documents"],
+    """select cast(doc_id as bigint) as doc_id,
+              cast(size(split(text, ' ')) as bigint) as n_tokens,
+              cast(n_chars as bigint) as n_chars
+       from documents order by doc_id limit 500""",
+    """select cast(doc_id as bigint) as doc_id,
+              cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+              cast(n_chars as bigint) as n_chars
+       from documents order by doc_id limit 500""",
+)
+
+# quality scoring: structural ratios (pure column arithmetic)
+_TQ = """select cast(doc_id as bigint) as doc_id,
+                cast(length(text) - length(replace(text, ' ', '')) as bigint) as n_spaces,
+                round((cast(length(text) as double) -
+                       cast(length(text) - length(replace(text, ' ', '')) as double)) /
+                      (cast(length(text) - length(replace(text, ' ', '')) as double) + 1.0),
+                      4) as avg_word_len
+         from documents order by doc_id limit 500"""
+_register("text_quality_score", ["documents"], _TQ, _TQ)
+
+# language-id heuristic (stopword containment — demo of the n-gram
+# heuristic; the full operator lives in operators/textstats.py)
+_LID = """select lang,
+                 case when text like '% the %' then 'en_like' else 'other' end as guess,
+                 cast(count(*) as bigint) as n
+          from documents group by 1, 2 order by 1, 2"""
+_register("lang_id_heuristic", ["documents"], _LID, _LID)
+
+
+def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over array<float> embeddings, expressed
+    with built-in higher-order functions (zip_with + aggregate) — stays
+    JVM-side, no UDF."""
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql(
+        """
+        with q as (select embedding as qe from embeddings where vec_id = 0),
+        sims as (
+          select e.vec_id,
+                 round(aggregate(zip_with(e.embedding, q.qe,
+                                          (a, b) -> cast(a as double) * cast(b as double)),
+                                 cast(0.0 as double), (acc, x) -> acc + x), 5) as dot
+          from embeddings e cross join q
+        )
+        select cast(vec_id as bigint) as vec_id, dot
+        from sims order by dot desc, vec_id limit 10
+        """
+    )
+
+
+_SIM_ORACLE = """
+    with q as (select embedding as qe from embeddings where vec_id = 0),
+    sims as (
+      select e.vec_id,
+             round(list_dot_product(cast(e.embedding as double[]),
+                                    cast(q.qe as double[])), 5) as dot
+      from embeddings e cross join q
+    )
+    select cast(vec_id as bigint) as vec_id, dot
+    from sims order by dot desc, vec_id limit 10
+"""
+_register_fn("similarity_topk_dot", _sim_topk, _SIM_ORACLE)
