@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus the north-rule headline images_per_sec through
+H3-encode → PIP-join → tile-assign}.
+
+The flagship pipeline is the BASELINE.json metric: images/sec through
+H3-encode → PIP-join → tile-assign. Scaling-efficiency evidence
+(local[8] vs local[32]) lives in scripts/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline subset of the catalog: the north-star pipeline + its stages,
+# kNN, and the relational/training-data throughput shapes
+HEADLINE = [
+    "flagship_pip_tiles",
+    "h3_encode_hist",
+    "tile_assign_hist",
+    "pip_join_polygons",
+    "knn_join_suppliers",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "a2_collect_sorted_list",
+    "dedup_exact_hash",
+    "similarity_topk_dot",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from htrc_ingester_spark.plans import catalog
+    from htrc_ingester_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = catalog.queries()
+
+    # warm the JVM + parquet footer caches once (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    n_images = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        rows = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        if name == "flagship_pip_tiles":
+            # images/sec denominator = full input cardinality (every
+            # image is H3-encoded and probed, matched or not)
+            n_images = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+            flagship_sec = timings[name]
+        del rows
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "images_per_sec_flagship": round(n_images / flagship_sec, 1) if n_images else None,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
