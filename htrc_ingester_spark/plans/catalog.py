@@ -523,3 +523,197 @@ _SIM_ORACLE = """
     from sims order by dot desc, vec_id limit 10
 """
 _register_fn("similarity_topk_dot", _sim_topk, _SIM_ORACLE)
+
+
+# ===========================================================================
+# CDC ingest parity (SURVEY.md §2.1 S4, §2.3 J3/J4, §3.1 phase 2) —
+# ingest.py operators value-checked against DuckDB on a delta-log line
+# stream synthesized deterministically from `documents`.
+# ===========================================================================
+
+def _dlog_lines_sql(dialect: str) -> str:
+    """Synthesized rsync delta-log lines, valid in Spark SQL & DuckDB:
+    headers + zip upserts (all docs) + mets upserts (doc_id%3=0) +
+    deletes (doc_id%7=0, AFTER the upsert in seq order) + noise dirs."""
+    vid = "translate(concat('uc2.ark:/13960/t', cast(doc_id as string)), ':/.', '+=,')"
+    return f"""
+      select cast(0 as bigint) as seq, 'DEST_ROOT=/data/root' as value
+      union all select cast(1 as bigint), 'PREFIX=uc2'
+      union all select cast(2 as bigint), 'COPYRIGHT=public'
+      union all
+      select doc_id * 10 + 3, concat('root/ab/cd/', {vid}, '.zip') from documents
+      union all
+      select doc_id * 10 + 4, concat('root/ab/cd/', {vid}, '.mets.xml')
+      from documents where doc_id % 3 = 0
+      union all
+      select doc_id * 10 + 5, concat('deleting root/ab/cd/', {vid}, '.zip')
+      from documents where doc_id % 7 = 0
+      union all
+      select doc_id * 10 + 6, concat('root/ab/cd', cast(doc_id as string), '/')
+      from documents where doc_id % 11 = 0
+    """
+
+
+def _cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .. import ingest as I
+
+    _load(spark, sf_dir, "documents")
+    lines = spark.sql(_dlog_lines_sql("spark"))
+    return (
+        I.parse_delta_log(lines)
+        .orderBy("seq")
+        .select("seq", "kind", "volume_id")
+        .limit(500)
+    )
+
+
+def _cdc_parse_oracle() -> str:
+    return f"""
+    with lines as ({_dlog_lines_sql('duckdb')}),
+    parsed as (
+      select seq,
+             case when value like 'DEST_ROOT=%' or value like 'PREFIX=%'
+                       or value like 'COPYRIGHT=%' then 'header'
+                  when value like 'deleting %' then 'delete'
+                  when value like '%.zip' then 'upsert_zip'
+                  when value like '%.mets.xml' then 'upsert_mets'
+                  else 'other' end as kind,
+             regexp_replace(value, '^deleting ', '') as path
+      from lines)
+    select seq, kind,
+           case when kind in ('delete', 'upsert_zip', 'upsert_mets')
+                then translate(regexp_replace(regexp_extract(path, '([^/]+)$', 1),
+                                              '(\\.mets)?\\.(zip|xml)$', ''),
+                               '+=,', ':/.')
+           end as volume_id
+    from parsed order by seq limit 500
+    """
+
+
+_register_fn("cdc_delta_log_parse", _cdc_parse, _cdc_parse_oracle())
+
+
+def _cdc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import ingest as I
+
+    _load(spark, sf_dir, "documents")
+    lines = spark.sql(_dlog_lines_sql("spark"))
+    return (
+        I.collapse_changes(I.parse_delta_log(lines))
+        .select("volume_id", "op", "seq")
+        .orderBy("volume_id")
+        .limit(500)
+    )
+
+
+def _cdc_collapse_oracle() -> str:
+    # highest-seq line per volume wins; delete lines carry seq%10=5
+    # which is also the highest generated seq for that volume
+    return f"""
+    with lines as ({_dlog_lines_sql('duckdb')}),
+    parsed as (
+      select seq,
+             case when value like 'DEST_ROOT=%' or value like 'PREFIX=%'
+                       or value like 'COPYRIGHT=%' then 'header'
+                  when value like 'deleting %' then 'delete'
+                  when value like '%.zip' then 'upsert_zip'
+                  when value like '%.mets.xml' then 'upsert_mets'
+                  else 'other' end as kind,
+             regexp_replace(value, '^deleting ', '') as path
+      from lines),
+    vids as (
+      select seq, kind,
+             translate(regexp_replace(regexp_extract(path, '([^/]+)$', 1),
+                                      '(\\.mets)?\\.(zip|xml)$', ''),
+                       '+=,', ':/.') as volume_id
+      from parsed where kind in ('delete', 'upsert_zip', 'upsert_mets')),
+    ranked as (
+      select volume_id,
+             case when kind = 'delete' then 'delete' else 'upsert' end as op,
+             seq, row_number() over (partition by volume_id order by seq desc) as rn
+      from vids)
+    select volume_id, op, seq from ranked where rn = 1
+    order by volume_id limit 500
+    """
+
+
+_register_fn("cdc_collapse_lastwriter", _cdc_collapse, _cdc_collapse_oracle())
+
+
+def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE round-trip: snapshot=documents keyed by volume_id;
+    the collapsed change set deletes doc_id%7=0 and re-upserts the
+    rest; result = per-source row count after merge."""
+    from pyspark.sql import functions as F
+
+    from .. import ingest as I
+
+    _load(spark, sf_dir, "documents")
+    vid = "translate(concat('uc2.ark:/13960/t', cast(doc_id as string)), ':/.', '+=,')"
+    vid = f"translate({vid}, '+=,', ':/.')"
+    snapshot = spark.sql(f"select {vid} as volume_id, source, n_chars from documents")
+    lines = spark.sql(_dlog_lines_sql("spark"))
+    changes = I.collapse_changes(I.parse_delta_log(lines))
+    merged = I.apply_changes(snapshot, changes, snapshot)
+    return (
+        merged.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("source")
+    )
+
+
+def _cdc_merge_oracle() -> str:
+    return """
+    select source, cast(count(*) as bigint) as n_rows
+    from documents where doc_id % 7 <> 0
+    group by source order by source
+    """
+
+
+_register_fn("cdc_merge_apply", _cdc_merge, _cdc_merge_oracle())
+
+
+def _cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff: old=documents; new drops doc_id%13=0, rewrites
+    text for doc_id%5=0, adds 20 fresh ids."""
+    from .. import ingest as I
+
+    _load(spark, sf_dir, "documents")
+    old = spark.sql("select cast(doc_id as bigint) as doc_id, text from documents")
+    new = spark.sql(
+        """
+        select cast(doc_id as bigint) as doc_id,
+               case when doc_id % 5 = 0 then concat(text, ' v2') else text end as text
+        from documents where doc_id % 13 <> 0
+        union all
+        select cast(1000000 + range_id as bigint), concat('new doc ', cast(range_id as string))
+        from (select explode(sequence(0, 19)) as range_id)
+        """
+    )
+    return I.snapshot_diff(new, old, key="doc_id").orderBy("doc_id")
+
+
+def _cdc_diff_oracle() -> str:
+    return """
+    with old as (select cast(doc_id as bigint) as doc_id, text from documents),
+    new as (
+      select cast(doc_id as bigint) as doc_id,
+             case when doc_id % 5 = 0 then concat(text, ' v2') else text end as text
+      from documents where doc_id % 13 <> 0
+      union all
+      select cast(1000000 + r as bigint), concat('new doc ', cast(r as string))
+      from (select unnest(range(0, 20)) as r)
+    )
+    select coalesce(new.doc_id, old.doc_id) as doc_id,
+           case when old.doc_id is null then 'insert'
+                when new.doc_id is null then 'delete'
+                when new.text <> old.text then 'update' end as op
+    from new full outer join old on new.doc_id = old.doc_id
+    where (old.doc_id is null or new.doc_id is null or new.text <> old.text)
+    order by doc_id
+    """
+
+
+_register_fn("cdc_snapshot_diff", _cdc_diff, _cdc_diff_oracle())

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling benchmark → BENCH.md (north-rule evidence).
+
+The rule's two-cluster-size criterion (throughput scaling efficiency
+≥0.8 from N to 4N executors) can't use a real cluster in this sandbox;
+per the driver protocol we run the identical job on identical input at
+local[8] and local[32] via ``spark-submit --py-files engine.zip`` (the
+cluster submit path — only the master URL differs) and report
+throughput at both plus efficiency = (thr_4N / thr_N) / 4.
+
+Usage: python scripts/scaling_bench.py [--sf-dir DIR] [--mult M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import zipfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip(path: str) -> None:
+    pkg = os.path.join(REPO, "htrc_ingester_spark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def run_level(cpus: int, zip_path: str, sf_dir: str, mult: int) -> dict:
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cpus}]",
+        # local mode: executors live in the driver JVM — size it like a
+        # real executor, or 32 threads thrash a 1 GB default heap and
+        # the scaling measurement measures GC, not the engine
+        "--driver-memory",
+        "24g",
+        "--py-files",
+        zip_path,
+        os.path.join(REPO, "scripts", "scaling_child.py"),
+        str(cpus),
+        sf_dir,
+        str(mult),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"images_per_sec"' in line:
+            return json.loads(line)
+    sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:] + "\n")
+    raise RuntimeError(f"child local[{cpus}] produced no result line")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=20)
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    zip_path = os.path.join(REPO, "engine.zip")
+    build_zip(zip_path)
+
+    r_lo = run_level(lo, zip_path, args.sf_dir, args.mult)
+    r_hi = run_level(hi, zip_path, args.sf_dir, args.mult)
+    ratio = hi / lo
+    eff = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / ratio
+
+    result = {
+        "metric": "images/sec through H3-encode→PIP-join→tile-assign",
+        "input": f"{args.sf_dir} lineitem ×{args.mult} = {r_lo['n_images']} images",
+        "levels": {str(lo): r_lo, str(hi): r_hi},
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = f"""# BENCH — two-parallelism scaling evidence (north rule)
+
+Generated {ts} by `python scripts/scaling_bench.py --sf-dir {args.sf_dir} --mult {args.mult}`.
+
+**Metric (BASELINE.json):** images/sec through H3-encode → PIP-join →
+tile-assign; scaling efficiency ≥ 0.8 from N to 4N executors.
+
+**Sandbox protocol** (no real cluster available): identical job,
+identical input ({r_lo['n_images']:,} images = sf0.1 lineitem ×{args.mult},
+fixed 256-partition layout), launched via `spark-submit --py-files
+engine.zip` — the cluster submit path; only `--master local[N]`
+differs between runs. One JVM per run, sequential, warm-up excluded.
+
+| parallelism | wall (s) | images/sec |
+|---|---|---|
+| local[{lo}] (N) | {r_lo['wall_sec']} | {r_lo['images_per_sec']:,} |
+| local[{hi}] (4N) | {r_hi['wall_sec']} | {r_hi['images_per_sec']:,} |
+
+**Scaling efficiency** = (thr_4N / thr_N) / ({hi}/{lo}) =
+({r_hi['images_per_sec']:,} / {r_lo['images_per_sec']:,}) / {ratio:.0f} =
+**{eff:.3f}** → {"**PASS** (≥ 0.8)" if eff >= 0.8 else "**FAIL** (< 0.8)"}
+
+## Why it scales
+
+- The pipeline is embarrassingly parallel until the final tiny
+  `groupBy(poly_id, tile_id)` (≤ a few thousand groups): H3 encode and
+  tile hash are whole-stage-codegen column expressions; the PIP join is
+  a broadcast hash join (zero shuffle of the image side); the
+  ray-casting refine is an Arrow-batched pandas UDF whose worker pool
+  scales with cores.
+- Cell-cover full/partial classification keeps the Python refine on the
+  O(perimeter) shell only; interior cells join-and-pass with no UDF.
+- At 1000 executors the same plan holds: broadcast cover (KBs–MBs),
+  narrow encode, one small agg shuffle. The only driver-side state is
+  the polygon index.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

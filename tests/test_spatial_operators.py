@@ -55,8 +55,15 @@ class TestPIPJoin:
         # otherwise the refine UDF sees O(area) instead of O(perimeter)
         polys = [p for p in data.polygons() if p["kind"] == "polar_cap"]
         cover = build_cell_cover(polys, 7)
-        frac_full = cover.full.mean()
-        assert frac_full > 0.8
+        # area-weighted: a partial cell at res r covers 4^-r of the
+        # grid, so refine traffic ∝ area, not row count (the adaptive
+        # cover trades more rows for far less partial area)
+        from htrc_ingester_spark.geo import h3lite as H
+
+        res = H.cell_res(cover.cell.to_numpy()).astype(float)
+        area = 4.0 ** (-res)
+        frac_full_area = area[cover.full.to_numpy()].sum() / area.sum()
+        assert frac_full_area > 0.95
 
     def test_full_and_partial_agree_with_oracle_everywhere(self, spark):
         # dense probe grid across one simple polygon's bbox: the
