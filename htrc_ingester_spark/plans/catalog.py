@@ -717,3 +717,252 @@ def _cdc_diff_oracle() -> str:
 
 
 _register_fn("cdc_snapshot_diff", _cdc_diff, _cdc_diff_oracle())
+
+
+# ===========================================================================
+# Training-data dedup + text analysis (operators/textdedup.py) — each
+# entry runs the REAL operator on Spark and a template-generated SQL
+# twin in DuckDB (same salted-md5 hash family in both engines).
+# ===========================================================================
+
+def _dup_docs_sql(dialect: str) -> str:
+    """documents ∪ mutated copies (one appended word per doc_id%10=0)
+    — deterministic near-duplicates for the dedup oracles."""
+    return """
+      select cast(doc_id as bigint) as doc_id, text from documents
+      union all
+      select cast(doc_id + 100000 as bigint), concat(text, ' xyzzy')
+      from documents where doc_id % 10 = 0
+    """
+
+
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    uni = spark.sql(_dup_docs_sql("spark"))
+    return TD.lsh_near_dup_pairs(uni).orderBy("id_a", "id_b")
+
+
+def _minhash_lsh_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    sh = TD.shingles_sql("text", 3, "duckdb")
+    n_bands, rpb, max_bucket = 8, 2, 50
+    band_selects = []
+    for b in range(n_bands):
+        mins = [TD.minhash_sql("shraw", b * rpb + r, "duckdb") for r in range(rpb)]
+        band_selects.append(
+            f"select doc_id, {b} as band, md5(concat({', '.join(mins)})) as bucket from sh"
+        )
+    buckets = " union all ".join(band_selects)
+    return f"""
+    with docs as ({_dup_docs_sql('duckdb')}),
+    sh as (
+      select doc_id, {sh} as shraw, list_distinct({sh}) as shd
+      from docs where len({sh}) > 0),
+    buckets as ({buckets}),
+    keep as (
+      select band, bucket from buckets group by 1, 2 having count(*) <= {max_bucket}),
+    kept as (
+      select b.* from buckets b join keep k using (band, bucket)),
+    cand as (
+      select distinct a.doc_id as id_a, b.doc_id as id_b
+      from kept a join kept b using (band, bucket)
+      where a.doc_id < b.doc_id),
+    verified as (
+      select c.id_a, c.id_b,
+             round(cast(len(list_intersect(sa.shd, sb.shd)) as double) /
+                   len(list_distinct(list_concat(sa.shd, sb.shd))), 5) as jaccard
+      from cand c
+      join sh sa on sa.doc_id = c.id_a
+      join sh sb on sb.doc_id = c.id_b)
+    select id_a, id_b, jaccard from verified
+    where jaccard >= 0.5 order by id_a, id_b
+    """
+
+
+_register_fn("dedup_minhash_lsh", _minhash_lsh, _minhash_lsh_oracle())
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql("select cast(doc_id as bigint) as doc_id, text from documents")
+    return TD.simhash32(docs).orderBy("doc_id").limit(500)
+
+
+def _simhash_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    return f"""
+    select doc_id, {TD.simhash32_sql('doc_id', 'w')} as simhash
+    from (select cast(doc_id as bigint) as doc_id,
+                 unnest(string_split(text, ' ')) as w
+          from documents) t
+    where w <> '' group by doc_id order by doc_id limit 500
+    """
+
+
+_register_fn("dedup_simhash32", _simhash, _simhash_oracle())
+
+
+def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql("select cast(doc_id as bigint) as doc_id, text from documents")
+    fp = TD.winnow_fingerprints(docs)
+    from pyspark.sql import functions as F
+
+    return fp.select(
+        "doc_id",
+        F.expr("cast(size(fingerprints) as bigint)").alias("n_fp"),
+        F.expr("array_join(slice(fingerprints, 1, 3), ',')").alias("fp_head"),
+    ).orderBy("doc_id").limit(500)
+
+
+def _winnow_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    wsql = TD.winnow_sql("text", 8, 4, "duckdb")
+    return f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(len({wsql}) as bigint) as n_fp,
+           array_to_string(({wsql})[1:3], ',') as fp_head
+    from documents order by doc_id limit 500
+    """
+
+
+_register_fn("text_winnow_fingerprint", _winnow, _winnow_oracle())
+
+
+def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""select cast(doc_id as bigint) as doc_id,
+                   cast({TD.bpe_token_count_sql('text', 'spark')} as bigint) as n_bpe,
+                   cast(size(split(text, ' ')) as bigint) as n_ws
+            from documents order by doc_id limit 500"""
+    )
+
+
+def _bpe_tokens_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    return f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast({TD.bpe_token_count_sql('text', 'duckdb')} as bigint) as n_bpe,
+           cast(len(string_split(text, ' ')) as bigint) as n_ws
+    from documents order by doc_id limit 500
+    """
+
+
+_register_fn("text_token_count_bpe", _bpe_tokens, _bpe_tokens_oracle())
+
+
+def _lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    lang = TD.lang_id_sql("split(text, ' ')", "spark")
+    return spark.sql(
+        f"""select lang, {lang} as lang_guess, cast(count(*) as bigint) as n
+            from documents group by 1, 2 order by 1, 2"""
+    )
+
+
+def _lang_profile_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    lang = TD.lang_id_sql("string_split(text, ' ')", "duckdb")
+    return f"""
+    select lang, {lang} as lang_guess, cast(count(*) as bigint) as n
+    from documents group by 1, 2 order by 1, 2
+    """
+
+
+_register_fn("text_lang_id_profile", _lang_profile, _lang_profile_oracle())
+
+
+# ===========================================================================
+# Similarity search / embedding near-dup (operators/embedding.py)
+# ===========================================================================
+
+def _dup_embs_sql(dialect: str) -> str:
+    """embeddings ∪ exact copies of vec_id%25=0 under new ids —
+    deterministic near-dup pairs (cosine exactly 1)."""
+    return """
+      select cast(vec_id as bigint) as vec_id, embedding from embeddings
+      union all
+      select cast(vec_id + 100000 as bigint), embedding
+      from embeddings where vec_id % 25 = 0
+    """
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import embedding as E
+
+    _load(spark, sf_dir, "embeddings")
+    data = spark.sql("select cast(vec_id as bigint) as vec_id, embedding from embeddings")
+    qdf = spark.sql(
+        "select cast(vec_id as string) as query_id, embedding "
+        "from embeddings where vec_id in (0, 7, 42)"
+    )
+    return E.ann_topk(data, qdf, k=5).orderBy("query_id", "rank")
+
+
+def _ann_lsh_oracle() -> str:
+    from ..operators import embedding as E
+
+    b = E.bucket_sql("embedding", 64, "duckdb")
+    cos = E.cosine_sql("e.embedding", "q.embedding", "duckdb")
+    return f"""
+    with b as (
+      select cast(vec_id as bigint) as vec_id, embedding, {b} as bucket
+      from embeddings),
+    q as (select cast(vec_id as string) as query_id, embedding, bucket
+          from b where vec_id in (0, 7, 42)),
+    cand as (
+      select q.query_id, e.vec_id, round({cos}, 5) as cos
+      from b e join q on e.bucket = q.bucket),
+    ranked as (
+      select query_id, vec_id, cos,
+             cast(row_number() over (partition by query_id
+                                     order by cos desc, vec_id) as int) as rank
+      from cand)
+    select query_id, vec_id, cos, rank from ranked
+    where rank <= 5 order by query_id, rank
+    """
+
+
+_register_fn("similarity_ann_lsh", _ann_lsh, _ann_lsh_oracle())
+
+
+def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import embedding as E
+
+    _load(spark, sf_dir, "embeddings")
+    data = spark.sql(_dup_embs_sql("spark"))
+    return E.neardup_pairs(data).orderBy("id_a", "id_b")
+
+
+def _emb_neardup_oracle() -> str:
+    from ..operators import embedding as E
+
+    b = E.bucket_sql("embedding", 64, "duckdb")
+    cos = E.cosine_sql("a.embedding", "b.embedding", "duckdb")
+    return f"""
+    with d as ({_dup_embs_sql('duckdb')}),
+    bb as (select vec_id, embedding, {b} as bucket from d)
+    select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 5) as cos
+    from bb a join bb b on a.bucket = b.bucket and a.vec_id < b.vec_id
+    where round({cos}, 5) >= 0.999
+    order by id_a, id_b
+    """
+
+
+_register_fn("dedup_embedding_cosine", _emb_neardup, _emb_neardup_oracle())

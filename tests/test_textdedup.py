@@ -1,0 +1,184 @@
+"""Unit tests for dedup / text-analysis / embedding operators with
+pure-Python oracles (the reference's known-vector discipline,
+TestUtil.java:45-127)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_ingester_spark.operators import embedding as E
+from htrc_ingester_spark.operators import textdedup as TD
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about spark shuffle partitions and joins"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "le chat est dans la maison et le chien est dans le jardin pour une heure"),
+    (5, "der hund ist in dem haus und die katze ist mit der maus von hier zu dort"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+class TestExactDedup:
+    def test_collapses_exact_copies(self, docs_df):
+        out = TD.exact_dedup(docs_df).toPandas().sort_values("doc_id")
+        # docs 0 and 3 are identical → one survivor (id 0) with 2 copies
+        assert len(out) == 5
+        assert out[out.doc_id == 0].n_copies.iloc[0] == 2
+        assert 3 not in set(out.doc_id)
+
+
+class TestMinHashLSH:
+    def test_finds_near_and_exact_dups_not_unrelated(self, spark, docs_df):
+        pairs = TD.lsh_near_dup_pairs(docs_df, jaccard_threshold=0.5).toPandas()
+        got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (0, 3) in got  # exact dup
+        assert (0, 1) in got  # one-word change
+        assert (1, 3) in got
+        # unrelated docs must not pair
+        for a, b in got:
+            assert {a, b} <= {0, 1, 3}
+
+    def test_jaccard_matches_python(self, spark, docs_df):
+        pairs = TD.lsh_near_dup_pairs(docs_df, jaccard_threshold=0.5).toPandas()
+        row = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)].iloc[0]
+        sa, sb = _shingles(DOCS[0][1]), _shingles(DOCS[1][1])
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(row.jaccard - want) < 1e-4
+
+    def test_hot_bucket_cap_drops_boilerplate(self, spark):
+        # 60 identical docs + cap 50 → the identical group is dropped
+        # (exact dedup's job); a distinct near-pair still survives
+        rows = [(i, "same boilerplate text repeated again and again here") for i in range(60)]
+        rows += [(100, "a unique document with its own words entirely"),
+                 (101, "a unique document with its own words mostly")]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        pairs = TD.lsh_near_dup_pairs(df, jaccard_threshold=0.3, max_bucket=50).toPandas()
+        got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (100, 101) in got
+        assert all(a >= 100 for a, _ in got)
+
+
+class TestSimHash:
+    def test_near_dups_closer_than_unrelated(self, docs_df):
+        out = TD.simhash32(docs_df).toPandas().set_index("doc_id").simhash.to_dict()
+
+        def ham(a, b):
+            return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+        assert ham(out[0], out[3]) == 0  # identical text
+        assert ham(out[0], out[1]) < ham(out[0], out[2])
+
+    def test_matches_python_oracle(self, docs_df):
+        out = TD.simhash32(docs_df).toPandas().set_index("doc_id").simhash.to_dict()
+        for doc_id, text in DOCS[:2]:
+            acc = np.zeros(32)
+            for w in text.split(" "):
+                h = hashlib.md5(w.encode()).hexdigest()
+                for i in range(32):
+                    acc[i] += 1 if ord(h[i]) % 2 else -1
+            want = sum(1 << i for i in range(32) if acc[i] > 0)
+            assert out[doc_id] == want
+
+
+class TestWinnow:
+    def test_matches_python_oracle(self, docs_df):
+        k, w = 8, 4
+        out = (
+            TD.winnow_fingerprints(docs_df, k=k, w=w)
+            .toPandas()
+            .set_index("doc_id")
+            .fingerprints.to_dict()
+        )
+        for doc_id, text in DOCS[:3]:
+            hashes = [
+                hashlib.md5(text[i : i + k].encode()).hexdigest()
+                for i in range(max(len(text) - k + 1, 1))
+            ]
+            fps = sorted({min(hashes[j : j + w]) for j in range(max(len(hashes) - w + 1, 1))})
+            assert list(out[doc_id]) == fps
+
+    def test_shared_content_shares_fingerprints(self, docs_df):
+        out = (
+            TD.winnow_fingerprints(docs_df)
+            .toPandas()
+            .set_index("doc_id")
+            .fingerprints.to_dict()
+        )
+        s0, s1, s2 = (set(out[i]) for i in (0, 1, 2))
+        assert len(s0 & s1) / len(s0 | s1) > 0.5
+        assert len(s0 & s2) / len(s0 | s2) < 0.1
+
+
+class TestTokensAndLang:
+    def test_bpe_count_matches_python_re(self, spark):
+        texts = ["hello, world! 42 times", "a-b--c 1x2", "..."]
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": range(3), "text": texts}))
+        out = df.selectExpr(
+            "doc_id", f"{TD.bpe_token_count_sql('text', 'spark')} as n"
+        ).toPandas()
+        for i, t in enumerate(texts):
+            want = len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", t))
+            assert out[out.doc_id == i].n.iloc[0] == want
+
+    def test_lang_id_classifies_planted_languages(self, docs_df):
+        words = "split(text, ' ')"
+        out = docs_df.selectExpr(
+            "doc_id", f"{TD.lang_id_sql(words, 'spark')} as lang"
+        ).toPandas().set_index("doc_id").lang.to_dict()
+        assert out[0] == "en"
+        assert out[4] == "fr"
+        assert out[5] == "de"
+
+
+class TestEmbeddingOps:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.default_rng(7)
+        v = rng.normal(size=(40, 16)).astype(np.float32)
+        v[30] = v[0]  # planted exact dup
+        pdf = pd.DataFrame({"vec_id": range(40), "embedding": [r.tolist() for r in v]})
+        return spark.createDataFrame(pdf), v
+
+    def test_neardup_finds_planted_copy(self, spark, vecs):
+        df, v = vecs
+        pairs = E.neardup_pairs(df, dim=16).toPandas()
+        assert (0, 30) in set(zip(pairs.id_a, pairs.id_b))
+        assert all(c >= 0.999 for c in pairs.cos)
+
+    def test_ann_topk_exact_within_bucket(self, spark, vecs):
+        df, v = vecs
+        qdf = df.where(F.col("vec_id") == 0).selectExpr("'q0' as query_id", "embedding")
+        got = E.ann_topk(df, qdf, k=3, dim=16).toPandas()
+        assert list(got["rank"]) == [1, 2, 3]
+        # rank 1 must be the vector itself or its exact copy (cos 1)
+        assert got.iloc[0].cos == pytest.approx(1.0, abs=1e-4)
+        # every returned cos must equal the numpy cosine
+        for r in got.itertuples(index=False):
+            a, b = v[0], v[int(r.vec_id)]
+            want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(r.cos - want) < 1e-4
+
+    def test_bucket_deterministic_across_partitionings(self, spark, vecs):
+        df, _ = vecs
+        b1 = E.with_bucket(df.repartition(1), dim=16).select("vec_id", "bucket").toPandas()
+        b2 = E.with_bucket(df.repartition(8, "vec_id"), dim=16).select("vec_id", "bucket").toPandas()
+        m1 = b1.sort_values("vec_id").reset_index(drop=True)
+        m2 = b2.sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(m1, m2)
