@@ -145,3 +145,12 @@ def phash64(pix: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def hash_surrogate_ns(s: str) -> int:
+    """Deterministic 63-bit FNV-1a of a string (process-salt-free,
+    unlike ``hash()``) — keys per-image PRNG streams and fixtures."""
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF

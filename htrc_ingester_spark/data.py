@@ -77,12 +77,10 @@ def images_meta_pdf(n: int, seed: int = 42) -> pd.DataFrame:
 
 
 def hash_surrogate(s: str) -> int:
-    """Deterministic 63-bit FNV-1a of a string (hash() is salted per
-    process — never use it for reproducible fixtures)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode():
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h & 0x7FFFFFFFFFFFFFFF
+    """Deterministic 63-bit FNV-1a (codec.hash_surrogate_ns alias)."""
+    from .codec import hash_surrogate_ns
+
+    return hash_surrogate_ns(s)
 
 
 def images_pdf(n: int, seed: int = 42) -> pd.DataFrame:

@@ -966,3 +966,91 @@ def _emb_neardup_oracle() -> str:
 
 
 _register_fn("dedup_embedding_cosine", _emb_neardup, _emb_neardup_oracle())
+
+
+# ===========================================================================
+# Image pipeline (operators/imageops.py) + skew salting (operators/
+# salting.py). The image invariant (decode → PSNR ≥ 40 dB → caption →
+# phash) is not SQL-expressible → rows-only driver check; the exact
+# oracles live in tests/test_imageops.py. Salted collect has an exact
+# SQL twin (salting must not change results — that IS the oracle).
+# ===========================================================================
+
+def _image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import imageops as IO
+
+    skel = FS.load_images(spark, sf_dir).limit(2000).select(
+        F.col("image_id").cast("string").alias("image_id"), "lon", "lat"
+    )
+    images = IO.generate_images(skel)
+    checks = IO.decode_validate(images)
+    return (
+        checks.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("shape_ok") & F.col("psnr_ok") & F.col("caption_ok") & F.col("phash_ok"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_ok"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
+        )
+        .orderBy("fmt")
+    )
+
+
+_register_fn("image_validate_pipeline", _image_validate, None)
+
+
+def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import imageops as IO
+
+    skel = FS.load_images(spark, sf_dir).limit(500).select(
+        F.col("image_id").cast("string").alias("image_id"), "lon", "lat"
+    )
+    images = IO.generate_images(skel)
+    feats = IO.resize_features(images)
+    return feats.select(
+        "image_id",
+        F.round(F.expr("aggregate(mean_rgb, 0.0d, (a, x) -> a + x) / 3"), 3).alias("mean_gray"),
+        F.expr("size(thumb)").alias("thumb_len"),
+    ).orderBy("image_id")
+
+
+_register_fn("image_resize_features", _image_features, None)
+
+
+def _salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.salting import salted_collect_sorted
+
+    _load(spark, sf_dir, "events")
+    ev = spark.sql(
+        "select event_type, cast(event_id as string) as event_id_s from events"
+    )
+    out = salted_collect_sorted(
+        ev, "event_type", "event_id_s", salt_src="event_id_s", rows_per_task=500
+    )
+    return out.select(
+        "event_type",
+        F.expr("cast(size(values) as bigint)").alias("n"),
+        F.expr("substr(array_join(values, ','), 1, 200)").alias("head"),
+    ).orderBy("event_type")
+
+
+def _salted_collect_oracle() -> str:
+    return """
+    select event_type, cast(count(*) as bigint) as n,
+           substr(string_agg(cast(event_id as varchar), ','
+                             order by cast(event_id as varchar)), 1, 200) as head
+    from events group by event_type order by event_type
+    """
+
+
+_register_fn("salted_collect_skewed", _salted_collect, _salted_collect_oracle())
