@@ -33,7 +33,12 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "a2_collect_sorted_list",
     "dedup_exact_hash",
+    "dedup_minhash_lsh",
     "similarity_topk_dot",
+    "similarity_ann_lsh",
+    "image_validate_pipeline",
+    "cdc_merge_apply",
+    "salted_collect_skewed",
 ]
 
 

@@ -3,11 +3,11 @@
 For each query point, search the images table one growing cell-disk at
 a time instead of scanning everything:
 
-  round i: frontier = disk(r_i) \\ searched_cells   (driver-side, tiny)
+  round i: frontier = disk(r_i, kx_i) \\ disk(r_{i-1}, kx_{i-1})
            candidates = images ⋈ broadcast(frontier) on cell
            per-query top-k (window over the candidate skeleton)
-           merge into driver-side best-so-far
-           terminate query when kth_dist ≤ guaranteed_bound(r_i)
+           merge into best-so-far (vectorized pandas, no per-query loop)
+           terminate query when kth_dist < guaranteed_bound(r_i)
 
 Correctness of the termination bound (proved, test-asserted):
 - any point in a cell-row farther than r rows from the query's row is
@@ -18,15 +18,22 @@ Correctness of the termination bound (proved, test-asserted):
   covered: required lon half-width follows from the haversine lon term
   ``dist ≥ 2R·asin(√(cos φq cos φp)·sin(Δλ/2))`` with the band-minimum
   cosine; near the poles this degrades to full-wrap coverage (which
-  ``grid_disk`` caps at nx/2 columns).
+  the disk caps at nx/2 columns).
+- the covered region grows monotonically (both k and kx are monotone
+  in r), so each round's frontier is the rectangle ring between the
+  previous and current disks — no per-query searched-set bookkeeping.
 
 Ties are broken by the total order ``(dist, image_id)`` — deterministic
 across partitionings and cluster sizes (SURVEY.md §7 hard-part (a)).
+Termination uses STRICT ``<``: at exactly the bound an unsearched point
+could tie on distance and win on image_id.
 
 Scale notes: only the (image_id, lon, lat, cell) skeleton is ever
 joined or shuffled — never image bytes. The per-round shuffle is the
 top-k window keyed by query_id; candidate volume is bounded by the
-frontier, not the table. The driver holds only per-query top-k lists.
+frontier, not the table. The driver holds only per-query top-k lists
+(k × |queries| rows). Radius quadruples per round: O(log r_final)
+Spark jobs, and the total frontier area is dominated by the last round.
 """
 
 from __future__ import annotations
@@ -57,6 +64,46 @@ def _required_kx(bound_m: float, lat_q: float, r: int, res: int) -> int:
     return int(np.ceil(dlon_deg / H.cell_w_deg(res))) + 1
 
 
+def _ring_cells(x0: int, y0: int, r: int, kx: int, pr: int, pkx: int, res: int) -> np.ndarray:
+    """disk(r, kx) minus disk(pr, pkx) around grid position (x0, y0);
+    pr < 0 means no previous disk. Longitude wraps; rows clamp."""
+    nxr, nyr = H.nx(res), H.ny(res)
+    kx = min(kx, nxr // 2)
+    pkx = min(pkx, nxr // 2)
+    ys = np.arange(max(0, y0 - r), min(nyr - 1, y0 + r) + 1, dtype=np.int64)
+    xs_off = np.arange(-kx, kx + 1, dtype=np.int64)
+    xs = (x0 + xs_off) % nxr
+    xx, yy = np.meshgrid(xs, ys)
+    xo, _ = np.meshgrid(xs_off, ys)
+    if pr >= 0:
+        inner = (np.abs(xo) <= pkx) & (np.abs(yy - y0) <= pr)
+        keep = ~inner.ravel()
+    else:
+        keep = np.ones(xx.size, dtype=bool)
+    cells = H.pack_xy(xx.ravel()[keep], yy.ravel()[keep], res)
+    return np.unique(cells)
+
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("q_lon", T.DoubleType(), False),
+        T.StructField("q_lat", T.DoubleType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("cell", T.LongType(), False),
+    ]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("dist_m", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -78,8 +125,7 @@ def knn_join(
         F.col(lon_col).alias("p_lon"),
         F.col(lat_col).alias("p_lat"),
         h3_cell(lon_col, lat_col, res).alias("cell"),
-    )
-    skel = skel.persist()
+    ).persist()
     try:
         return _knn_loop(spark, skel, queries, res, max_rounds)
     finally:
@@ -88,105 +134,105 @@ def knn_join(
 
 def _knn_loop(spark, skel, queries, res, max_rounds):
     ch_m = H.cell_h_deg(res) * H.M_PER_DEG_LAT
-    state: dict[str, dict] = {}
-    for row in queries.itertuples(index=False):
-        state[row.query_id] = {
-            "lon": float(row.lon),
-            "lat": float(row.lat),
-            "k": int(row.k),
-            "cell": int(H.latlng_to_cell(row.lat, row.lon, res)),
-            "searched": set(),
-            "best": pd.DataFrame(columns=["image_id", "dist_m"]),
-            "done": False,
-            "r": 0,
-        }
-    total_cells = H.nx(res) * H.ny(res)
-    frontier_schema = T.StructType(
-        [
-            T.StructField("query_id", T.StringType(), False),
-            T.StructField("q_lon", T.DoubleType(), False),
-            T.StructField("q_lat", T.DoubleType(), False),
-            T.StructField("k", T.IntegerType(), False),
-            T.StructField("cell", T.LongType(), False),
-        ]
-    )
-    r_next = {qid: 1 for qid in state}
+    nxr, nyr = H.nx(res), H.ny(res)
+    total_cells = nxr * nyr
+
+    q = queries.reset_index(drop=True).copy()
+    q["query_id"] = q["query_id"].astype(str)
+    q["k"] = q["k"].astype(int)
+    cells = H.latlng_to_cell(q["lat"].to_numpy(), q["lon"].to_numpy(), res)
+    q["x0"], q["y0"] = H.cell_xy(cells)
+    q["r"] = 0
+    q["pr"] = -1
+    q["pkx"] = -1
+    q["done"] = False
+    q["covered"] = 0
+
+    best = pd.DataFrame(columns=["query_id", "image_id", "dist_m"])
+
     for _ in range(max_rounds):
+        act = q[~q["done"]]
+        if not len(act):
+            break
+        # next radius: quadruple (fewer rounds; last ring dominates cost)
         frames = []
-        for qid, st in state.items():
-            if st["done"]:
-                continue
-            r = r_next[qid]
+        new_r = {}
+        new_kx = {}
+        for row in act.itertuples(index=True):
+            r = 2 if row.r == 0 else min(row.r * 4, nyr)
             bound = r * ch_m
-            kx = _required_kx(bound, st["lat"], r, res)
-            disk = H.grid_disk(st["cell"], r, kx)
-            new = np.array(sorted(set(disk.tolist()) - st["searched"]), dtype=np.int64)
-            st["searched"].update(int(c) for c in new)
-            st["r"] = r
-            if len(new):
+            kx = _required_kx(bound, float(row.lat), r, res)
+            ring = _ring_cells(int(row.x0), int(row.y0), r, kx, int(row.pr), int(row.pkx), res)
+            new_r[row.Index] = r
+            new_kx[row.Index] = kx
+            if len(ring):
                 frames.append(
                     pd.DataFrame(
                         {
-                            "query_id": qid,
-                            "q_lon": st["lon"],
-                            "q_lat": st["lat"],
-                            "k": st["k"],
-                            "cell": new,
+                            "query_id": row.query_id,
+                            "q_lon": float(row.lon),
+                            "q_lat": float(row.lat),
+                            "k": int(row.k),
+                            "cell": ring,
                         }
                     )
                 )
-        if not frames:
-            break
-        frontier = spark.createDataFrame(pd.concat(frames, ignore_index=True), schema=frontier_schema)
-        cand = skel.join(F.broadcast(frontier), "cell", "inner").withColumn(
-            "dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon")
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("image_id").asc())
-        top = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= F.col("k"))
-            .select("query_id", "image_id", "dist_m")
-            .toPandas()
-        )
-        # merge round results into per-query best-so-far, check termination
-        for qid, st in state.items():
-            if st["done"]:
-                continue
-            new_best = top[top.query_id == qid][["image_id", "dist_m"]]
-            parts = [f for f in (st["best"], new_best) if len(f)]
-            merged = (
-                pd.concat(parts, ignore_index=True)
-                .sort_values(["dist_m", "image_id"], kind="mergesort")
-                .drop_duplicates("image_id")
-                .head(st["k"])
-                if parts
-                else st["best"]
+        for idx, r in new_r.items():
+            kx = new_kx[idx]
+            q.loc[idx, ["pr", "pkx", "r"]] = [r, kx, r]
+            y0 = int(q.loc[idx, "y0"])
+            all_rows = r >= max(y0, nyr - 1 - y0)
+            all_cols = kx >= nxr // 2
+            q.loc[idx, "covered"] = total_cells if (all_rows and all_cols) else 0
+        if frames:
+            frontier = spark.createDataFrame(
+                pd.concat(frames, ignore_index=True), schema=FRONTIER_SCHEMA
             )
-            st["best"] = merged
-            exhausted = len(st["searched"]) >= total_cells
-            bound = st["r"] * ch_m
-            # STRICT <: at exactly the bound an unsearched point could
-            # tie on distance and win on image_id — keep expanding
-            if exhausted or (len(merged) >= st["k"] and float(merged.dist_m.max()) < bound):
-                st["done"] = True
-            else:
-                r_next[qid] = min(st["r"] * 2, H.ny(res))
-                if r_next[qid] == st["r"]:
-                    r_next[qid] = st["r"] + 1
-    out_rows = []
-    for qid, st in state.items():
-        b = st["best"].reset_index(drop=True)
-        for i in range(len(b)):
-            out_rows.append((qid, str(b.image_id[i]), float(b.dist_m[i]), i + 1))
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.StringType(), False),
-            T.StructField("image_id", T.StringType(), False),
-            T.StructField("dist_m", T.DoubleType(), False),
-            T.StructField("rank", T.IntegerType(), False),
-        ]
-    )
-    return spark.createDataFrame(out_rows, schema=out_schema)
+            cand = skel.join(F.broadcast(frontier), "cell", "inner").withColumn(
+                "dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon")
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("dist_m").asc(), F.col("image_id").asc()
+            )
+            top = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= F.col("k"))
+                .select("query_id", "image_id", "dist_m")
+                .toPandas()
+            )
+        else:
+            top = pd.DataFrame(columns=["query_id", "image_id", "dist_m"])
+
+        # vectorized merge: old best ∪ new top → per-query top-k
+        best = (
+            pd.concat([best, top], ignore_index=True)
+            .sort_values(["query_id", "dist_m", "image_id"], kind="mergesort")
+            .drop_duplicates(["query_id", "image_id"])
+        )
+        kmap = q.set_index("query_id")["k"]
+        rn = best.groupby("query_id", sort=False).cumcount()
+        best = best[rn < best["query_id"].map(kmap).to_numpy()]
+
+        # vectorized termination: n ≥ k AND kth_dist < bound, or exhausted
+        stats = best.groupby("query_id").agg(n=("image_id", "size"), kth=("dist_m", "max"))
+        q = q.set_index("query_id")
+        stats = stats.reindex(q.index).fillna({"n": 0, "kth": np.inf})
+        bound_now = q["r"].to_numpy() * ch_m
+        exhausted = q["covered"].to_numpy() >= total_cells
+        done = exhausted | (
+            (stats["n"].to_numpy() >= q["k"].to_numpy())
+            & (stats["kth"].to_numpy() < bound_now)
+        )
+        q["done"] = q["done"].to_numpy() | done
+        q = q.reset_index()
+
+    best = best.sort_values(["query_id", "dist_m", "image_id"], kind="mergesort")
+    best["rank"] = best.groupby("query_id").cumcount() + 1
+    out_rows = [
+        (r.query_id, str(r.image_id), float(r.dist_m), int(r.rank))
+        for r in best.itertuples(index=False)
+    ]
+    return spark.createDataFrame(out_rows, schema=OUT_SCHEMA)
 
 
 def knn_join_bruteforce(

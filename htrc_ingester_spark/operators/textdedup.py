@@ -65,11 +65,15 @@ def shingles_sql(text: str, k: int, dialect: str) -> str:
     )
 
 
-def minhash_sql(shingles: str, band: int, dialect: str) -> str:
-    """One min-hash: lexicographic min of salted md5 over shingles."""
+def minhash_sql(shingles: str, j: int, dialect: str) -> str:
+    """Min-hash #j: lexicographic min over shingles of a 32-bit (8 hex
+    chars) slice of a salted md5. Four hashes share one md5 call
+    (md5 = 128 bits = 4x32) — 4x fewer digests than hash-per-salt, and
+    32 bits is ample for shingle-set sketching (collisions ~n²/2³²)."""
     fn = "array_min" if dialect == "spark" else "list_min"
     tf = "transform" if dialect == "spark" else "list_transform"
-    return f"{fn}({tf}({shingles}, s -> md5(concat('b{band}:', s))))"
+    chunk, off = j // 4, (j % 4) * 8 + 1
+    return f"{fn}({tf}({shingles}, s -> substr(md5(concat('c{chunk}:', s)), {off}, 8)))"
 
 
 def _bit_sign(col: str, i: int) -> str:
@@ -176,14 +180,35 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, band, bucket): LSH bucket per band = md5 of the band's
-    concatenated row min-hashes. Narrow — no shuffle."""
+    concatenated row min-hashes.
+
+    Implementation: explode shingles once, compute every salted hash on
+    the exploded rows, take per-doc ``min()`` aggregates. One pass over
+    the shingle stream with map-side partial aggregation — Catalyst's
+    projection collapsing would otherwise recompute the shingle array
+    per hash (measured 16x blowup on the inlined-transform version)."""
     sh = shingles_sql(text_col, shingle_k, "spark")
-    out = df.select(id_col, F.expr(sh).alias("_sh")).where(F.expr("size(_sh) > 0"))
-    band_cols = []
-    for b in range(n_bands):
-        mins = [minhash_sql("_sh", b * rows_per_band + r, "spark") for r in range(rows_per_band)]
-        band_cols.append(F.expr(f"md5(concat({', '.join(mins)}))").alias(f"_b{b}"))
-    sig = out.select(id_col, *band_cols)
+    n_hashes = n_bands * rows_per_band
+    n_chunks = (n_hashes + 3) // 4
+    exploded = df.select(id_col, F.explode(F.expr(sh)).alias("_s")).select(
+        id_col,
+        *[F.expr(f"md5(concat('c{c}:', _s))").alias(f"_h{c}") for c in range(n_chunks)],
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.expr(f"substr(_h{h // 4}, {(h % 4) * 8 + 1}, 8)")).alias(f"_m{h}")
+            for h in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.expr(
+            "md5(concat("
+            + ", ".join(f"_m{b * rows_per_band + r}" for r in range(rows_per_band))
+            + "))"
+        ).alias(f"_b{b}")
+        for b in range(n_bands)
+    ]
+    sig = mins.select(id_col, *band_cols)
     pairs = F.array(
         *[F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bucket")) for b in range(n_bands)]
     )

@@ -1,0 +1,94 @@
+"""Structured Streaming incremental ingest (ST1-ST4 parity): drain a
+delta-log directory, MERGE per micro-batch, resume via checkpoint —
+each file processed exactly once across runs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_ingester_spark.streaming import incremental as S
+
+
+def _write_dlog(path: str, lines: list[str]) -> None:
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = tmp_path / "dlogs"
+    d.mkdir()
+    return {
+        "dlog": str(d),
+        "snap": str(tmp_path / "snapshot"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _snapshot_ids(spark, snap_dir):
+    df = spark.read.parquet(os.path.join(snap_dir, "current"))
+    return sorted(r.volume_id for r in df.select("volume_id").collect())
+
+
+def test_available_now_drains_and_merges(spark, dirs):
+    _write_dlog(
+        os.path.join(dirs["dlog"], "t-001.txt"),
+        [
+            "DEST_ROOT=/data/root",
+            "PREFIX=uc2",
+            "root/ab/cd/uc2,ark+=13960=ta.zip",
+            "root/ab/cd/uc2,ark+=13960=tb.zip",
+            "root/ab/cd/uc2,ark+=13960=tb.mets.xml",  # dup line, collapses
+        ],
+    )
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    assert _snapshot_ids(spark, dirs["snap"]) == [
+        "uc2.ark:/13960/ta",
+        "uc2.ark:/13960/tb",
+    ]
+
+
+def test_second_run_is_incremental_and_applies_tombstones(spark, dirs):
+    _write_dlog(
+        os.path.join(dirs["dlog"], "t-001.txt"),
+        ["root/ab/uc2,ark+=13960=ta.zip", "root/ab/uc2,ark+=13960=tb.zip"],
+    )
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    # second delta: delete ta, add tc — first file must NOT re-process
+    _write_dlog(
+        os.path.join(dirs["dlog"], "t-002.txt"),
+        ["deleting root/ab/uc2,ark+=13960=ta.zip", "root/ab/uc2,ark+=13960=tc.zip"],
+    )
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    assert _snapshot_ids(spark, dirs["snap"]) == [
+        "uc2.ark:/13960/tb",
+        "uc2.ark:/13960/tc",
+    ]
+
+
+def test_rerun_with_no_new_files_is_noop(spark, dirs):
+    _write_dlog(os.path.join(dirs["dlog"], "t-001.txt"), ["root/ab/uc2,ark+=13960=ta.zip"])
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    before = _snapshot_ids(spark, dirs["snap"])
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    assert _snapshot_ids(spark, dirs["snap"]) == before
+
+
+def test_windowed_change_rates_with_watermark(spark, tmp_path):
+    # batch frame shaped like the stream (watermark/window still apply
+    # in batch mode — same plan, no streaming runtime needed here)
+    import pandas as pd
+
+    rows = [
+        ("2026-01-01 00:00:10", "upsert_zip"),
+        ("2026-01-01 00:00:20", "upsert_zip"),
+        ("2026-01-01 00:01:10", "delete"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts_s", "kind"])).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = S.windowed_change_rates(df).toPandas().sort_values(["window_start", "kind"])
+    assert list(out.n) == [2, 1]
