@@ -53,6 +53,9 @@ EARTH_RADIUS_M = 6_371_008.8
 def _required_kx(bound_m: float, lat_q: float, r: int, res: int) -> int:
     """Columns of lon half-width needed so every point nearer than
     ``bound_m`` inside the covered rows is in a covered cell."""
+    if bound_m >= np.pi * EARTH_RADIUS_M:
+        # bound exceeds half the great circle: every longitude qualifies
+        return H.nx(res)
     ch = H.cell_h_deg(res)
     band_lo = max(-90.0, lat_q - (r + 1) * ch)
     band_hi = min(90.0, lat_q + (r + 1) * ch)

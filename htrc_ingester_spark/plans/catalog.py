@@ -1054,3 +1054,76 @@ def _salted_collect_oracle() -> str:
 
 
 _register_fn("salted_collect_skewed", _salted_collect, _salted_collect_oracle())
+
+
+# ===========================================================================
+# METS XML source (sources/mets.py) — round-trip oracle: Spark
+# synthesizes METS documents per doc_id, parses them back (S5), and
+# assembles pages via the J1 join; DuckDB reconstructs the expected
+# page tuples directly from the generating arithmetic.
+# ===========================================================================
+
+def _mets_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..sources import mets as M
+
+    _load(spark, sf_dir, "documents")
+    skel = spark.sql(
+        """select concat('uc2.ark:/13960/t', cast(doc_id as string)) as volume_id,
+                  cast(1 + doc_id % 7 as int) as n_pages
+           from documents order by doc_id limit 50"""
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("volume_id", T.StringType()),
+            T.StructField("mets_xml", T.StringType()),
+        ]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "volume_id": pdf.volume_id,
+                    "mets_xml": [
+                        M.synthesize_mets(v, int(n))
+                        for v, n in zip(pdf.volume_id, pdf.n_pages)
+                    ],
+                }
+            )
+
+    xml_df = skel.mapInPandas(gen, schema)
+    pages, _orphans = M.pages_table(M.parse_mets(xml_df))
+    return pages.select(
+        "volume_id",
+        F.col("order").cast("int").alias("page_order"),
+        "sequence",
+        "filename",
+        F.col("size").cast("bigint").alias("size"),
+    ).orderBy("volume_id", "page_order")
+
+
+def _mets_pages_oracle() -> str:
+    return """
+    with vols as (
+      select concat('uc2.ark:/13960/t', cast(doc_id as string)) as volume_id,
+             cast(1 + doc_id % 7 as int) as n_pages
+      from documents order by doc_id limit 50),
+    pages as (
+      select volume_id, unnest(range(1, n_pages + 1)) as i from vols)
+    select volume_id, cast(i as int) as page_order,
+           lpad(cast(i as string), 8, '0') as sequence,
+           concat(translate(volume_id, ':/', '+='), '_',
+                  lpad(cast(i as string), 8, '0'), '.txt') as filename,
+           cast(1000 + i as bigint) as size
+    from pages order by volume_id, page_order
+    """
+
+
+_register_fn("mets_parse_pages", _mets_pages, _mets_pages_oracle())

@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the pure-numpy geo kernels —
+invariants that must hold for EVERY input, not just fixtures.
+
+Independent-oracle discipline: the PIP property checks ray-casting
+against a winding-number implementation written here (a genuinely
+different algorithm), not against the kernel's own formula.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from htrc_ingester_spark.functions import tile_id_np
+from htrc_ingester_spark.geo import geometry as G
+from htrc_ingester_spark.geo import h3lite as H
+
+lons = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+results = st.integers(min_value=0, max_value=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, results)
+def test_encode_in_range_and_stable(lon, lat, res):
+    c = int(H.latlng_to_cell(lat, lon, res))
+    assert int(H.cell_res(np.int64(c))) == res
+    x, y = H.cell_xy(np.int64(c))
+    assert 0 <= int(x) < H.nx(res)
+    assert 0 <= int(y) < H.ny(res)
+    # the cell's own rectangle contains the point — up to one float
+    # rounding at the quantization boundary ((lat+90)/180*ny can round
+    # across the edge); the assignment is still deterministic and
+    # identical across the numpy / Spark SQL / DuckDB implementations
+    lon0, lat0, lon1, lat1 = H.cell_to_boundary(np.array([c]))
+    lon_n = float(H.normalize_lon(lon))
+    eps = 1e-7
+    assert lon0[0] - eps <= lon_n <= lon1[0] + eps
+    assert lat0[0] - eps <= lat <= lat1[0] + eps
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, st.integers(min_value=1, max_value=12))
+def test_parent_containment(lon, lat, res):
+    child = np.int64(H.latlng_to_cell(lat, lon, res))
+    parent = np.int64(H.latlng_to_cell(lat, lon, res - 1))
+    assert int(H.cell_to_parent(child, res - 1)) == int(parent)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lons)
+def test_normalize_lon_idempotent_and_wrapped(lon):
+    n1 = float(H.normalize_lon(lon))
+    assert -180.0 <= n1 < 180.0
+    assert np.isclose(float(H.normalize_lon(n1)), n1)
+    assert np.isclose(float(H.normalize_lon(lon + 360.0)), n1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**62), st.integers(min_value=2, max_value=4096))
+def test_tile_hash_deterministic_in_range(cell, n_tiles):
+    t1 = int(tile_id_np(np.array([cell]), n_tiles)[0])
+    t2 = int(tile_id_np(np.array([cell]), n_tiles)[0])
+    assert t1 == t2
+    assert 0 <= t1 < n_tiles
+
+
+def _winding_number_inside(px, py, r_lon, r_lat):
+    """Independent PIP oracle: nonzero winding number, computed on the
+    unwrapped ring with the same ±360 candidate shifts the kernel's
+    contract documents (points on edges excluded by the caller)."""
+    u = G.unwrap_ring(r_lon)
+    best = None
+    for shift in (-360.0, 0.0, 360.0):
+        x = px + shift
+        if u.min() - 1e-9 <= x <= u.max() + 1e-9:
+            wn = 0
+            for i in range(len(u) - 1):
+                x1, y1, x2, y2 = u[i], r_lat[i], u[i + 1], r_lat[i + 1]
+                if y1 <= py:
+                    if y2 > py and (x2 - x1) * (py - y1) - (x - x1) * (y2 - y1) > 0:
+                        wn += 1
+                elif y2 <= py and (x2 - x1) * (py - y1) - (x - x1) * (y2 - y1) < 0:
+                    wn -= 1
+            best = best or (wn != 0)
+    return bool(best)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.floats(min_value=-0.5, max_value=0.5),
+    st.floats(min_value=-0.5, max_value=0.5),
+    st.integers(min_value=3, max_value=9),
+    st.randoms(use_true_random=False),
+)
+def test_ray_cast_matches_winding_number_on_convex_polygons(px, py, n, rnd):
+    # random convex polygon around origin (sorted angles, CCW)
+    angles = sorted(rnd.uniform(0, 2 * np.pi) for _ in range(n))
+    radii = [0.2 + 0.6 * rnd.random() for _ in range(n)]
+    r_lon = np.array([r * np.cos(a) for r, a in zip(radii, angles)] + [radii[0] * np.cos(angles[0])])
+    r_lat = np.array([r * np.sin(a) for r, a in zip(radii, angles)] + [radii[0] * np.sin(angles[0])])
+    # skip points within epsilon of any edge (boundary convention differs
+    # legitimately between the two algorithms)
+    for i in range(len(r_lon) - 1):
+        x1, y1, x2, y2 = r_lon[i], r_lat[i], r_lon[i + 1], r_lat[i + 1]
+        d = abs((x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)) / max(
+            np.hypot(x2 - x1, y2 - y1), 1e-12
+        )
+        if d < 1e-6:
+            return
+    got = bool(G.points_in_ring(np.array([px]), np.array([py]), r_lon, r_lat)[0])
+    want = _winding_number_inside(px, py, r_lon, r_lat)
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(lats, st.integers(min_value=1, max_value=50), st.integers(min_value=3, max_value=8))
+def test_knn_required_kx_covers_bound(lat_q, r, res):
+    """The anisotropic width must cover every point nearer than the
+    bound within the row band: verify via direct haversine at the
+    worst-covered longitude edge."""
+    from htrc_ingester_spark.operators.knn_join import EARTH_RADIUS_M, _required_kx
+
+    ch = H.cell_h_deg(res)
+    bound = r * ch * H.M_PER_DEG_LAT
+    kx = _required_kx(bound, lat_q, r, res)
+    if kx >= H.nx(res):  # full wrap always covers
+        return
+    # worst case geometry: query at the right edge of its cell, point
+    # at the left edge of the first UNcovered column → Δlon = kx·w.
+    # That point must be ≥ bound away for EVERY latitude in the band
+    # (the band's max cosine is the adversarial latitude).
+    dlon = kx * H.cell_w_deg(res)
+    band_lo = max(-90.0, lat_q - (r + 1) * ch)
+    band_hi = min(90.0, lat_q + (r + 1) * ch)
+    # cos is maximized at the band latitude closest to the equator
+    lat_adv = 0.0 if band_lo <= 0.0 <= band_hi else min(abs(band_lo), abs(band_hi))
+    lam = np.deg2rad(dlon)
+    phi_q = np.deg2rad(np.clip(lat_q, -90, 90))
+    phi_p = np.deg2rad(lat_adv)
+    d = 2 * EARTH_RADIUS_M * np.arcsin(
+        np.sqrt(np.cos(phi_q) * np.cos(phi_p)) * abs(np.sin(lam / 2))
+    )
+    assert d >= bound * (1 - 1e-9)

@@ -1,0 +1,98 @@
+"""METS XML parse + pairtree binaryFile source tests (S5/F7/J1, S2/S6).
+
+The round-trip discipline: synthesize a METS document from known
+tuples, parse it back, assert tuple equality (TestMETSParser.java's
+strategy with a synthesized fixture instead of a shipped one)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_ingester_spark.sources import filesystem as FS
+from htrc_ingester_spark.sources import mets as M
+
+
+@pytest.fixture(scope="module")
+def mets_df(spark):
+    rows = [
+        ("uc2.ark:/13960/ta", M.synthesize_mets("uc2.ark:/13960/ta", 5)),
+        ("uc2.ark:/13960/tb", M.synthesize_mets("uc2.ark:/13960/tb", 3, drop_fptr_for={2})),
+        ("uc2.ark:/13960/tc", M.synthesize_mets("uc2.ark:/13960/tc", 4, dup_file_at=3)),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["volume_id", "mets_xml"]))
+
+
+class TestMETSParse:
+    def test_round_trip_pages(self, mets_df):
+        parsed = M.parse_mets(mets_df)
+        pages, orphans = M.pages_table(parsed)
+        pa = pages.where("volume_id = 'uc2.ark:/13960/ta'").orderBy("order").toPandas()
+        assert list(pa["order"]) == [1, 2, 3, 4, 5]
+        assert list(pa.sequence) == [f"{i:08d}" for i in range(1, 6)]
+        assert pa.filename.iloc[0] == "uc2.ark+=13960=ta_00000001.txt"
+        assert pa.order_label.iloc[0] == "p1"
+        import hashlib
+
+        assert pa.checksum.iloc[2] == hashlib.md5(b"uc2.ark:/13960/ta:3").hexdigest()
+
+    def test_only_ocr_group_and_physical_map(self, mets_df):
+        parsed = M.parse_mets(mets_df).toPandas()
+        # the zip-archive fileGrp and logical structMap must not leak
+        assert not (parsed.file_id == "ZIP1").any()
+        assert not (parsed["order"] == 999).any()
+
+    def test_missing_fptr_drops_page_inner_join(self, mets_df):
+        pages, _ = M.pages_table(M.parse_mets(mets_df))
+        pb = pages.where("volume_id = 'uc2.ark:/13960/tb'").toPandas()
+        assert sorted(pb["order"]) == [1, 3]  # page 2 had no fptr
+
+    def test_duplicate_file_id_kept_once_and_surfaced(self, mets_df):
+        parsed = M.parse_mets(mets_df)
+        dups = parsed.where("kind = 'dup_file'").toPandas()
+        assert list(dups.volume_id) == ["uc2.ark:/13960/tc"]
+        pages, _ = M.pages_table(parsed)
+        pc = pages.where("volume_id = 'uc2.ark:/13960/tc'").toPandas()
+        assert sorted(pc["order"]) == [1, 2, 3, 4]  # no double page 3
+
+    def test_malformed_xml_to_error_channel(self, spark):
+        bad = spark.createDataFrame(
+            pd.DataFrame({"volume_id": ["x"], "mets_xml": ["<METS:mets>"]})
+        )
+        parsed = M.parse_mets(bad).toPandas()
+        assert list(parsed.kind) == ["error"]
+
+    def test_page_count_rule(self, mets_df):
+        pages, _ = M.pages_table(M.parse_mets(mets_df))
+        pc = M.page_count(pages).toPandas().set_index("volume_id").page_count.to_dict()
+        assert pc["uc2.ark:/13960/ta"] == 5
+        assert pc["uc2.ark:/13960/tb"] == 2
+
+
+class TestPairtree:
+    def test_write_then_binaryfile_read_round_trip(self, spark, tmp_path):
+        ids = ["uc2.ark:/13960/ta", "uc2.ark:/13960/tb", "ab.id/x"]
+        rows = [(i, f"payload-{i}".encode()) for i in ids]
+        df = spark.createDataFrame(rows, "volume_id string, content binary")
+        n = FS.write_pairtree(df, str(tmp_path))
+        assert n == 3
+        req = spark.createDataFrame(
+            [(i,) for i in ids] + [("missing.id",)], "volume_id string"
+        )
+        found, missing = FS.read_pairtree(spark, str(tmp_path), req)
+        got = found.toPandas().sort_values("volume_id")
+        assert list(got.volume_id) == sorted(ids)
+        assert bytes(got.content.iloc[0]) == f"payload-{sorted(ids)[0]}".encode()
+        assert [r.volume_id for r in missing.collect()] == ["missing.id"]
+
+    def test_segment_path_shape(self, spark, tmp_path):
+        df = spark.createDataFrame([("uc2.ark:/13960/ta", b"x")], "volume_id string, content binary")
+        FS.write_pairtree(df, str(tmp_path))
+        import glob
+
+        paths = glob.glob(f"{tmp_path}/**/*.zip", recursive=True)
+        assert len(paths) == 1
+        rel = paths[0][len(str(tmp_path)) + 1 :]
+        # cleaned id 'uc2,ark+=13960=ta' → 2-char segments
+        assert rel == "uc/2,/ar/k+/=1/39/60/=t/a/uc2,ark+=13960=ta.zip"
