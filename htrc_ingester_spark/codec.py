@@ -108,14 +108,26 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
 _PHASH_SIZE = 32
 
 
+_DCT_BASIS: dict[int, np.ndarray] = {}
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    b = _DCT_BASIS.get(n)
+    if b is None:
+        k = np.arange(n)
+        b = np.cos(np.pi / n * (k[None, :] + 0.5) * k[:, None])
+        b[0, :] *= 1.0 / np.sqrt(2.0)
+        b *= np.sqrt(2.0 / n)
+        _DCT_BASIS[n] = b
+    return b
+
+
 def _dct2(x: np.ndarray) -> np.ndarray:
     """Orthonormal 2-D DCT-II via the FFT-free matrix form (32x32 input
-    — the matmul is trivially cheap and exact enough)."""
-    n = x.shape[0]
-    k = np.arange(n)
-    basis = np.cos(np.pi / n * (k[None, :] + 0.5) * k[:, None])
-    basis[0, :] *= 1.0 / np.sqrt(2.0)
-    basis *= np.sqrt(2.0 / n)
+    — the matmul is trivially cheap and exact enough). The basis is
+    cached per size: phash runs per row in Arrow batches and the
+    basis build dominated the matmul (measured)."""
+    basis = _dct_basis(x.shape[0])
     return basis @ x @ basis.T
 
 
@@ -137,9 +149,8 @@ def phash64(pix: np.ndarray) -> int:
     block[0, 0] = 0.0  # drop DC term
     med = float(np.median(block))
     bits = (block > med).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        val |= np.uint64(b) << np.uint64(63 - i)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    val = np.bitwise_or.reduce(bits << shifts)
     return int(val.astype(np.int64))
 
 

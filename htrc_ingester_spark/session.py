@@ -43,6 +43,11 @@ def get_spark(
         # bigger Arrow batches: the refine/phash UDFs are vectorized
         # numpy — per-batch overhead dominates at the 10k default
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # bytes-heavy tables: default 128m splits under-parallelize the
+        # Python decode stages (a 1 GB binary column = 8 tasks on 32
+        # cores; measured 4.6x slowdown). 16m keeps every worker fed;
+        # at cluster scale revisit per-table via files.maxPartitionBytes
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Full-fidelity images/sec benchmark: a REAL image+caption table
+(binary bytes column) through decode → per-row validation (PSNR ≥
+40 dB, caption, phash) → H3 encode → PIP join → tile assign → agg.
+
+Phase 0 (not timed, cached on disk): materialize the images table as
+partitioned parquet — skeleton positions from the sf lineitem, pixels
+encoded deterministically per image_id on the executors
+(operators.imageops.generate_images).
+
+Phase 1 (timed): the pipeline per BASELINE.json, with the validation
+leg that the input_hint's per-row invariant requires. Bytes are read
+columnar, decoded in Arrow batches, and NEVER shuffled — the spatial
+legs run on the skeleton columns; the only wide op is the final tiny
+(poly, tile) aggregate.
+
+Usage: python scripts/image_pipeline_bench.py [--sf-dir D] [--limit N]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--limit", type=int, default=200_000)
+    ap.add_argument("--table-dir", default="/tmp/htrc_images_bench")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from htrc_ingester_spark.operators import imageops as IO
+    from htrc_ingester_spark.operators.pip_join import pip_join
+    from htrc_ingester_spark.operators.tiles import assign_tiles
+    from htrc_ingester_spark.plans import flagship as FS
+    from htrc_ingester_spark.session import get_spark
+
+    spark = get_spark("image-pipeline-bench")
+    table = f"{args.table_dir}/images_{os.path.basename(args.sf_dir)}_{args.limit}"
+
+    if not os.path.exists(f"{table}/_SUCCESS"):
+        skel = (
+            FS.load_images(spark, args.sf_dir)
+            .limit(args.limit)
+            .select(F.col("image_id").cast("string").alias("image_id"), "lon", "lat")
+            .repartition(128)
+        )
+        IO.generate_images(skel).write.mode("overwrite").parquet(table)
+
+    images = spark.read.parquet(table)
+    n_images = images.count()
+
+    def pipeline() -> dict:
+        checks = IO.decode_validate(images)
+        bad = checks.where(
+            ~(F.col("shape_ok") & F.col("psnr_ok") & F.col("caption_ok") & F.col("phash_ok"))
+        ).count()
+        skel = images.select("image_id", "lon", "lat")
+        hits = pip_join(spark, skel, FS.RECTS, res=FS.RES)
+        tiled = assign_tiles(hits, zoom_res=FS.ZOOM_RES, n_tiles=FS.N_TILES)
+        agg = tiled.groupBy("poly_id", "tile_id").agg(F.count(F.lit(1)).alias("n"))
+        n_tiles_out = agg.count()
+        return {"bad_rows": bad, "tile_groups": n_tiles_out}
+
+    # warm (python workers + JIT)
+    pipeline()
+    t0 = time.monotonic()
+    stats = pipeline()
+    wall = time.monotonic() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec full pipeline (decode+validate+phash+H3+PIP+tile)",
+                "n_images": n_images,
+                "wall_sec": round(wall, 3),
+                "images_per_sec": round(n_images / wall, 1),
+                **stats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
