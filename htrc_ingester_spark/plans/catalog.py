@@ -1127,3 +1127,14 @@ def _mets_pages_oracle() -> str:
 
 
 _register_fn("mets_parse_pages", _mets_pages, _mets_pages_oracle())
+
+
+# S8/S9 — keyed point read + multi-column slice read (verify/
+# HectorAccessor.java:346-397, 407-488): a filter+project, not a KV
+# store; partition/file pruning does the "point" part at scale.
+_S89 = """select cast(o_orderkey as bigint) as o_orderkey,
+                 o_orderstatus, round(o_totalprice, 2) as o_totalprice,
+                 o_orderpriority
+          from orders where o_orderkey in (7, 68, 129, 4000)
+          order by o_orderkey"""
+_register("s8_s9_point_slice_read", ["orders"], _S89, _S89)
