@@ -103,7 +103,6 @@ def images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
 def polygons(seed: int = 42) -> list[dict]:
     """Polygon fixtures covering every mandatory kind (FIXTURES.md A2):
     simple, concave, antimeridian, polar_cap, degenerate, boundary."""
-    rng = np.random.default_rng(seed + 2)
     polys: list[dict] = []
 
     def add(pid, ring, kind):

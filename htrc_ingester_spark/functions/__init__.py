@@ -87,12 +87,22 @@ def haversine_m(lat1: str, lon1: str, lat2: str, lon2: str) -> Column:
 
 
 def md5_shard(col: Column | str, hash_space: int) -> Column:
-    """Exact-parity port of the reference's MD5-mod-N shard selector
-    (Util.java:86-103: BigInteger(md5 hex, 16) mod N). We take the high
-    60 bits of the digest — enough for any practical hash space while
-    staying in int64."""
+    """EXACT parity with the reference's MD5-mod-N shard selector
+    (Util.java:86-103: BigInteger(md5 hex, 16) mod N): the full 128-bit
+    digest mod N, via split halves — (hi·2⁶⁴ + lo) mod N =
+    ((hi mod N)·(2⁶⁴ mod N) + lo mod N) mod N. Requires N < 2³¹ so the
+    intermediate product fits int64 (N·N < 2⁶²)."""
+    if not (0 < hash_space < (1 << 31)):
+        raise ValueError("hash_space must be in (0, 2^31)")
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long"), F.lit(hash_space))
+    hexd = F.md5(c.cast("binary"))
+    hi = F.conv(F.substring(hexd, 1, 16), 16, 10).cast("decimal(20,0)")
+    lo = F.conv(F.substring(hexd, 17, 16), 16, 10).cast("decimal(20,0)")
+    n = F.lit(hash_space).cast("decimal(20,0)")
+    hi_m = F.pmod(hi, n).cast("long")
+    lo_m = F.pmod(lo, n).cast("long")
+    two64_m = F.lit((1 << 64) % hash_space)
+    return F.pmod(hi_m * two64_m + lo_m, F.lit(hash_space))
 
 
 def pairtree_clean_id(col: Column | str) -> Column:
@@ -108,11 +118,12 @@ def pairtree_unclean_id(col: Column | str) -> Column:
 
 
 def pairtree_path(id_col: Column | str, segment_len: int = 2) -> Column:
-    """Cleaned ID → 2-char-segment directory path (the reference's
-    content-addressed partitioning, HectorToolBridge.java:267-280).
-    Pure column expr: regexp insert '/' every 2 chars."""
+    """Cleaned ID → 2-char-segment directory path, NO trailing slash
+    (the reference's content-addressed partitioning,
+    HectorToolBridge.java:267-280). The single canonical segmentation
+    helper — sources/filesystem builds file paths on top of it."""
     c = pairtree_clean_id(id_col)
-    return F.concat(F.regexp_replace(c, "(..)", "$1/"), F.lit(""))
+    return F.regexp_replace(F.regexp_replace(c, "(..)", "$1/"), "/$", "")
 
 
 def zero_pad_seq(order_col: Column | str, width: int = 8) -> Column:

@@ -134,9 +134,10 @@ def apply_changes(
 
 def snapshot_diff(new: DataFrame, old: DataFrame, key: str = "volume_id") -> DataFrame:
     """CDC generator (the Spark analog of the rsync delta, SURVEY.md
-    §1.3): rows only in ``new`` → upsert, rows only in ``old`` →
-    delete. Changed rows are detected by a full-row hash so only key
-    columns shuffle twice; content never moves."""
+    §1.3): rows only in ``new`` → op 'insert', rows only in ``old`` →
+    'delete', changed rows → 'update'. Changes are detected by a
+    full-row hash so only key+hash columns shuffle; content never
+    moves."""
     cols = [c for c in new.columns if c != key]
     h = F.xxhash64(*[F.col(c) for c in cols])
     n = new.select(key, h.alias("_h_new"))
@@ -161,7 +162,16 @@ def validate(
     Verifier.java:288-333): returns (ok_rows, error_channel). The error
     channel mirrors the reference's log-and-continue discipline — bad
     rows are side-output, never dropped silently."""
-    checked = df.withColumn("_ok", computed == F.col(declared_col))
+    # null-safe: a NULL computed or declared value is a FAILURE, not a
+    # silent drop (a bare == yields NULL, and both where(_ok) and
+    # where(~_ok) filter NULL rows out of existence). false AND NULL
+    # = false in SQL 3VL, so the conjunction below is never NULL.
+    checked = df.withColumn(
+        "_ok",
+        computed.isNotNull()
+        & F.col(declared_col).isNotNull()
+        & (computed == F.col(declared_col)),
+    )
     ok = checked.where(F.col("_ok")).drop("_ok")
     errors = checked.where(~F.col("_ok")).drop("_ok")
     return ok, errors

@@ -116,10 +116,9 @@ def write_resumable(
         n_skipped = 0
         pending = df
 
-    pending_manifests = compute_manifests(
-        pending, partition_col, commit_seq, phash_col, tile_col, id_col
-    ).cache()
-    n_written = pending_manifests.count()
+    # one narrow pass for the pending partition list (column-pruned)
+    pending_parts = [r[0] for r in pending.select(partition_col).distinct().collect()]
+    n_written = len(pending_parts)
     if n_written:
         # dynamic overwrite: a retried half-written partition is replaced
         # wholesale — idempotent, like re-running an unrenamed dlog
@@ -129,9 +128,24 @@ def write_resumable(
             .partitionBy(partition_col)
             .parquet(data_dir)
         )
+        # manifests are computed from the COMMITTED bytes (partition-
+        # pruned read-back), so the declared digests describe what is
+        # actually on disk — the reference's verify-what-you-stored
+        # discipline — and the expensive upstream lineage runs once
+        # partition-dir values re-infer as the narrowest type (e.g.
+        # int32); cast back to the source dtype so manifest schemas
+        # stay identical across commits
+        src_type = df.schema[partition_col].dataType
+        committed = (
+            spark.read.parquet(data_dir)
+            .withColumn(partition_col, F.col(partition_col).cast(src_type))
+            .where(F.col(partition_col).isin(pending_parts))
+        )
+        manifests = compute_manifests(
+            committed, partition_col, commit_seq, phash_col, tile_col, id_col
+        )
         # manifest commit AFTER data commit == the state-machine rename
-        pending_manifests.write.mode("append").parquet(manifest_dir)
-    pending_manifests.unpersist()
+        manifests.write.mode("append").parquet(manifest_dir)
     return {"written": n_written, "skipped": n_skipped}
 
 
@@ -191,6 +205,13 @@ def repair_partitions(
     target = df.where(F.col(partition_col).isin(partition_ids))
     data_dir = os.path.join(out_dir, "data")
     manifest_dir = os.path.join(out_dir, MANIFEST_SUBDIR)
+    existing = read_manifests(spark, out_dir)
+    if existing is not None:
+        max_seq = existing.agg(F.max("commit_seq")).collect()[0][0] or 0
+        if commit_seq <= max_seq:
+            # verify-latest picks the highest seq per partition; a
+            # stale/reused seq would tie nondeterministically
+            commit_seq = max_seq + 1
     (
         target.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

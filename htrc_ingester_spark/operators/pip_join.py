@@ -147,6 +147,7 @@ def pip_join(
     res_max: int | None = None,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    persist_candidates: bool = False,
 ) -> DataFrame:
     """points ⋈ polygons containment join.
 
@@ -186,15 +187,24 @@ def pip_join(
         return points.withColumn("poly_id", F.lit(None).cast("string")).where(F.lit(False))
 
     # ONE broadcast equi-join for all cover levels: each point probes
-    # with its ancestor-chain cells (array + posexplode — narrow,
-    # whole-stage codegen, one scan of the point side). Cover levels
-    # are disjoint regions per polygon, so no duplicate hits.
+    # with its ancestor-chain cells (array + explode — narrow,
+    # whole-stage codegen). Cover levels are disjoint regions per
+    # polygon, so no duplicate hits.
+    #
+    # Scan economics: the full/partial split consumes the join output
+    # twice, so the point-side scan+explode+probe runs once per branch
+    # (two total). The scan is a column-pruned read of 3 columns —
+    # cheaper than persisting the candidate set at 10^12 scale; when
+    # candidates are small relative to memory (selective polygons),
+    # pass persist_candidates=True to run the scan once instead.
     levels = np.sort(np.unique(H.cell_res(cover["cell"].to_numpy()))).tolist()
     cover_df = spark.createDataFrame(cover, schema=schema)
     chain = F.array(*[h3_cell(lon_col, lat_col, int(r)) for r in levels])
     cand = points.withColumn("__cell", F.explode(chain)).join(
         F.broadcast(cover_df), F.col("__cell") == F.col("cell"), "inner"
     )
+    if persist_candidates:
+        cand = cand.persist()
 
     full_hits = cand.where(F.col("full")).drop("cell", "full", "__cell")
     if bool(cover["full"].all()):

@@ -34,9 +34,19 @@ from pyspark.sql import functions as F
 def key_histogram(
     df: DataFrame, key_col: str, sample_fraction: float | None = None
 ) -> DataFrame:
-    """(key, n) counts — the pre-pass that sizes per-key salt."""
-    src = df.sample(sample_fraction, seed=42) if sample_fraction else df
-    return src.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    """(key, n) ESTIMATED counts — the pre-pass that sizes per-key
+    salt. Sampled counts are scaled back by 1/fraction so the salt
+    plan sees true magnitudes (an unscaled sample would silently
+    disable salting for every hot key)."""
+    if sample_fraction:
+        return (
+            df.sample(sample_fraction, seed=42)
+            .groupBy(key_col)
+            .agg(
+                F.ceil(F.count(F.lit(1)) / F.lit(sample_fraction)).cast("long").alias("n")
+            )
+        )
+    return df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
 
 
 def salt_plan(

@@ -54,9 +54,12 @@ def shingles_sql(text: str, k: int, dialect: str) -> str:
     DuckDB: 1-based range + list slicing."""
     if dialect == "spark":
         w = f"split({text}, ' ')"
+        # guard: sequence(0, -1) DESCENDS in Spark ([0, -1]) and the
+        # resulting slice(w, 0, k) throws — short docs must yield []
         return (
-            f"transform(sequence(0, greatest(size({w}) - {k}, -1)),"
-            f" i -> concat_ws(' ', slice({w}, i + 1, {k})))"
+            f"if(size({w}) < {k}, array(),"
+            f" transform(sequence(0, size({w}) - {k}),"
+            f" i -> concat_ws(' ', slice({w}, i + 1, {k}))))"
         )
     w = f"string_split({text}, ' ')"
     ks = " || ' ' || ".join([f"w[i + {j}]" for j in range(k)])
@@ -139,8 +142,8 @@ def bpe_token_count_sql(text: str, dialect: str) -> str:
 
 
 def lang_id_sql(words: str, dialect: str) -> str:
-    """Stopword-profile argmax over {en, fr, de}; ties → lexicographic
-    first language (deterministic)."""
+    """Stopword-profile argmax over {en, fr, de}. Deterministic tie
+    rule: 'de' needs a strict win; 'en' beats 'fr' on ties."""
     fn = "array_intersect" if dialect == "spark" else "list_intersect"
     sz = "size" if dialect == "spark" else "len"
     scores = {

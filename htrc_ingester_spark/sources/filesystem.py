@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import pairtree_clean_id
+from ..functions import pairtree_clean_id, pairtree_path
 
 
 def pairtree_rel_path(id_col) -> F.Column:
@@ -28,10 +28,7 @@ def pairtree_rel_path(id_col) -> F.Column:
     ``ab/cd/../<cleaned>.zip`` (2-char segments of the cleaned id,
     HectorToolBridge.java:267-280)."""
     c = pairtree_clean_id(id_col)
-    segs = F.regexp_replace(c, "(..)", "$1/")
-    segs = F.regexp_replace(segs, "/$", "")
-    # odd-length tail keeps its single char as final segment
-    return F.concat(segs, F.lit("/"), c, F.lit(".zip"))
+    return F.concat(pairtree_path(id_col), F.lit("/"), c, F.lit(".zip"))
 
 
 def write_pairtree(df: DataFrame, root: str, id_col: str = "volume_id",

@@ -86,6 +86,12 @@ def parse_mets(df: DataFrame, xml_col: str = "mets_xml", id_col: str = "volume_i
                 except ET.ParseError as e:
                     rows.append({"volume_id": vid, "kind": "error", "label": repr(e)})
                     continue
+                def _int(v, default=None):
+                    try:
+                        return int(v)
+                    except (TypeError, ValueError):
+                        return default
+
                 seen: set[str] = set()
                 for grp in root.iter(f"{m}fileGrp"):
                     if grp.get("USE") != "ocr":
@@ -96,6 +102,16 @@ def parse_mets(df: DataFrame, xml_col: str = "mets_xml", id_col: str = "volume_i
                         href = loc.get(f"{x}href", "") if loc is not None else ""
                         kind = "dup_file" if fid in seen else "file"
                         seen.add(fid)
+                        size = _int(f_el.get("SIZE", 0))
+                        if size is None:
+                            # malformed attr → error row, NOT a batch
+                            # abort (one bad doc must not kill the job)
+                            rows.append(
+                                {"volume_id": vid, "kind": "error",
+                                 "file_id": fid,
+                                 "label": f"bad SIZE {f_el.get('SIZE')!r}"}
+                            )
+                            continue
                         rows.append(
                             {
                                 "volume_id": vid,
@@ -103,7 +119,7 @@ def parse_mets(df: DataFrame, xml_col: str = "mets_xml", id_col: str = "volume_i
                                 "file_id": fid,
                                 "filename": href,
                                 "seq": f_el.get("SEQ"),
-                                "size": int(f_el.get("SIZE", 0)),
+                                "size": size,
                                 "checksum": f_el.get("CHECKSUM"),
                                 "checksum_type": f_el.get("CHECKSUMTYPE"),
                             }
@@ -112,7 +128,7 @@ def parse_mets(df: DataFrame, xml_col: str = "mets_xml", id_col: str = "volume_i
                     if smap.get("TYPE") != "physical":
                         continue
                     for div in smap.iter(f"{m}div"):
-                        order = div.get("ORDER")
+                        order = _int(div.get("ORDER"))
                         if order is None:
                             continue
                         feats = div.get("LABEL", "")
@@ -122,7 +138,7 @@ def parse_mets(df: DataFrame, xml_col: str = "mets_xml", id_col: str = "volume_i
                                     "volume_id": vid,
                                     "kind": "div",
                                     "file_id": fptr.get("FILEID", ""),
-                                    "order": int(order),
+                                    "order": order,
                                     "order_label": div.get("ORDERLABEL"),
                                     "label": div.get("LABEL"),
                                     "features": feats,

@@ -40,6 +40,18 @@ from pyspark.sql import functions as F
 from .. import ingest as I
 
 
+def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
+    """Current snapshot via the atomic _LATEST pointer; None when no
+    committed snapshot exists yet. A missing/torn version dir with a
+    valid pointer is a hard error (never silently reset — data loss)."""
+    ptr = os.path.join(snapshot_dir, "_LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(snapshot_dir, version))
+
+
 def read_delta_log_stream(spark: SparkSession, dlog_dir: str) -> DataFrame:
     """Streaming raw delta-log lines (value, src_file). Sequencing and
     parsing happen per micro-batch (monotonically_increasing_id is not
@@ -54,12 +66,27 @@ def read_delta_log_stream(spark: SparkSession, dlog_dir: str) -> DataFrame:
 
 
 def parse_batch(batch_df: DataFrame) -> DataFrame:
-    """Micro-batch lines → classified change stream. ``seq`` is a
-    monotone id in partition order — the text source reads each file's
-    lines in order within a partition, which is the same within-file
-    order the reference's sequential parse relies on
-    (DeltaLogParser.java:279-330)."""
-    return I.parse_delta_log(batch_df.withColumn("seq", F.monotonically_increasing_id()))
+    """Micro-batch lines → classified change stream.
+
+    ``seq`` must respect delta-log chronology ACROSS files in the same
+    micro-batch: Spark schedules file splits largest-first, so raw
+    monotonically_increasing_id would let an older-but-bigger log
+    outrank a newer one. The order is therefore (file-name rank ≪ 40 |
+    within-partition id): dlog/t-file names are timestamp-sortable
+    (Rsyncker's dlog-<ts> convention), giving cross-file chronology;
+    the low bits keep within-file line order (a text-source partition
+    reads its lines sequentially)."""
+    from pyspark.sql import Window
+
+    ranked = batch_df.withColumn(
+        "_frank",
+        F.dense_rank().over(Window.orderBy("src_file")).cast("long"),
+    ).withColumn(
+        "seq",
+        (F.col("_frank") * F.lit(1 << 40))
+        + F.pmod(F.monotonically_increasing_id(), F.lit(1 << 40)),
+    )
+    return I.parse_delta_log(ranked)
 
 
 def run_incremental_merge(
@@ -77,20 +104,24 @@ def run_incremental_merge(
         changes = I.collapse_changes(parse_batch(batch_df))
         if not changes.take(1):
             return
-        cur_path = os.path.join(snapshot_dir, "current")
-        try:
-            snapshot = spark.read.parquet(cur_path)
-        except Exception:
+        snapshot = read_snapshot(spark, snapshot_dir)
+        if snapshot is None:
             snapshot = spark.createDataFrame(
                 [], "volume_id string, op string, seq long, path string"
             )
         new_rows = changes.where(F.col("op") == "upsert")
         merged = I.apply_changes(snapshot, changes, new_rows)
-        # write-then-swap: the snapshot flip is the commit record
-        # (rename-as-commit, like the reference's _PROCESSED_ renames)
-        tmp_path = os.path.join(snapshot_dir, f"batch_{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp_path)
-        spark.read.parquet(tmp_path).write.mode("overwrite").parquet(cur_path)
+        # versioned snapshot + atomic pointer rename = the commit
+        # record (the reference's rename-as-commit): a crash anywhere
+        # before the os.replace leaves the pointer at the previous
+        # snapshot — no torn reads, no silent reset; the batch replays
+        # idempotently into the same version directory
+        ver_path = os.path.join(snapshot_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(ver_path)
+        tmp_ptr = os.path.join(snapshot_dir, "_LATEST.tmp")
+        with open(tmp_ptr, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp_ptr, os.path.join(snapshot_dir, "_LATEST"))
 
     writer = (
         read_delta_log_stream(spark, dlog_dir)

@@ -29,7 +29,9 @@ def dirs(tmp_path):
 
 
 def _snapshot_ids(spark, snap_dir):
-    df = spark.read.parquet(os.path.join(snap_dir, "current"))
+    from htrc_ingester_spark.streaming.incremental import read_snapshot
+
+    df = read_snapshot(spark, snap_dir)
     return sorted(r.volume_id for r in df.select("volume_id").collect())
 
 
@@ -92,3 +94,31 @@ def test_windowed_change_rates_with_watermark(spark, tmp_path):
     )
     out = S.windowed_change_rates(df).toPandas().sort_values(["window_start", "kind"])
     assert list(out.n) == [2, 1]
+
+
+def test_cross_file_ordering_large_old_small_new(spark, dirs):
+    """An older-but-LARGER log in the same micro-batch must not outrank
+    a newer small one (Spark schedules big splits first; seq must come
+    from file chronology, not scheduling order)."""
+    pad = [f"root/pad/uc2,ark+=13960=p{i}.zip" for i in range(400)]
+    _write_dlog(
+        os.path.join(dirs["dlog"], "t-001.txt"),
+        pad + ["deleting root/ab/uc2,ark+=13960=tv.zip"],
+    )
+    _write_dlog(os.path.join(dirs["dlog"], "t-002.txt"), ["root/ab/uc2,ark+=13960=tv.zip"])
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    assert "uc2.ark:/13960/tv" in _snapshot_ids(spark, dirs["snap"])
+
+
+def test_crash_before_pointer_flip_keeps_old_snapshot(spark, dirs, tmp_path):
+    """A torn version write without a pointer flip must leave the
+    previous snapshot intact (no silent reset)."""
+    import shutil
+
+    _write_dlog(os.path.join(dirs["dlog"], "t-001.txt"), ["root/ab/uc2,ark+=13960=ta.zip"])
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    before = _snapshot_ids(spark, dirs["snap"])
+    # simulate a torn write: a half-written future version dir, pointer untouched
+    os.makedirs(os.path.join(dirs["snap"], "v99"), exist_ok=True)
+    open(os.path.join(dirs["snap"], "v99", "part-garbage.parquet"), "wb").write(b"xx")
+    assert _snapshot_ids(spark, dirs["snap"]) == before
