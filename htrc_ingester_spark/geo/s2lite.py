@@ -107,3 +107,65 @@ def cell_to_parent(cell, parent_level: int):
     new_lsb = np.int64(1) << (_POS_BITS - 2 * parent_level - 1)
     out = (c & ~(new_lsb - 1) & ~new_lsb) | new_lsb
     return out if out.ndim else np.int64(out)
+
+
+# ---------------------------------------------------------------------------
+# SQL expression builder — the SAME construction as latlng_to_cell in
+# portable SQL (sin/cos/sqrt/floor/case + integer arithmetic), valid in
+# Spark SQL and DuckDB, so the driver's oracle can value-check the S2
+# encode exactly like the H3 one. Trig is IEEE-double in both engines;
+# a 1-ulp libm difference could flip a floor() only for points within
+# ~1e-15 of a cell boundary — immaterial for the synthetic fixtures and
+# caught deterministically by the pytest parity check if it ever bites.
+# ---------------------------------------------------------------------------
+
+def s2_sql_expr(lon_col: str, lat_col: str, level: int, dialect: str = "spark") -> str:
+    if not (0 <= level <= MAX_LEVEL):
+        raise ValueError("level outside [0,29]")
+    idiv = "div" if dialect == "spark" else "//"
+    phi = f"radians(cast({lat_col} as double))"
+    theta = f"radians(cast({lon_col} as double))"
+    x = f"(cos({phi}) * cos({theta}))"
+    y = f"(cos({phi}) * sin({theta}))"
+    z = f"sin({phi})"
+    ax, ay, az = f"abs({x})", f"abs({y})", f"abs({z})"
+    axis = (
+        f"(case when {ax} >= {ay} and {ax} >= {az} then 0 "
+        f"when {ay} >= {az} then 1 else 2 end)"
+    )
+    comp = f"(case {axis} when 0 then {x} when 1 then {y} else {z} end)"
+    face = f"(case when {comp} < 0 then {axis} + 3 else {axis} end)"
+
+    def uv(f: int) -> tuple[str, str]:
+        return {
+            0: (f"({y} / {x})", f"({z} / {x})"),
+            1: (f"(-{x} / {y})", f"({z} / {y})"),
+            2: (f"(-{x} / {z})", f"(-{y} / {z})"),
+            3: (f"({z} / {x})", f"({y} / {x})"),
+            4: (f"({z} / {y})", f"(-{x} / {y})"),
+            5: (f"(-{y} / {z})", f"(-{x} / {z})"),
+        }[f]
+
+    u = "(case " + " ".join(f"when {face} = {f} then {uv(f)[0]}" for f in range(6)) + " end)"
+    v = "(case " + " ".join(f"when {face} = {f} then {uv(f)[1]}" for f in range(6)) + " end)"
+
+    def st(e: str) -> str:
+        return (
+            f"(case when {e} >= 0 then 0.5 * sqrt(1.0 + 3.0 * {e}) "
+            f"else 1.0 - 0.5 * sqrt(1.0 - 3.0 * {e}) end)"
+        )
+
+    n = 1 << level
+    i = f"least(greatest(cast(floor({st(u)} * {n}) as bigint), cast(0 as bigint)), cast({n - 1} as bigint))"
+    j = f"least(greatest(cast(floor({st(v)} * {n}) as bigint), cast(0 as bigint)), cast({n - 1} as bigint))"
+    # Morton interleave as integer arithmetic (no shift operators needed)
+    terms = []
+    for b in range(level):
+        terms.append(f"((({i}) {idiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"((({j}) {idiv} {1 << b}) % 2) * {1 << (2 * b)}")
+    pos = "(" + " + ".join(terms) + ")" if terms else "0"
+    pad = _POS_BITS - 2 * level
+    return (
+        f"(cast({face} as bigint) * {1 << _POS_BITS} + "
+        f"cast({pos} as bigint) * {1 << pad} + {1 << (pad - 1)})"
+    )

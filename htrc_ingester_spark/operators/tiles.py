@@ -58,3 +58,102 @@ def parent_sql_expr(cell_col: str, parent_res: int, dialect: str = "spark") -> s
         f"(cast({parent_res} as bigint) * {1 << 56}"
         f" + ({x} {idiv} {p2}) * {1 << 28} + ({y} {idiv} {p2}))"
     )
+
+
+# ---------------------------------------------------------------------------
+# raster ↔ vector (north rule): both directions as pure column
+# expressions — the raster IS the relational (cell, value) grid (the
+# natural distributed representation; a dense 2-D array is just its
+# pivot, materializable per bounded patch on the driver).
+# ---------------------------------------------------------------------------
+
+
+def rasterize(
+    points: DataFrame,
+    res: int,
+    value_agg=None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Vector → raster: bin points into the res-grid, one row per
+    non-empty cell. ``value_agg`` defaults to count; pass e.g.
+    F.avg("price") for a value raster. Sparse by construction — empty
+    cells carry no rows (at 10^12 points the dense grid never
+    materializes anywhere)."""
+    agg = value_agg if value_agg is not None else F.count(F.lit(1)).alias("value")
+    return (
+        points.withColumn("cell", h3_cell(lon_col, lat_col, res))
+        .groupBy("cell")
+        .agg(agg)
+    )
+
+
+def cell_bounds_sql(cell_col: str, dialect: str = "spark") -> dict[str, str]:
+    """Cell rectangle corner expressions (the SQL twin of
+    h3lite.cell_to_boundary) — integer unpack + float arithmetic."""
+    from ..functions import _IDIV
+
+    idiv = _IDIV[dialect]
+    c = f"cast({cell_col} as bigint)"
+    res = f"({c} {idiv} {1 << 56})"
+    x = f"(({c} {idiv} {1 << 28}) % {1 << 28})"
+    y = f"({c} % {1 << 28})"
+    nx = f"cast(pow(cast(2 as double), cast({res} + 2 as double)) as double)"
+    ny = f"cast(pow(cast(2 as double), cast({res} + 1 as double)) as double)"
+    return {
+        "lon_min": f"(cast({x} as double) / {nx} * 360.0 - 180.0)",
+        "lat_min": f"(cast({y} as double) / {ny} * 180.0 - 90.0)",
+        "lon_max": f"((cast({x} as double) + 1.0) / {nx} * 360.0 - 180.0)",
+        "lat_max": f"((cast({y} as double) + 1.0) / {ny} * 180.0 - 90.0)",
+    }
+
+
+def vectorize(
+    raster: DataFrame,
+    threshold: float,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Raster → vector: cells with value ≥ threshold become polygon
+    features — one closed CCW quad ring per cell, as
+    array<struct<lon,lat>> (the engine's polygon wire format, §1.2).
+    Adjacent-cell dissolve is a follow-up groupBy on parent cells;
+    per-cell quads keep the operator a pure projection."""
+    b = cell_bounds_sql(cell_col, "spark")
+    ring = (
+        "array("
+        f"struct({b['lon_min']} as lon, {b['lat_min']} as lat),"
+        f"struct({b['lon_max']} as lon, {b['lat_min']} as lat),"
+        f"struct({b['lon_max']} as lon, {b['lat_max']} as lat),"
+        f"struct({b['lon_min']} as lon, {b['lat_max']} as lat),"
+        f"struct({b['lon_min']} as lon, {b['lat_min']} as lat))"
+    )
+    return (
+        raster.where(F.col(value_col) >= threshold)
+        .withColumn("ring", F.expr(ring))
+        .select(F.col(cell_col).alias("poly_cell"), F.col(value_col).alias("value"), "ring")
+    )
+
+
+def raster_patch(raster: DataFrame, lon0: float, lat0: float, lon1: float, lat1: float, res: int):
+    """Materialize a BOUNDED bbox of the sparse raster as a dense 2-D
+    numpy array (driver-side; the bbox caps the size — this is the
+    render/export step, not a distributed op)."""
+    import numpy as np
+
+    from ..geo import h3lite as HH
+
+    cells = HH.cover_bbox(lon0, lat0, lon1, lat1, res)
+    xs, ys = HH.cell_xy(cells)
+    x_min, x_max = int(xs.min()), int(xs.max())
+    y_min, y_max = int(ys.min()), int(ys.max())
+    rows = (
+        raster.where(F.col("cell").isin([int(c) for c in cells]))
+        .select("cell", "value")
+        .collect()
+    )
+    grid = np.zeros((y_max - y_min + 1, x_max - x_min + 1), dtype=np.float64)
+    for r in rows:
+        cx, cy = HH.cell_xy(np.int64(r.cell))
+        grid[int(cy) - y_min, int(cx) - x_min] = float(r.value)
+    return grid

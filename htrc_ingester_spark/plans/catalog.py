@@ -1138,3 +1138,78 @@ _S89 = """select cast(o_orderkey as bigint) as o_orderkey,
           from orders where o_orderkey in (7, 68, 129, 4000)
           order by o_orderkey"""
 _register("s8_s9_point_slice_read", ["orders"], _S89, _S89)
+
+
+# S2 encode with a full value oracle: the SAME portable SQL
+# construction (geo/s2lite.s2_sql_expr) runs in Spark and DuckDB —
+# three-way parity with the numpy kernel is pinned in pytest. The
+# Arrow-UDF variant above (s2_encode_hist) stays as the UDF-surface
+# demonstration; this one is the codegen path.
+def _s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..geo import s2lite
+
+    expr = s2lite.s2_sql_expr("lon", "lat", 12, "spark")
+    img = FS.load_images(spark, sf_dir)
+    img.createOrReplaceTempView("img_s2")
+    return spark.sql(
+        f"""select cast(image_id as bigint) as image_id, {expr} as s2_cell
+            from img_s2 order by image_id limit 1000"""
+    )
+
+
+def _s2_cells_oracle() -> str:
+    from ..geo import s2lite
+
+    expr = s2lite.s2_sql_expr("lon", "lat", 12, "duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select cast(image_id as bigint) as image_id, {expr} as s2_cell
+    from img order by image_id limit 1000
+    """
+
+
+_register_fn("s2_encode_cells", _s2_cells, _s2_cells_oracle())
+
+
+# ===========================================================================
+# raster ↔ vector round trip (operators/tiles.py rasterize/vectorize)
+# — both directions pure column expressions with a DuckDB twin.
+# ===========================================================================
+
+def _raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import rasterize, vectorize
+
+    img = FS.load_images(spark, sf_dir)
+    raster = rasterize(img, res=6)
+    feats = vectorize(raster, threshold=50)
+    return feats.select(
+        F.col("poly_cell"),
+        F.col("value").cast("bigint").alias("value"),
+        F.round(F.expr("ring[0].lon"), 6).alias("lon0"),
+        F.round(F.expr("ring[0].lat"), 6).alias("lat0"),
+        F.round(F.expr("ring[2].lon"), 6).alias("lon1"),
+        F.round(F.expr("ring[2].lat"), 6).alias("lat1"),
+    ).orderBy("poly_cell")
+
+
+def _raster_vector_oracle() -> str:
+    from ..geo import h3lite as H
+    from ..operators.tiles import cell_bounds_sql
+
+    cell = H.h3_sql_expr("lon", "lat", 6)
+    b = cell_bounds_sql("cell", "duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    raster as (
+      select {cell} as cell, cast(count(*) as bigint) as value
+      from img group by 1)
+    select cell as poly_cell, value,
+           round({b['lon_min']}, 6) as lon0, round({b['lat_min']}, 6) as lat0,
+           round({b['lon_max']}, 6) as lon1, round({b['lat_max']}, 6) as lat1
+    from raster where value >= 50 order by poly_cell
+    """
+
+
+_register_fn("raster_vector_roundtrip", _raster_vector, _raster_vector_oracle())

@@ -261,3 +261,31 @@ class TestHaversine:
         d = G.haversine_m(lat1, lon1, lat2, lon2)
         arc = np.abs(lat2 - lat1) * np.pi / 180.0 * G.EARTH_RADIUS_M
         assert np.all(d >= arc - 1e-6)
+
+
+class TestS2SQLParity:
+    def test_sql_expr_matches_numpy_three_ways(self, spark):
+        """geo/s2lite.s2_sql_expr must produce bit-identical cells to
+        the numpy kernel in BOTH Spark SQL and DuckDB (the driver's
+        oracle contract), including the pinned edge points."""
+        import duckdb
+        import numpy as np
+
+        from htrc_ingester_spark import data
+        from htrc_ingester_spark.geo import s2lite
+
+        pdf = data.images_meta_pdf(300)[["image_id", "lon", "lat"]]
+        want = s2lite.latlng_to_cell(pdf.lat.to_numpy(), pdf.lon.to_numpy(), 12)
+        con = duckdb.connect()
+        con.register("pts", pdf)
+        got_d = (
+            con.sql(f"select {s2lite.s2_sql_expr('lon','lat',12,'duckdb')} as c from pts")
+            .df()
+            .c.to_numpy()
+        )
+        assert (got_d == want).all()
+        df = spark.createDataFrame(pdf)
+        got_s = np.array(
+            [r.c for r in df.selectExpr(f"{s2lite.s2_sql_expr('lon','lat',12,'spark')} as c").collect()]
+        )
+        assert (got_s == want).all()

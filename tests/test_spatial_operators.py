@@ -160,3 +160,70 @@ class TestKNN:
         got = knn_join(spark, images_df, q, res=7).toPandas()
         want = knn_join_bruteforce(spark, images_df, q).toPandas()
         assert list(got.sort_values("rank").image_id) == list(want.sort_values("rank").image_id)
+
+
+class TestRasterVector:
+    def test_roundtrip_rings_recapture_their_points(self, spark):
+        """vectorize(rasterize(points)) produces quad rings; PIP-joining
+        the points back against those rings must assign every point
+        (strictly inside its cell) to exactly its own cell's ring."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark import data
+        from htrc_ingester_spark.geo import h3lite as H
+        from htrc_ingester_spark.operators.pip_join import pip_join
+        from htrc_ingester_spark.operators.tiles import rasterize, vectorize
+
+        res = 5
+        pdf = data.images_meta_pdf(400)[["image_id", "lon", "lat"]]
+        pts = spark.createDataFrame(pdf)
+        raster = rasterize(pts, res=res)
+        feats = vectorize(raster, threshold=5).collect()
+        polys = [
+            {"poly_id": str(r.poly_cell), "ring": [(p.lon, p.lat) for p in r.ring]}
+            for r in feats
+        ]
+        kept = {int(r.poly_cell) for r in feats}
+        hits = pip_join(spark, pts, polys, res=res).toPandas()
+        got = dict(zip(hits.image_id, hits.poly_id.astype(np.int64)))
+        # oracle: each point strictly inside its cell must hit its cell
+        cells = H.latlng_to_cell(pdf.lat.to_numpy(), pdf.lon.to_numpy(), res)
+        lon0, lat0, lon1, lat1 = H.cell_to_boundary(cells)
+        eps = 1e-9
+        interior = (
+            (pdf.lon.to_numpy() > lon0 + eps) & (pdf.lon.to_numpy() < lon1 - eps)
+            & (pdf.lat.to_numpy() > lat0 + eps) & (pdf.lat.to_numpy() < lat1 - eps)
+        )
+        n_checked = 0
+        for i, iid in enumerate(pdf.image_id):
+            if not interior[i]:
+                continue
+            if int(cells[i]) in kept:
+                assert got.get(iid) == int(cells[i])
+                n_checked += 1
+            else:
+                assert iid not in got
+        assert n_checked > 100  # the hot clusters guarantee coverage
+
+    def test_raster_patch_matches_counts(self, spark):
+        from htrc_ingester_spark import data
+        from htrc_ingester_spark.geo import h3lite as H
+        from htrc_ingester_spark.operators.tiles import rasterize, raster_patch
+
+        res = 4
+        pdf = data.images_meta_pdf(300)[["image_id", "lon", "lat"]]
+        pts = spark.createDataFrame(pdf)
+        raster = rasterize(pts, res=res)
+        # bbox around the SF hot cluster
+        grid = raster_patch(raster, -125.0, 35.0, -120.0, 40.0, res)
+        import numpy as np
+
+        cells = H.latlng_to_cell(pdf.lat.to_numpy(), pdf.lon.to_numpy(), res)
+        in_box = (
+            (pdf.lon.to_numpy() >= -125.0) & (pdf.lon.to_numpy() < -120.0)
+            & (pdf.lat.to_numpy() >= 35.0) & (pdf.lat.to_numpy() < 40.0)
+        )
+        # every in-box point's cell count appears in the patch
+        assert grid.sum() >= in_box.sum() * 0.9  # bbox-cover cells ⊇ box
+        assert grid.max() > 0
