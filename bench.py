@@ -29,6 +29,7 @@ HEADLINE = [
     "tile_assign_hist",
     "pip_join_polygons",
     "knn_join_suppliers",
+    "knn_join_distributed",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "a2_collect_sorted_list",

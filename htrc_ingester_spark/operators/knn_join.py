@@ -274,3 +274,179 @@ def knn_join_bruteforce(
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "image_id", "dist_m", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully distributed kNN: the query side is a DataFrame (scales to 10^6+
+# query points — the driver holds only per-round counters, never
+# per-query state). Same ring-expansion algorithm and the same proven
+# termination bound as knn_join, but the frontier construction, the
+# anisotropic width (kx), and the convergence test are all Spark
+# expressions over the query table.
+# ---------------------------------------------------------------------------
+
+
+def _kx_sql(lat: str, r: str, res: int) -> str:
+    """SQL twin of _required_kx: lon half-width (in cells) covering the
+    termination bound at row-band latitudes. Full wrap (nx) when the
+    bound exceeds the band's capacity."""
+    ch = H.cell_h_deg(res)
+    cw = H.cell_w_deg(res)
+    nxr = H.nx(res)
+    bound = f"({r} * {ch} * {H.M_PER_DEG_LAT})"
+    band_lo = f"greatest(-90.0d, {lat} - ({r} + 1) * {ch})"
+    band_hi = f"least(90.0d, {lat} + ({r} + 1) * {ch})"
+    cos_min = f"least(cos(radians({band_lo})), cos(radians({band_hi})))"
+    s = f"sin({bound} / (2.0d * {EARTH_RADIUS_M}))"
+    return (
+        f"case when {bound} >= {np.pi * EARTH_RADIUS_M} then {nxr} "
+        f"when {cos_min} <= 0.0d or {s} / {cos_min} >= 1.0d then {nxr} "
+        f"else cast(ceil(degrees(2.0d * asin({s} / {cos_min})) / {cw}) as int) + 1 end"
+    )
+
+
+def knn_join_many(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    res: int = 7,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k nearest ``points`` per row of the ``queries`` DataFrame
+    (query_id, lon, lat, k). Returns (query_id, image_id, dist_m, rank).
+
+    Per round, UNRESOLVED queries explode to their new frontier ring
+    (disk(r,kx) minus the previous disk — pure sequence/explode
+    arithmetic), join points on cell, and fold into a per-query top-k
+    kept as a DataFrame. A query resolves when its kth distance is
+    STRICTLY under the r·cell_h bound (or the grid is exhausted).
+    Deterministic: (dist_m, image_id) total order everywhere.
+
+    Scale: per-round shuffles touch only unresolved queries × ring
+    cells and their candidate matches; `best` carries ≤ k rows per
+    query. Worst-case frontier (a query in an empty region growing to
+    the whole grid) degrades to the brute-force scan it genuinely
+    requires.
+    """
+    ch_m = H.cell_h_deg(res) * H.M_PER_DEG_LAT
+    nxr, nyr = H.nx(res), H.ny(res)
+
+    skel = points.select(
+        F.col(id_col).alias("image_id"),
+        F.col(lon_col).alias("p_lon"),
+        F.col(lat_col).alias("p_lat"),
+        h3_cell(lon_col, lat_col, res).alias("cell"),
+    ).persist()
+
+    state = (
+        queries.select(
+            F.col("query_id").cast("string"),
+            F.col(lon_col).alias("q_lon").cast("double"),
+            F.col(lat_col).alias("q_lat").cast("double"),
+            F.col("k").cast("int"),
+        )
+        .withColumn("_c0", h3_cell("q_lon", "q_lat", res))
+        .withColumn("x0", F.expr(f"cast((_c0 div {1 << 28}) % {1 << 28} as int)"))
+        .withColumn("y0", F.expr(f"cast(_c0 % {1 << 28} as int)"))
+        .drop("_c0")
+        .withColumn("r", F.lit(0))
+        .withColumn("pkx", F.lit(-1))
+        .withColumn("pr", F.lit(-1))
+        .persist()
+    )
+
+    best: DataFrame | None = None
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("image_id").asc())
+
+    for _ in range(max_rounds):
+        n_active = state.count()
+        if n_active == 0:
+            break
+        # grow: r *= 4 (2 on the first round); recompute kx at new r
+        grown = state.withColumn(
+            "r_new", F.expr(f"case when r = 0 then 2 else least(r * 4, {nyr}) end")
+        ).withColumn("kx_new", F.expr(_kx_sql("q_lat", "r_new", res)).cast("int"))
+
+        # frontier ring: dy ∈ [-r, r] rows (clamped), dx ∈ [-kx, kx]
+        # (wrapped, capped at nx/2), minus the previous disk rectangle
+        ring = (
+            grown.withColumn(
+                "dy", F.explode(F.expr(f"sequence(greatest(-r_new, -y0), least(r_new, {nyr - 1} - y0))"))
+            )
+            .withColumn("kx_c", F.expr(f"least(kx_new, {nxr // 2})"))
+            .withColumn("dx", F.explode(F.expr("sequence(-kx_c, kx_c)")))
+            .where(~((F.expr("abs(dx)") <= F.expr(f"least(pkx, {nxr // 2})")) & (F.expr("abs(dy)") <= F.col("pr"))))
+            .withColumn(
+                "cell",
+                F.expr(
+                    f"cast({res} as bigint) * {1 << 56}"
+                    f" + cast(pmod(x0 + dx, {nxr}) as bigint) * {1 << 28}"
+                    f" + cast(y0 + dy as bigint)"
+                ),
+            )
+            .select("query_id", "q_lon", "q_lat", "k", "cell")
+        )
+
+        cand = (
+            skel.join(ring, "cell", "inner")
+            .withColumn("dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon"))
+            .select("query_id", "image_id", "dist_m", "k")
+        )
+        pool = cand if best is None else best.unionByName(cand)
+        new_best = (
+            pool.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= F.col("k"))
+            .drop("rn")
+            .persist()
+        )
+        new_best.count()  # materialize before unpersisting parents
+        if best is not None:
+            best.unpersist()
+        best = new_best
+
+        # convergence: joined stats against the grown state
+        stats = best.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_found"), F.max("dist_m").alias("kth")
+        )
+        new_state = (
+            grown.join(stats, "query_id", "left")
+            .withColumn(
+                "exhausted",
+                F.expr(f"r_new >= greatest(y0, {nyr - 1} - y0) and kx_new >= {nxr // 2}"),
+            )
+            .withColumn(
+                "done",
+                F.col("exhausted")
+                | (
+                    (F.coalesce(F.col("n_found"), F.lit(0)) >= F.col("k"))
+                    & (F.col("kth") < F.col("r_new") * F.lit(ch_m))
+                ),
+            )
+            .where(~F.col("done"))
+            .select(
+                "query_id", "q_lon", "q_lat", "k", "x0", "y0",
+                F.col("r_new").alias("r"),
+                F.col("kx_new").alias("pkx"),
+                F.col("r_new").alias("pr"),
+            )
+            .persist()
+        )
+        new_state.count()
+        state.unpersist()
+        state = new_state
+
+    state.unpersist()
+    skel.unpersist()
+    if best is None:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    out = (
+        best.withColumn("rank", F.row_number().over(w))
+        .select("query_id", "image_id", "dist_m", "rank")
+    )
+    out = out.persist()
+    out.count()
+    best.unpersist()
+    return out

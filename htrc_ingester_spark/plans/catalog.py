@@ -1213,3 +1213,17 @@ def _raster_vector_oracle() -> str:
 
 
 _register_fn("raster_vector_roundtrip", _raster_vector, _raster_vector_oracle())
+
+
+# Distributed kNN (query side is a DataFrame — the 10^6-query scale
+# path). Same oracle as the driver-state variant.
+def _knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn_join import knn_join_many
+
+    _load(spark, sf_dir, "customer", "supplier")
+    points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
+    qdf = spark.sql(_QUERIES_SQL)
+    return knn_join_many(spark, points, qdf, res=5).select("query_id", "image_id", "rank")
+
+
+_register_fn("knn_join_distributed", _knn_many, _knn_oracle())

@@ -227,3 +227,41 @@ class TestRasterVector:
         # every in-box point's cell count appears in the patch
         assert grid.sum() >= in_box.sum() * 0.9  # bbox-cover cells ⊇ box
         assert grid.max() > 0
+
+
+class TestKNNMany:
+    def test_distributed_matches_bruteforce_and_driver_version(self, spark, images_df):
+        from htrc_ingester_spark.operators.knn_join import knn_join_many
+
+        qpdf = data.knn_queries_pdf()
+        qdf = spark.createDataFrame(qpdf)
+        got = knn_join_many(spark, images_df, qdf, res=7).toPandas()
+        want = knn_join_bruteforce(spark, images_df, qpdf).toPandas()
+        g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[["query_id", "image_id", "rank"]], w[["query_id", "image_id", "rank"]]
+        )
+        np.testing.assert_allclose(g.dist_m, w.dist_m, rtol=1e-9)
+
+    def test_tie_break_deterministic(self, spark):
+        from htrc_ingester_spark.operators.knn_join import knn_join_many
+
+        pdf = pd.DataFrame(
+            {"image_id": ["img_b", "img_a", "img_far"], "lon": [1.0, -1.0, 50.0], "lat": [0.0, 0.0, 0.0]}
+        )
+        q = spark.createDataFrame(pd.DataFrame({"query_id": ["q"], "lon": [0.0], "lat": [0.0], "k": [2]}))
+        got = knn_join_many(spark, spark.createDataFrame(pdf), q, res=7).toPandas()
+        assert list(got.sort_values("rank").image_id) == ["img_a", "img_b"]
+
+    def test_sparse_region_query_exhausts_correctly(self, spark, images_df):
+        from htrc_ingester_spark.operators.knn_join import knn_join_many
+
+        q = spark.createDataFrame(
+            pd.DataFrame({"query_id": ["q_remote"], "lon": [-45.0], "lat": [-60.0], "k": [5]})
+        )
+        got = knn_join_many(spark, images_df, q, res=7).toPandas()
+        want = knn_join_bruteforce(
+            spark, images_df, pd.DataFrame({"query_id": ["q_remote"], "lon": [-45.0], "lat": [-60.0], "k": [5]})
+        ).toPandas()
+        assert list(got.sort_values("rank").image_id) == list(want.sort_values("rank").image_id)
