@@ -103,28 +103,28 @@ def hamming32_sql(a: str, b: str, dialect: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def winnow_sql(text: str, k: int, w: int, dialect: str) -> str:
-    """Winnowing fingerprints: char k-gram md5s, min per length-w
-    window, distinct + sorted (MOSS local fingerprinting)."""
-    if dialect == "spark":
-        hashes = (
-            f"transform(sequence(1, greatest(length({text}) - {k - 1}, 1)),"
-            f" i -> md5(substring({text}, i, {k})))"
-        )
-        return (
-            f"array_sort(array_distinct(transform("
-            f"sequence(0, greatest(size({hashes}) - {w}, 0)),"
-            f" j -> array_min(slice({hashes}, j + 1, {w})))))"
-        )
+def winnow_duckdb_cte(docs_sql: str, k: int, w: int) -> str:
+    """Winnowing as a DuckDB CTE pipeline producing (doc_id, fps).
+
+    The hash array is MATERIALIZED in its own CTE column before the
+    window mins slice it — inlining the array expression into every
+    window (the naive template) re-evaluates all n md5s per window:
+    O(n²) digests per document (measured: 500 docs of ~3k chars took
+    minutes instead of seconds)."""
     hashes = (
-        f"list_transform(range(1, greatest(length({text}) - {k - 1}, 1) + 1),"
-        f" i -> md5(substr({text}, i, {k})))"
+        f"list_transform(range(1, greatest(length(text) - {k - 1}, 1) + 1),"
+        f" i -> md5(substr(text, i, {k})))"
     )
-    return (
-        f"list_sort(list_distinct(list_transform("
-        f"range(0, greatest(len({hashes}) - {w}, 0) + 1),"
-        f" j -> list_min(({hashes})[j + 1 : j + {w}]))))"
-    )
+    return f"""
+    docs_w as ({docs_sql}),
+    h as (select doc_id, {hashes} as hs from docs_w),
+    winnowed as (
+      select doc_id,
+             list_sort(list_distinct(list_transform(
+               range(0, greatest(len(hs) - {w}, 0) + 1),
+               j -> list_min(hs[j + 1 : j + {w}])))) as fps
+      from h)
+    """
 
 
 TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -276,7 +276,25 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def winnow_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8, w: int = 4
 ) -> DataFrame:
-    """(id, fingerprints: array<string>) winnowing document signature."""
-    return df.select(
-        F.col(id_col), F.expr(winnow_sql(text_col, k, w, "spark")).alias("fingerprints")
+    """(id, fingerprints: array<string>) winnowing document signature.
+
+    Shape: ONE md5 per k-gram position (posexplode of a
+    computed-once hash array), sliding min via a frame window
+    (ROWS BETWEEN CURRENT AND w-1 FOLLOWING), collect_set per doc.
+    The naive nested-transform expression recomputed the whole hash
+    array per window under Catalyst projection collapsing — O(n²)
+    digests per document."""
+    from pyspark.sql import Window
+
+    n = f"greatest(length({text_col}) - {k - 1}, 1)"
+    hashes = f"transform(sequence(1, {n}), i -> md5(substring({text_col}, i, {k})))"
+    ex = df.select(F.col(id_col), F.posexplode(F.expr(hashes)).alias("_pos", "_h"))
+    wmin = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    wall = Window.partitionBy(id_col)
+    return (
+        ex.withColumn("_wmin", F.min("_h").over(wmin))
+        .withColumn("_maxpos", F.max("_pos").over(wall))
+        .where(F.col("_pos") <= F.greatest(F.col("_maxpos") - (w - 1), F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_wmin")).alias("fingerprints"))
     )

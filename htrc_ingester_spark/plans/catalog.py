@@ -826,12 +826,14 @@ def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _winnow_oracle() -> str:
     from ..operators import textdedup as TD
 
-    wsql = TD.winnow_sql("text", 8, 4, "duckdb")
+    cte = TD.winnow_duckdb_cte(
+        "select cast(doc_id as bigint) as doc_id, text from documents", 8, 4
+    )
     return f"""
-    select cast(doc_id as bigint) as doc_id,
-           cast(len({wsql}) as bigint) as n_fp,
-           array_to_string(({wsql})[1:3], ',') as fp_head
-    from documents order by doc_id limit 500
+    with {cte}
+    select doc_id, cast(len(fps) as bigint) as n_fp,
+           array_to_string(fps[1:3], ',') as fp_head
+    from winnowed order by doc_id limit 500
     """
 
 
@@ -1227,3 +1229,119 @@ def _knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_fn("knn_join_distributed", _knn_many, _knn_oracle())
+
+
+# ===========================================================================
+# Quality scoring (full structural profile), winnowing near-dup pairs,
+# and event-time windowed aggregation.
+# ===========================================================================
+
+def _quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    stop_list = ", ".join(repr(s) for s in TD.STOPWORDS["en"])
+    return spark.sql(
+        f"""select cast(doc_id as bigint) as doc_id,
+                   cast(size(split(text, ' ')) as bigint) as n_words,
+                   round(cast(length(text) as double) /
+                         greatest(size(split(text, ' ')), 1), 4) as avg_word_len,
+                   round(cast(size(array_intersect(split(text, ' '),
+                                                   array({stop_list}))) as double) /
+                         greatest(size(array_distinct(split(text, ' '))), 1), 4)
+                     as stopword_ratio,
+                   round(cast(length(text) -
+                              length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))
+                         as double) / greatest(length(text), 1), 4) as punct_ratio,
+                   round(1.0 - cast(size(array_distinct(split(text, ' '))) as double) /
+                         greatest(size(split(text, ' ')), 1), 4) as dup_word_ratio
+            from documents order by doc_id limit 500"""
+    )
+
+
+def _quality_full_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    stop_list = ", ".join(repr(s) for s in TD.STOPWORDS["en"])
+    return f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_words,
+           round(cast(length(text) as double) /
+                 greatest(len(string_split(text, ' ')), 1), 4) as avg_word_len,
+           round(cast(len(list_intersect(string_split(text, ' '),
+                                         list_value({stop_list}))) as double) /
+                 greatest(len(list_distinct(string_split(text, ' '))), 1), 4)
+             as stopword_ratio,
+           round(cast(length(text) -
+                      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                 as double) / greatest(length(text), 1), 4) as punct_ratio,
+           round(1.0 - cast(len(list_distinct(string_split(text, ' '))) as double) /
+                 greatest(len(string_split(text, ' ')), 1), 4) as dup_word_ratio
+    from documents order by doc_id limit 500
+    """
+
+
+_register_fn("text_quality_full", _quality_full, _quality_full_oracle())
+
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4th dedup family: docs sharing ≥ 8 winnowing fingerprints —
+    fingerprint explode → self-join on fingerprint → pair count."""
+    from pyspark.sql import functions as F
+
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    uni = spark.sql(_dup_docs_sql("spark"))
+    fp = TD.winnow_fingerprints(uni).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    # MOSS-style document-frequency cap: a fingerprint present in many
+    # docs is boilerplate and a quadratic hot key in the self-join —
+    # drop it BEFORE the join (same cap in the oracle)
+    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= 20)
+    fp = fp.join(F.broadcast(rare.select("fp")), "fp")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    cte = TD.winnow_duckdb_cte(_dup_docs_sql("duckdb"), 8, 4)
+    return f"""
+    with {cte},
+    fp0 as (select doc_id, unnest(fps) as fp from winnowed),
+    rare as (select fp from fp0 group by fp having count(*) <= 20),
+    fp as (select fp0.* from fp0 join rare using (fp))
+    select a.doc_id as id_a, b.doc_id as id_b,
+           cast(count(*) as bigint) as n_shared
+    from fp a join fp b on a.fp = b.fp and a.doc_id < b.doc_id
+    group by 1, 2 having count(*) >= 8
+    order by id_a, id_b
+    """
+
+
+_register_fn("dedup_winnow_pairs", _winnow_pairs, _winnow_pairs_oracle())
+
+
+# W4 — event-time windowed aggregation (the batch twin of
+# streaming.windowed_change_rates; watermark semantics tested in
+# test_streaming).
+_W4_SPARK = """select date_trunc('hour', ts) as window_start, event_type,
+                      cast(count(*) as bigint) as n,
+                      round(sum(value), 3) as sum_value
+               from events group by 1, 2 order by 1, 2"""
+_W4_DUCK = """select date_trunc('hour', ts) as window_start, event_type,
+                     cast(count(*) as bigint) as n,
+                     round(sum(value), 3) as sum_value
+              from events group by 1, 2 order by 1, 2"""
+_register("w4_event_time_window", ["events"], _W4_SPARK, _W4_DUCK)

@@ -96,3 +96,60 @@ class TestPairtree:
         rel = paths[0][len(str(tmp_path)) + 1 :]
         # cleaned id 'uc2,ark+=13960=ta' → 2-char segments
         assert rel == "uc/2,/ar/k+/=1/39/60/=t/a/uc2,ark+=13960=ta.zip"
+
+
+REAL_METS = "/root/reference/src/test/resources/39002034644600.mets.xml"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REAL_METS), reason="reference fixture absent")
+class TestRealMETSFixture:
+    """The reference's own gnarly real-world fixture (6,396 lines, 430
+    pages, 3 fptrs per div) parsed at runtime from the read-only
+    reference checkout — the parity case TestMETSParser.java:55-122
+    exercises: lookups by filename and by ID agree, pageCount is
+    consistent."""
+
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        import pandas as pd
+
+        with open(REAL_METS) as f:
+            xml = f.read()
+        df = spark.createDataFrame(
+            pd.DataFrame({"volume_id": ["39002034644600"], "mets_xml": [xml]})
+        )
+        parsed = M.parse_mets(df)
+        return M.pages_table(parsed) + (parsed,)
+
+    def test_all_430_ocr_pages_assembled(self, pages):
+        pg, orphans, parsed = pages
+        got = pg.toPandas()
+        assert len(got) == 430
+        # distinct by filename AND by id (the reference's two indices)
+        assert got.filename.nunique() == 430
+        assert got.file_id.nunique() == 430
+        assert M.page_count(pg).collect()[0].page_count == 430
+
+    def test_orders_are_dense_1_to_430(self, pages):
+        pg, _, _ = pages
+        got = pg.toPandas()
+        assert sorted(got["order"]) == list(range(1, 431))
+        assert set(got.sequence) == {f"{i:08d}" for i in range(1, 431)}
+
+    def test_non_ocr_fptrs_are_orphans_not_pages(self, pages):
+        _, orphans, parsed = pages
+        # 1290 fptrs, 430 point at ocr files → 860 orphan fptrs
+        assert orphans.count() == 860
+        p = parsed.toPandas()
+        assert (p.kind == "error").sum() == 0
+        assert (p.kind == "dup_file").sum() == 0
+
+    def test_checksums_are_md5_hex(self, pages):
+        pg, _, _ = pages
+        got = pg.toPandas()
+        assert (got.checksum_type == "MD5").all()
+        assert got.checksum.str.fullmatch("[0-9a-f]{32}").all()
+        # the real volume has 13 legitimately EMPTY ocr pages (blank
+        # scans) — size 0 is valid data, not a parse failure
+        assert (got["size"] >= 0).all()
+        assert (got["size"] == 0).sum() == 13
