@@ -236,19 +236,31 @@ def lsh_near_dup_pairs(
     buckets (boilerplate skew guard — logged upstream, not silent: the
     dropped buckets are exactly the all-identical groups that exact
     dedup already collapses)."""
-    sig = minhash_signatures(df, id_col, text_col, n_bands, rows_per_band, shingle_k)
+    # signatures feed BOTH the bucket-size pass and the join — persist
+    # the tiny (id, band, bucket) frame or the whole shingle+hash
+    # lineage runs twice
+    sig = minhash_signatures(df, id_col, text_col, n_bands, rows_per_band, shingle_k).persist()
     sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    sig = sig.join(F.broadcast(sizes.where(F.col("_n") <= max_bucket)), ["band", "bucket"])
-    a = sig.alias("a")
-    b = sig.alias("b")
+    kept = sig.join(F.broadcast(sizes.where(F.col("_n") <= max_bucket)), ["band", "bucket"])
+    a = kept.alias("a")
+    b = kept.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    # exact-verify shingles ONLY for docs that appear in a candidate
+    # pair (≈ 2×|pairs| ≪ corpus — at 10^12 rows this is the
+    # difference between re-shingling everything and almost nothing)
+    cand_ids = cand.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
     sh = shingles_sql(text_col, shingle_k, "spark")
-    docs = df.select(F.col(id_col), F.expr(f"array_distinct({sh})").alias("_sh"))
+    docs = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.expr(f"array_distinct({sh})").alias("_sh"))
+    )
     verified = (
         cand.join(docs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
         .join(docs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
