@@ -132,3 +132,79 @@ def neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup by perceptual hash: band the 64-bit phash into 4x16-bit
+# LSH buckets (two images within hamming distance d collide on some
+# band with probability ≥ 1 - (d/4 choose ...) — any pair with ≤3
+# differing bits shares at least one intact band by pigeonhole),
+# bucket-join candidates, verify exact hamming ≤ threshold. All integer
+# column expressions — identical in Spark SQL and DuckDB.
+# ---------------------------------------------------------------------------
+
+N_PHASH_BANDS = 4
+
+
+def phash_band_sql(phash: str, band: int, dialect: str) -> str:
+    if dialect == "spark":
+        return f"(shiftright({phash}, {band * 16}) & 65535)"
+    return f"(({phash} >> {band * 16}) & 65535)"
+
+
+def hamming64_sql(a: str, b: str, dialect: str) -> str:
+    """Popcount of XOR via 64 bit tests (no popcount parity needed
+    across dialects; constant-folds into a codegen span).
+
+    NOTE: DuckDB's ``^`` is exponentiation — bitwise xor is ``xor()``;
+    Spark SQL's ``^`` is the bitwise op."""
+    if dialect == "spark":
+        x = f"({a} ^ {b})"
+        terms = [f"cast((shiftright({x}, {i}) & 1) as int)" for i in range(64)]
+    else:
+        x = f"xor({a}, {b})"
+        terms = [f"cast((({x} >> {i}) & 1) as int)" for i in range(64)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_bucket: int = 100,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for images whose phash differs by ≤
+    ``max_hamming`` bits. Pigeonhole-complete for max_hamming ≤ 3 with
+    4 bands (≤3 flipped bits cannot touch all 4 bands). Hot buckets
+    (identical-phash floods) capped like MinHash boilerplate."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(phash_band_sql(phash_col, b, "spark")).alias("bucket"),
+            )
+            for b in range(N_PHASH_BANDS)
+        ]
+    )
+    sig = (
+        df.select(F.col(id_col), F.col(phash_col))
+        .withColumn("_b", F.explode(bands))
+        .select(id_col, phash_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+    )
+    sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    kept = sig.join(F.broadcast(sizes.where(F.col("_n") <= max_bucket)), ["band", "bucket"])
+    a = kept.alias("a")
+    b = kept.alias("b")
+    ham = hamming64_sql(f"a.{phash_col}", f"b.{phash_col}", "spark")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr(ham).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

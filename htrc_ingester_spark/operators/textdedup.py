@@ -98,8 +98,9 @@ def simhash32_sql(doc_id: str, word: str) -> str:
 
 def hamming32_sql(a: str, b: str, dialect: str) -> str:
     """Hamming distance of two 32-bit ints via bit tests (no popcount
-    parity needed across dialects)."""
-    terms = [f"(case when (({a} ^ {b}) & {1 << i}) <> 0 then 1 else 0 end)" for i in range(32)]
+    parity needed across dialects; DuckDB's ^ is POW — use xor())."""
+    x = f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
+    terms = [f"(case when ({x} & {1 << i}) <> 0 then 1 else 0 end)" for i in range(32)]
     return "(" + " + ".join(terms) + ")"
 
 

@@ -1345,3 +1345,65 @@ _W4_DUCK = """select date_trunc('hour', ts) as window_start, event_type,
                      round(sum(value), 3) as sum_value
               from events group by 1, 2 order by 1, 2"""
 _register("w4_event_time_window", ["events"], _W4_SPARK, _W4_DUCK)
+
+
+# Image near-dup by phash-band LSH (operators/embedding.py): planted
+# dups = exact copies (hamming 0) and 2-bit perturbations (hamming 2)
+# of the deterministic phash surrogate column.
+def _phash_images_sql(dialect: str) -> str:
+    # surrogate phash from lineitem keys (the real phash pipeline is
+    # image_validate_pipeline; this entry checks the LSH relational
+    # machinery at sf scale with an exact oracle). DuckDB ^ is POW —
+    # 2-bit perturbation spelled per dialect.
+    flip = (
+        "cast((l_orderkey * 2654435761 + l_partkey * 40503) as bigint) ^ 1025"
+        if dialect == "spark"
+        else "xor(cast((l_orderkey * 2654435761 + l_partkey * 40503) as bigint), 1025)"
+    )
+    return f"""
+      select cast(l_orderkey * 10 + l_linenumber as bigint) as image_id,
+             cast(l_orderkey * 2654435761 + l_partkey * 40503 as bigint) as phash
+      from lineitem where l_linenumber = 1
+      union all
+      select cast(l_orderkey * 10 + 8 as bigint),
+             cast(l_orderkey * 2654435761 + l_partkey * 40503 as bigint)
+      from lineitem where l_linenumber = 1 and l_orderkey % 50 = 0
+      union all
+      select cast(l_orderkey * 10 + 9 as bigint), {flip}
+      from lineitem where l_linenumber = 1 and l_orderkey % 50 = 1
+    """
+
+
+def _phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embedding import phash_neardup_pairs
+
+    _load(spark, sf_dir, "lineitem")
+    imgs = spark.sql(_phash_images_sql("spark"))
+    return phash_neardup_pairs(imgs).orderBy("id_a", "id_b")
+
+
+def _phash_neardup_oracle() -> str:
+    from ..operators.embedding import N_PHASH_BANDS, hamming64_sql, phash_band_sql
+
+    bands = " union all ".join(
+        f"select image_id, phash, {b} as band,"
+        f" {phash_band_sql('phash', b, 'duckdb')} as bucket from imgs"
+        for b in range(N_PHASH_BANDS)
+    )
+    ham = hamming64_sql("a.phash", "b.phash", "duckdb")
+    return f"""
+    with imgs as ({_phash_images_sql('duckdb')}),
+    sig as ({bands}),
+    sizes as (select band, bucket from sig group by 1, 2 having count(*) <= 100),
+    kept as (select sig.* from sig join sizes using (band, bucket)),
+    pairs as (
+      select distinct a.image_id as id_a, b.image_id as id_b,
+             cast({ham} as int) as hamming
+      from kept a join kept b using (band, bucket)
+      where a.image_id < b.image_id)
+    select id_a, id_b, hamming from pairs
+    where hamming <= 3 order by id_a, id_b
+    """
+
+
+_register_fn("dedup_image_phash", _phash_neardup, _phash_neardup_oracle())

@@ -122,3 +122,30 @@ def test_crash_before_pointer_flip_keeps_old_snapshot(spark, dirs, tmp_path):
     os.makedirs(os.path.join(dirs["snap"], "v99"), exist_ok=True)
     open(os.path.join(dirs["snap"], "v99", "part-garbage.parquet"), "wb").write(b"xx")
     assert _snapshot_ids(spark, dirs["snap"]) == before
+
+
+def test_processing_time_query_graceful_stop(spark, dirs):
+    """ST2 parity: a long-running processingTime query stops cleanly on
+    query.stop() (the reference's STOP control file)."""
+    _write_dlog(os.path.join(dirs["dlog"], "t-001.txt"), ["root/ab/uc2,ark+=13960=ta.zip"])
+    q = S.run_incremental_merge(
+        spark, dirs["dlog"], dirs["snap"], dirs["ckpt"],
+        available_now=False, processing_time="1 seconds",
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            try:
+                if _snapshot_ids(spark, dirs["snap"]) == ["uc2.ark:/13960/ta"]:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert _snapshot_ids(spark, dirs["snap"]) == ["uc2.ark:/13960/ta"]
+        assert q.isActive
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert not q.isActive

@@ -182,3 +182,52 @@ class TestEmbeddingOps:
         m1 = b1.sort_values("vec_id").reset_index(drop=True)
         m2 = b2.sort_values("vec_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(m1, m2)
+
+
+class TestPhashNearDup:
+    def test_finds_all_pairs_within_hamming_3(self, spark):
+        """Pigeonhole completeness: with 4 bands of 16 bits, any pair
+        differing in ≤3 bits must collide on ≥1 intact band — verify
+        against a brute-force python oracle on 200 hashes + planted
+        near-dups."""
+        import itertools
+
+        from htrc_ingester_spark.operators.embedding import phash_neardup_pairs
+
+        base = [(i, (i * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF) for i in range(200)]
+        planted = [
+            (1000, base[3][1]),            # exact copy  (hamming 0)
+            (1001, base[7][1] ^ 0b101),    # 2 bits      (hamming 2)
+            (1002, base[9][1] ^ (1 << 40) ^ (1 << 2) ^ 1),  # 3 bits
+            (1003, base[11][1] ^ 0b11110000),  # 4 bits — NOT guaranteed
+        ]
+        rows = base + planted
+        df = spark.createDataFrame(rows, "image_id long, phash long")
+        got = phash_neardup_pairs(df, max_hamming=3).toPandas()
+        got_pairs = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+
+        def ham(x, y):
+            return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        want = {
+            (min(i, j), max(i, j))
+            for (i, x), (j, y) in itertools.combinations(rows, 2)
+            if ham(x, y) <= 3
+        }
+        assert want <= got_pairs | want  # sanity
+        assert got_pairs == want  # exact: nothing missed, nothing extra
+        assert (3, 1000) in got_pairs and (7, 1001) in got_pairs and (9, 1002) in got_pairs
+        assert (11, 1003) not in got_pairs  # 4 bits → beyond contract
+
+    def test_hamming_values_exact_and_recall_contract(self, spark):
+        from htrc_ingester_spark.operators.embedding import phash_neardup_pairs
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 0b101), (3, -1)], "image_id long, phash long"
+        )
+        got = phash_neardup_pairs(df, max_hamming=64).toPandas()
+        m = {(r.id_a, r.id_b): r.hamming for r in got.itertuples(index=False)}
+        assert m[(1, 2)] == 2  # shares 3 intact bands → found, exact value
+        # 0 vs -1 differ in EVERY band → never candidates, even with a
+        # permissive threshold: LSH recall is only guaranteed ≤3 bits
+        assert (1, 3) not in m and (2, 3) not in m
