@@ -143,3 +143,17 @@ def test_knn_required_kx_covers_bound(lat_q, r, res):
         np.sqrt(np.cos(phi_q) * np.cos(phi_p)) * abs(np.sin(lam / 2))
     )
     assert d >= bound * (1 - 1e-9)
+
+
+@settings(max_examples=150, deadline=None)
+@given(lons, lats, st.integers(min_value=1, max_value=20))
+def test_s2_parent_containment(lon, lat, level):
+    """S2-lite hierarchy: masking a child id to a coarser level equals
+    encoding directly at that level (floor quantization is
+    hierarchical; Morton prefixes nest)."""
+    from htrc_ingester_spark.geo import s2lite
+
+    child = int(s2lite.latlng_to_cell(lat, lon, level))
+    direct = int(s2lite.latlng_to_cell(lat, lon, level - 1))
+    assert int(s2lite.cell_to_parent(np.int64(child), level - 1)) == direct
+    assert int(s2lite.cell_level(np.int64(child))) == level
