@@ -1407,3 +1407,82 @@ def _phash_neardup_oracle() -> str:
 
 
 _register_fn("dedup_image_phash", _phash_neardup, _phash_neardup_oracle())
+
+
+# ===========================================================================
+# Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
+# zip+METS generation from lineitem keys → zip member explode (S6) →
+# METS parse (S5) → filename join (J2) → byte/checksum validation (J5)
+# → per-volume page counts (A1). Every page validates by construction;
+# the oracle recomputes the page counts arithmetically.
+# ===========================================================================
+
+def _ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..sources import mets as M
+    from ..sources import zipsource as Z
+
+    _load(spark, sf_dir, "orders")
+    skel = spark.sql(
+        """select concat('uc2.ark:/13960/t', cast(o_orderkey as string)) as volume_id,
+                  cast(1 + o_orderkey % 7 as int) as n_pages
+           from orders order by o_orderkey limit 120"""
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("volume_id", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("mets_xml", T.StringType()),
+        ]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "volume_id": pdf.volume_id,
+                    "content": [
+                        Z.make_volume_zip(v, int(n)) for v, n in zip(pdf.volume_id, pdf.n_pages)
+                    ],
+                    "mets_xml": [
+                        M.synthesize_mets(v, int(n), real_content=True)
+                        for v, n in zip(pdf.volume_id, pdf.n_pages)
+                    ],
+                }
+            )
+
+    vols = skel.mapInPandas(gen, schema)
+    zip_pages = Z.explode_zip_pages(vols.select("volume_id", "content"))
+    mets_pages, _ = M.pages_table(M.parse_mets(vols.select("volume_id", "mets_xml")))
+    joined, unmatched = Z.join_mets_pages(zip_pages, mets_pages)
+    ok, bad = Z.validate_pages(joined)
+    return (
+        ok.groupBy("volume_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages_ok"),
+            F.sum("byte_count").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("volume_id")
+    )
+
+
+def _ingest_e2e_oracle() -> str:
+    # page i has exactly 1000 + i bytes → totals are closed-form
+    return """
+    with vols as (
+      select concat('uc2.ark:/13960/t', cast(o_orderkey as string)) as volume_id,
+             cast(1 + o_orderkey % 7 as int) as n
+      from orders order by o_orderkey limit 120)
+    select volume_id, cast(n as bigint) as n_pages_ok,
+           cast(1000 * n + n * (n + 1) / 2 as bigint) as total_bytes
+    from vols order by volume_id
+    """
+
+
+_register_fn("ingest_pipeline_e2e", _ingest_e2e, _ingest_e2e_oracle())

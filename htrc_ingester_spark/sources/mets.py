@@ -192,10 +192,13 @@ def page_count(pages: DataFrame) -> DataFrame:
 
 
 def synthesize_mets(volume_id: str, n_pages: int, drop_fptr_for: set[int] = frozenset(),
-                    dup_file_at: int | None = None) -> str:
+                    dup_file_at: int | None = None, real_content: bool = False) -> str:
     """Deterministic METS-shaped XML for fixtures. ``drop_fptr_for``
     omits structMap entries (orphan-file case); ``dup_file_at``
-    duplicates one file element (ST4 duplicate-id case)."""
+    duplicates one file element (ST4 duplicate-id case);
+    ``real_content=True`` declares SIZE/CHECKSUM of the actual page
+    bytes produced by zipsource.make_volume_zip — the end-to-end
+    validation fixture."""
     import hashlib
 
     files = []
@@ -203,9 +206,17 @@ def synthesize_mets(volume_id: str, n_pages: int, drop_fptr_for: set[int] = froz
     for i in range(1, n_pages + 1):
         fid = f"XML{i:08d}"
         name = f"{volume_id.replace(':', '+').replace('/', '=')}_{i:08d}.txt"
-        ck = hashlib.md5(f"{volume_id}:{i}".encode()).hexdigest()
+        if real_content:
+            from .zipsource import page_text
+
+            data = page_text(volume_id, i).encode()
+            ck = hashlib.md5(data).hexdigest()
+            size = len(data)
+        else:
+            ck = hashlib.md5(f"{volume_id}:{i}".encode()).hexdigest()
+            size = 1000 + i
         files.append(
-            f'<METS:file SIZE="{1000 + i}" ID="{fid}" MIMETYPE="text/plain" '
+            f'<METS:file SIZE="{size}" ID="{fid}" MIMETYPE="text/plain" '
             f'SEQ="{i:08d}" CHECKSUM="{ck}" CHECKSUMTYPE="MD5">'
             f'<METS:FLocat LOCTYPE="OTHER" xlink:href="{name}"/></METS:file>'
         )
