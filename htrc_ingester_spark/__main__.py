@@ -1,0 +1,113 @@
+"""CLI: ``python -m htrc_ingester_spark <job> [args]`` (or the same
+file via ``spark-submit --py-files engine.zip``).
+
+Jobs mirror the reference's entry points (SURVEY.md §3):
+
+- ``flagship``      — the north-star pipeline (encode → PIP → tile →
+  agg) over a testdata SF dir; prints row count + timings.
+- ``ingest``        — one-shot delta-log drain into a snapshot
+  (IngestService phase 2): --dlog-dir --snapshot-dir --checkpoint-dir.
+- ``verify``        — phase-3 re-verification of a manifested store:
+  --store-dir --partition-col.
+- ``knn``           — k nearest images to a point: --lon --lat --k.
+- ``catalog``       — list every registered query (the public API
+  surface).
+
+Each job prints ONE JSON line (machine-readable, like bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="htrc_ingester_spark")
+    sub = ap.add_subparsers(dest="job", required=True)
+
+    p = sub.add_parser("flagship")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+
+    p = sub.add_parser("ingest")
+    p.add_argument("--dlog-dir", required=True)
+    p.add_argument("--snapshot-dir", required=True)
+    p.add_argument("--checkpoint-dir", required=True)
+
+    p = sub.add_parser("verify")
+    p.add_argument("--store-dir", required=True)
+    p.add_argument("--partition-col", default="bucket")
+
+    p = sub.add_parser("knn")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--lon", type=float, required=True)
+    p.add_argument("--lat", type=float, required=True)
+    p.add_argument("--k", type=int, default=5)
+
+    sub.add_parser("catalog")
+
+    args = ap.parse_args(argv)
+
+    if args.job == "catalog":
+        from .plans import catalog
+
+        oracles = set(catalog.oracle_sql())
+        out = {
+            "queries": sorted(catalog.queries()),
+            "n": len(catalog.queries()),
+            "with_oracle": len(oracles),
+        }
+        print(json.dumps(out))
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(f"cli-{args.job}")
+    t0 = time.monotonic()
+
+    if args.job == "flagship":
+        from .plans import flagship
+
+        df = flagship.flagship(spark, args.sf_dir)
+        rows = df.count()
+        print(json.dumps({"job": "flagship", "rows": rows,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+    elif args.job == "ingest":
+        from .streaming import incremental as I
+
+        I.run_incremental_merge(spark, args.dlog_dir, args.snapshot_dir, args.checkpoint_dir)
+        snap = I.read_snapshot(spark, args.snapshot_dir)
+        n = snap.count() if snap is not None else 0
+        print(json.dumps({"job": "ingest", "snapshot_rows": n,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+    elif args.job == "verify":
+        from . import manifest as M
+
+        fails = M.verify_manifests(spark, args.store_dir, args.partition_col).count()
+        print(json.dumps({"job": "verify", "failed_partitions": fails,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+        return 1 if fails else 0
+    elif args.job == "knn":
+        import pandas as pd
+
+        from .operators.knn_join import knn_join_many
+        from .plans import flagship
+
+        points = flagship.load_images(spark, args.sf_dir)
+        q = spark.createDataFrame(
+            pd.DataFrame({"query_id": ["q0"], "lon": [args.lon], "lat": [args.lat], "k": [args.k]})
+        )
+        rows = [
+            {"image_id": r.image_id, "dist_m": round(r.dist_m, 1), "rank": r.rank}
+            for r in knn_join_many(spark, points, q).collect()
+        ]
+        print(json.dumps({"job": "knn", "neighbors": rows,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

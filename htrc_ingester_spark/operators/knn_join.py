@@ -206,11 +206,13 @@ def _knn_loop(spark, skel, queries, res, max_rounds):
         else:
             top = pd.DataFrame(columns=["query_id", "image_id", "dist_m"])
 
-        # vectorized merge: old best ∪ new top → per-query top-k
+        # vectorized merge: old best ∪ new top → per-query top-k.
+        # NO id-dedup: every ROW is a point; duplicate ids are data
+        # (exact_dedup is the cure), and all three kNN variants must
+        # rank them identically (brute force keeps them).
         best = (
             pd.concat([best, top], ignore_index=True)
             .sort_values(["query_id", "dist_m", "image_id"], kind="mergesort")
-            .drop_duplicates(["query_id", "image_id"])
         )
         kmap = q.set_index("query_id")["k"]
         rn = best.groupby("query_id", sort=False).cumcount()

@@ -265,3 +265,28 @@ class TestKNNMany:
             spark, images_df, pd.DataFrame({"query_id": ["q_remote"], "lon": [-45.0], "lat": [-60.0], "k": [5]})
         ).toPandas()
         assert list(got.sort_values("rank").image_id) == list(want.sort_values("rank").image_id)
+
+
+class TestKNNDuplicateRows:
+    def test_all_three_variants_rank_duplicate_points_identically(self, spark):
+        """Two distinct rows sharing an image_id are two points; every
+        kNN variant must return both (no silent id-dedup) with
+        identical ranking (regression: driver-state variant used to
+        collapse them)."""
+        from htrc_ingester_spark.operators.knn_join import knn_join_many
+
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["dup", "dup", "far"],
+                "lon": [0.01, 0.01, 20.0],
+                "lat": [0.0, 0.0, 0.0],
+            }
+        )
+        q = pd.DataFrame({"query_id": ["q"], "lon": [0.0], "lat": [0.0], "k": [2]})
+        df = spark.createDataFrame(pdf)
+        a = knn_join(spark, df, q, res=7).toPandas().sort_values("rank")
+        b = knn_join_bruteforce(spark, df, q).toPandas().sort_values("rank")
+        c = knn_join_many(spark, df, spark.createDataFrame(q), res=7).toPandas().sort_values("rank")
+        for got in (a, b, c):
+            assert list(got.image_id) == ["dup", "dup"]
+            assert list(got["rank"]) == [1, 2]
