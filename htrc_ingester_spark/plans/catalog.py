@@ -1486,3 +1486,69 @@ def _ingest_e2e_oracle() -> str:
 
 
 _register_fn("ingest_pipeline_e2e", _ingest_e2e, _ingest_e2e_oracle())
+
+
+# ===========================================================================
+# PIP value-oracle on convex polygons: the REAL pip_join operator
+# (adaptive cover + Arrow ray-cast refine) value-checked against an
+# INDEPENDENT SQL formulation — convex containment = all edge cross
+# products non-negative. Rotated (non-axis-aligned) quads so this
+# exercises the general path, not the rectangle shortcut.
+# ===========================================================================
+
+import math as _math
+
+_CONVEX_POLYS = []
+for _i, (_cx, _cy) in enumerate(FS.HOT):
+    _ang = 0.35 + 0.25 * _i  # rotation per polygon
+    _r = 0.22
+    _ring = []
+    for _k in range(4):
+        _a = _ang + _k * _math.pi / 2
+        _ring.append((_cx + _r * _math.cos(_a), _cy + _r * _math.sin(_a)))
+    _ring.append(_ring[0])
+    _CONVEX_POLYS.append({"poly_id": f"cx{_i}", "ring": _ring})
+
+
+def _pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pip_join import pip_join
+
+    img = FS.load_images(spark, sf_dir)
+    return (
+        pip_join(spark, img, _CONVEX_POLYS, res=7)
+        .select(F_col_bigint("image_id"), "poly_id")
+        .orderBy("image_id", "poly_id")
+    )
+
+
+def F_col_bigint(name: str):
+    from pyspark.sql import functions as F
+
+    return F.col(name).cast("bigint").alias(name)
+
+
+def _pip_convex_oracle() -> str:
+    # CCW ring ⇒ inside = every edge cross product > 0 (strict: the
+    # ray-cast kernel's half-open convention only differs ON edges,
+    # which generic fixture points never hit exactly)
+    polys = []
+    for p in _CONVEX_POLYS:
+        conds = []
+        ring = p["ring"]
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            conds.append(
+                f"((cast('{x2!r}' as double) - cast('{x1!r}' as double)) * (lat - cast('{y1!r}' as double))"
+                f" - (cast('{y2!r}' as double) - cast('{y1!r}' as double)) * (lon - cast('{x1!r}' as double))) > 0"
+            )
+        polys.append(
+            f"select image_id, '{p['poly_id']}' as poly_id from img where {' and '.join(conds)}"
+        )
+    body = " union all ".join(polys)
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select cast(image_id as bigint) as image_id, poly_id
+    from ({body}) t order by image_id, poly_id
+    """
+
+
+_register_fn("pip_join_convex_oracle", _pip_convex, _pip_convex_oracle())
