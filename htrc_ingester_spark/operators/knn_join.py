@@ -274,7 +274,10 @@ def knn_join_bruteforce(
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.col("k"))
-        .select("query_id", "image_id", "dist_m", "rank")
+        .select(
+            "query_id", F.col("image_id").cast("string").alias("image_id"),
+            "dist_m", "rank",
+        )
     )
 
 
@@ -390,6 +393,12 @@ def knn_join_many(
                 ),
             )
             .select("query_id", "q_lon", "q_lat", "k", "cell")
+            # full longitude wrap: sequence(-nx/2, nx/2) yields nx+1
+            # offsets and pmod maps the two extremes to the SAME
+            # column — without dedup a point there ranks twice and
+            # displaces the true kth neighbor (the driver-side
+            # variant np.unique's its ring; keep parity)
+            .dropDuplicates(["query_id", "cell"])
         )
 
         cand = (
@@ -444,9 +453,15 @@ def knn_join_many(
     skel.unpersist()
     if best is None:
         return spark.createDataFrame([], OUT_SCHEMA)
+    # ranks are computed on the SOURCE id dtype (numeric tie-break,
+    # matching the other variants); the output casts to string only at
+    # the end so all three variants share OUT_SCHEMA
     out = (
         best.withColumn("rank", F.row_number().over(w))
-        .select("query_id", "image_id", "dist_m", "rank")
+        .select(
+            "query_id", F.col("image_id").cast("string").alias("image_id"),
+            "dist_m", "rank",
+        )
     )
     out = out.persist()
     out.count()

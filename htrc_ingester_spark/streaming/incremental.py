@@ -41,24 +41,28 @@ from .. import ingest as I
 
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
-    """Current snapshot via the atomic _LATEST pointer; None when no
-    committed snapshot exists yet. A missing/torn version dir with a
+    """Current snapshot via tables.py's atomic _LATEST pointer; None
+    when nothing is committed yet. A missing/torn version dir with a
     valid pointer is a hard error (never silently reset — data loss)."""
-    ptr = os.path.join(snapshot_dir, "_LATEST")
-    if not os.path.exists(ptr):
+    from .. import tables as TB
+
+    try:
+        return TB.read(spark, snapshot_dir)
+    except FileNotFoundError:
         return None
-    with open(ptr) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(snapshot_dir, version))
 
 
 def read_delta_log_stream(spark: SparkSession, dlog_dir: str) -> DataFrame:
-    """Streaming raw delta-log lines (value, src_file). Sequencing and
-    parsing happen per micro-batch (monotonically_increasing_id is not
-    allowed on unbounded streams — inside foreachBatch the frame is
-    bounded and it is)."""
+    """Streaming raw delta-log FILES (wholetext: one row per file).
+
+    Whole-file rows make within-file line order exact by construction
+    — split-based text reads lose it once a file spans splits (split
+    partition order is bin-packed by size, not offset). Delta logs are
+    small CDC files (the reference reads them whole too,
+    DeltaLogParser.java:279); parsing splits lines per micro-batch."""
     return (
         spark.readStream.format("text")
+        .option("wholetext", "true")
         .option("maxFilesPerTrigger", 16)
         .load(dlog_dir)
         .select(F.col("value"), F.input_file_name().alias("src_file"))
@@ -66,27 +70,28 @@ def read_delta_log_stream(spark: SparkSession, dlog_dir: str) -> DataFrame:
 
 
 def parse_batch(batch_df: DataFrame) -> DataFrame:
-    """Micro-batch lines → classified change stream.
+    """Micro-batch whole-file rows → classified change stream.
 
-    ``seq`` must respect delta-log chronology ACROSS files in the same
-    micro-batch: Spark schedules file splits largest-first, so raw
-    monotonically_increasing_id would let an older-but-bigger log
-    outrank a newer one. The order is therefore (file-name rank ≪ 40 |
-    within-partition id): dlog/t-file names are timestamp-sortable
-    (Rsyncker's dlog-<ts> convention), giving cross-file chronology;
-    the low bits keep within-file line order (a text-source partition
-    reads its lines sequentially)."""
+    ``seq`` = (file-name rank ≪ 40 | line offset within the file).
+    File names are timestamp-sortable (the reference's dlog-<ts>/t-<ts>
+    convention) → cross-file chronology; posexplode of the file's own
+    line array → EXACT within-file order (no dependence on split or
+    partition scheduling)."""
     from pyspark.sql import Window
 
-    ranked = batch_df.withColumn(
-        "_frank",
-        F.dense_rank().over(Window.orderBy("src_file")).cast("long"),
-    ).withColumn(
-        "seq",
-        (F.col("_frank") * F.lit(1 << 40))
-        + F.pmod(F.monotonically_increasing_id(), F.lit(1 << 40)),
+    ranked = (
+        batch_df.withColumn(
+            "_frank",
+            F.dense_rank().over(Window.orderBy("src_file")).cast("long"),
+        )
+        .select(
+            "_frank",
+            F.posexplode(F.split(F.col("value"), "\n")).alias("_pos", "line"),
+        )
+        .where(F.col("line") != "")
+        .withColumn("seq", F.col("_frank") * F.lit(1 << 40) + F.col("_pos"))
     )
-    return I.parse_delta_log(ranked)
+    return I.parse_delta_log(ranked, line_col="line")
 
 
 def run_incremental_merge(
@@ -111,17 +116,15 @@ def run_incremental_merge(
             )
         new_rows = changes.where(F.col("op") == "upsert")
         merged = I.apply_changes(snapshot, changes, new_rows)
-        # versioned snapshot + atomic pointer rename = the commit
-        # record (the reference's rename-as-commit): a crash anywhere
-        # before the os.replace leaves the pointer at the previous
-        # snapshot — no torn reads, no silent reset; the batch replays
-        # idempotently into the same version directory
-        ver_path = os.path.join(snapshot_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(ver_path)
-        tmp_ptr = os.path.join(snapshot_dir, "_LATEST.tmp")
-        with open(tmp_ptr, "w") as f:
-            f.write(f"v{batch_id}")
-        os.replace(tmp_ptr, os.path.join(snapshot_dir, "_LATEST"))
+        # commit through tables.py: it allocates latest+1 (NEVER the
+        # directory the lazy `snapshot` read is still reading from —
+        # version=batch_id here once self-overwrote vN on crash
+        # replay, destroying the snapshot mid-read) and flips the
+        # pointer atomically; a replayed batch simply commits a new
+        # version with identical content (merge is idempotent)
+        from .. import tables as TB
+
+        TB.commit(merged, snapshot_dir, note=f"batch {batch_id}")
 
     writer = (
         read_delta_log_stream(spark, dlog_dir)

@@ -96,3 +96,87 @@ def test_sampled_salt_plan_scales_counts(spark):
     # ~20k estimated rows / 2k per task ⇒ ~10-way salt (sampling noise ±)
     assert plan["hot"] >= 7
     assert plan.get("cold", 1) == 1
+
+
+def test_knn_many_no_duplicate_ranks_at_full_wrap(spark):
+    """Full longitude wrap used to generate the same frontier cell
+    twice (sequence(-nx/2, nx/2) is nx+1 offsets), letting one point
+    occupy two top-k slots."""
+    from htrc_ingester_spark.operators.knn_join import knn_join_many
+
+    pdf = pd.DataFrame(
+        {"image_id": ["a", "b"], "lon": [179.9, -179.9], "lat": [0.0, 0.1]}
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q"], "lon": [0.0], "lat": [0.0], "k": [2]})
+    )
+    got = knn_join_many(spark, spark.createDataFrame(pdf), q, res=3).toPandas()
+    assert sorted(got.image_id) == ["a", "b"]  # both points, once each
+    assert sorted(got["rank"]) == [1, 2]
+
+
+def test_sha1_declared_checksums_validate(spark):
+    """validate_pages used to compare md5 against SHA1 declarations —
+    every valid page of a SHA1-declared volume failed."""
+    import hashlib
+
+    from htrc_ingester_spark.sources import zipsource as Z
+
+    joined = spark.createDataFrame(
+        [
+            ("v", "f1", 5, 5, hashlib.md5(b"aaaaa").hexdigest(),
+             hashlib.sha1(b"aaaaa").hexdigest(), hashlib.sha1(b"aaaaa").hexdigest(), "SHA1"),
+            ("v", "f2", 5, 5, hashlib.md5(b"bbbbb").hexdigest(),
+             hashlib.sha1(b"bbbbb").hexdigest(), hashlib.md5(b"bbbbb").hexdigest(), "MD5"),
+            ("v", "f3", 5, 5, "x", "y", "z", "CRC32"),  # unknown type → error channel
+        ],
+        "volume_id string, filename string, byte_count long, size long,"
+        " md5 string, sha1 string, checksum string, checksum_type string",
+    )
+    ok, bad = Z.validate_pages(joined)
+    assert sorted(r.filename for r in ok.collect()) == ["f1", "f2"]
+    assert [r.filename for r in bad.collect()] == ["f3"]
+
+
+def test_corrupt_zip_member_is_error_row_not_job_abort(spark):
+    import io
+    import zipfile
+
+    from htrc_ingester_spark.sources import zipsource as Z
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("v/good.txt", "hello")
+        z.writestr("v/bad.txt", "corrupt-me")
+    blob = bytearray(buf.getvalue())
+    # flip bytes inside bad.txt's stored data to break its CRC
+    idx = bytes(blob).find(b"corrupt-me")
+    blob[idx : idx + 4] = b"XXXX"
+    df = spark.createDataFrame([("v1", bytes(blob))], "volume_id string, content binary")
+    out = Z.explode_zip_pages(df).toPandas()
+    good = out[out.filename == "good.txt"]
+    bad = out[out.filename == "bad.txt"]
+    assert len(good) == 1 and good.error.isna().all() and good.md5.notna().all()
+    assert len(bad) == 1 and bad.error.notna().all()
+
+
+def test_streaming_snapshots_are_versioned_with_history(spark, tmp_path):
+    """merge_batch now commits through tables.py: each batch is a NEW
+    immutable version (the old version=batch_id scheme self-overwrote
+    the directory the lazy snapshot read was reading on crash replay)."""
+    import os
+
+    from htrc_ingester_spark import tables as TB
+    from htrc_ingester_spark.streaming import incremental as S
+
+    d = tmp_path
+    os.makedirs(d / "dlogs")
+    (d / "dlogs" / "t-001.txt").write_text("root/ab/uc2,ark+=13960=ta.zip\n")
+    S.run_incremental_merge(spark, str(d / "dlogs"), str(d / "snap"), str(d / "ckpt"))
+    (d / "dlogs" / "t-002.txt").write_text("root/ab/uc2,ark+=13960=tb.zip\n")
+    S.run_incremental_merge(spark, str(d / "dlogs"), str(d / "snap"), str(d / "ckpt"))
+    h = TB.history(str(d / "snap"))
+    assert [e["version"] for e in h] == [0, 1]
+    # time travel into the pre-batch-2 snapshot still works
+    assert TB.read(spark, str(d / "snap"), version=0).count() == 1
+    assert TB.read(spark, str(d / "snap")).count() == 2
