@@ -132,17 +132,138 @@ _register_fn("tile_assign_hist", _tile_hist, _tile_hist_oracle())
 
 
 def _pip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General-polygon PIP (concave/antimeridian/polar/degenerate) —
-    ray-casting refine isn't ANSI-SQL-expressible, so: rows-only driver
-    check; the exact oracle lives in tests/test_spatial_operators.py."""
+    """General-polygon PIP (concave/antimeridian/polar/degenerate)
+    through the real cover+refine operator. Value-checked by a DuckDB
+    crossing-count oracle (see ``_pip_general_oracle``)."""
     from .. import data
     from ..operators.pip_join import pip_join
 
     img = FS.load_images(spark, sf_dir)
-    return pip_join(spark, img, data.polygons(), res=7).select("image_id", "poly_id")
+    return (
+        pip_join(spark, img, data.polygons(), res=7)
+        .select("image_id", "poly_id")
+        .orderBy("image_id", "poly_id")
+    )
 
 
-_register_fn("pip_join_polygons", _pip_general, None)
+def _pip_general_oracle() -> str:
+    """SQL twin of geo/geometry.py's ray-cast kernel over the seed-stable
+    polygon fixtures (data.polygons()).
+
+    The ring-only preprocessing (closure, longitude unwrap, winding
+    classification, frame center / mean latitude) is done here in Python
+    — it depends only on the fixture, not on the data — and the unwrapped
+    vertices are embedded as string→double literals (decimal literals
+    drift, see images_sql). The per-POINT math is pure SQL mirroring the
+    kernel formula-for-formula:
+
+    - normal rings (winding 0): shift query lon into the ring's
+      continuous frame via the same floor-mod numpy uses
+      (``a - floor(a/360)*360``), then even-odd ray cast with the
+      half-open rule ``(y1 > lat) != (y2 > lat)`` and strict
+      ``plon < x_intersect`` (geometry.py:59-74, :92-98).
+    - polar caps (winding ±1): meridian-ray-to-the-enclosed-pole with
+      span shifts {0, +360, -360} OR-combined per edge, EVEN crossing
+      parity = inside (geometry.py:99-128).
+
+    Parity discipline mirrors REF verify/Verifier.java:288-333 (the
+    checksum re-verification pass): the operator's output is value-checked
+    by an independent implementation, not trusted from its own pipeline.
+    """
+    import numpy as np
+
+    from .. import data
+    from ..geo.geometry import unwrap_ring
+
+    def d(x: float) -> str:
+        return f"cast('{float(x)!r}' as double)"
+
+    norm_rows: list[str] = []
+    cap_rows: list[str] = []
+    for p in data.polygons():
+        r_lon = np.array([v[0] for v in p["ring"]], dtype=np.float64)
+        r_lat = np.array([v[1] for v in p["ring"]], dtype=np.float64)
+        if r_lon.shape[0] < 3:
+            continue
+        if r_lon[0] != r_lon[-1] or r_lat[0] != r_lat[-1]:
+            r_lon = np.concatenate([r_lon, r_lon[:1]])
+            r_lat = np.concatenate([r_lat, r_lat[:1]])
+        u = unwrap_ring(r_lon)
+        wind = int(round((u[-1] - u[0]) / 360.0))
+        if wind == 0:
+            center = 0.5 * (u.min() + u.max())
+            for x1, y1, x2, y2 in zip(u[:-1], r_lat[:-1], u[1:], r_lat[1:]):
+                norm_rows.append(
+                    f"('{p['poly_id']}', {d(x1)}, {d(y1)}, {d(x2)}, {d(y2)}, {d(center)})"
+                )
+        else:
+            north = bool(np.mean(r_lat[:-1]) > 0.0)
+            lo = u.min()
+            for a, ya, b, yb in zip(u[:-1], r_lat[:-1], u[1:], r_lat[1:]):
+                cap_rows.append(
+                    f"('{p['poly_id']}', {d(a)}, {d(ya)}, {d(b)}, {d(yb)}, {d(lo)}, {str(north).lower()})"
+                )
+
+    # numpy's `%` is a - floor(a/b)*b — reproduce it literally
+    def fmod360(expr: str) -> str:
+        return f"(({expr}) - floor(({expr}) / 360.0) * 360.0)"
+
+    plon_norm = f"(center + ({fmod360('lon - center + 180.0')} - 180.0))"
+    xint = "(x1 + (lat - y1) * (x2 - x1) / (y2 - y1))"
+    crossing_norm = f"(((y1 > lat) != (y2 > lat)) and plon < {xint})"
+
+    plon_cap = f"(lo + {fmod360('lon - lo')})"
+
+    def cap_hit(shift: str) -> str:
+        pp = f"(plon + {shift})"
+        spans = f"((a <= {pp} and {pp} < b) or (b <= {pp} and {pp} < a))"
+        t = f"(case when b != a then ({pp} - a) / (b - a) else 0.0 end)"
+        ycross = f"(ya + {t} * (yb - ya))"
+        side = f"(case when north then {ycross} > lat else {ycross} < lat end)"
+        return f"({spans} and {side})"
+
+    cap_counted = f"({cap_hit('0.0')} or {cap_hit('360.0')} or {cap_hit('-360.0')})"
+
+    # lineitem carries duplicate (orderkey, linenumber) pairs, so img has
+    # full-row duplicate points; the operator emits one hit per input ROW.
+    # Parity must be computed per distinct point (grouping raw rows would
+    # double-count edges and flip parity), then re-expanded by joining
+    # back to img (image_id → (lon,lat) is functional, so id join is safe).
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    pt as (select distinct image_id, lon, lat from img),
+    norm_edges(poly_id, x1, y1, x2, y2, center) as (values {', '.join(norm_rows)}),
+    cap_edges(poly_id, a, ya, b, yb, lo, north) as (values {', '.join(cap_rows)}),
+    norm_hits as (
+      select image_id, poly_id from (
+        select p.image_id, e.poly_id, p.lat,
+               e.x1, e.y1, e.x2, e.y2, {plon_norm} as plon
+        from pt p cross join norm_edges e
+      ) t
+      group by image_id, poly_id
+      having sum(case when {crossing_norm} then 1 else 0 end) % 2 = 1
+    ),
+    cap_hits as (
+      select image_id, poly_id from (
+        select p.image_id, e.poly_id, p.lat,
+               e.a, e.ya, e.b, e.yb, e.north, {plon_cap} as plon
+        from pt p cross join cap_edges e
+      ) t
+      group by image_id, poly_id
+      having sum(case when {cap_counted} then 1 else 0 end) % 2 = 0
+    ),
+    hits as (
+      select image_id, poly_id from norm_hits
+      union all
+      select image_id, poly_id from cap_hits
+    )
+    select i.image_id as image_id, h.poly_id as poly_id
+    from img i join hits h on i.image_id = h.image_id
+    order by i.image_id, h.poly_id
+    """
+
+
+_register_fn("pip_join_polygons", _pip_general, _pip_general_oracle())
 
 _POINTS_SQL = """
     select cast(c_custkey as string) as point_id,
