@@ -53,38 +53,80 @@ EARTH_RADIUS_M = 6_371_008.8
 def _required_kx(bound_m: float, lat_q: float, r: int, res: int) -> int:
     """Columns of lon half-width needed so every point nearer than
     ``bound_m`` inside the covered rows is in a covered cell."""
-    if bound_m >= np.pi * EARTH_RADIUS_M:
-        # bound exceeds half the great circle: every longitude qualifies
-        return H.nx(res)
+    return int(
+        _required_kx_batch(
+            np.array([bound_m]), np.array([lat_q]), np.array([r]), res
+        )[0]
+    )
+
+
+def _required_kx_batch(bound_m: np.ndarray, lat_q: np.ndarray, r: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized ``_required_kx`` over all active queries at once."""
     ch = H.cell_h_deg(res)
-    band_lo = max(-90.0, lat_q - (r + 1) * ch)
-    band_hi = min(90.0, lat_q + (r + 1) * ch)
-    cos_min = min(np.cos(np.deg2rad(band_lo)), np.cos(np.deg2rad(band_hi)))
+    cw = H.cell_w_deg(res)
+    nxr = H.nx(res)
+    band_lo = np.maximum(-90.0, lat_q - (r + 1) * ch)
+    band_hi = np.minimum(90.0, lat_q + (r + 1) * ch)
+    cos_min = np.minimum(np.cos(np.deg2rad(band_lo)), np.cos(np.deg2rad(band_hi)))
     s = np.sin(bound_m / (2.0 * EARTH_RADIUS_M))
-    if cos_min <= 0.0 or s / cos_min >= 1.0:
-        return H.nx(res)  # full wrap
-    dlon_deg = np.rad2deg(2.0 * np.arcsin(s / cos_min))
-    return int(np.ceil(dlon_deg / H.cell_w_deg(res))) + 1
+    # full wrap: bound exceeds half the great circle, band touches a
+    # pole, or the required Δλ has no solution (s/cos_min ≥ 1)
+    full = (bound_m >= np.pi * EARTH_RADIUS_M) | (cos_min <= 0.0) | (s >= cos_min)
+    ratio = np.where(full, 0.0, s / np.where(cos_min > 0.0, cos_min, 1.0))
+    dlon_deg = np.rad2deg(2.0 * np.arcsin(np.clip(ratio, 0.0, 1.0)))
+    kx = np.ceil(dlon_deg / cw).astype(np.int64) + 1
+    return np.where(full, nxr, kx)
 
 
 def _ring_cells(x0: int, y0: int, r: int, kx: int, pr: int, pkx: int, res: int) -> np.ndarray:
     """disk(r, kx) minus disk(pr, pkx) around grid position (x0, y0);
     pr < 0 means no previous disk. Longitude wraps; rows clamp."""
+    _, cells = _ring_cells_batch(
+        np.array([x0]), np.array([y0]), np.array([r]),
+        np.array([kx]), np.array([pr]), np.array([pkx]), res,
+    )
+    return cells
+
+
+def _ring_cells_batch(
+    x0: np.ndarray, y0: np.ndarray, r: np.ndarray,
+    kx: np.ndarray, pr: np.ndarray, pkx: np.ndarray, res: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All active queries' frontier rings in ONE numpy pass (no
+    per-query Python loop — the round-1 driver bottleneck at ≥10⁵
+    queries). Returns (query_index, cell) pairs, unique per query.
+
+    Each query i contributes the grid ``ys(i) × xs(i)`` minus its
+    previous disk; the concatenated grids are addressed by a flat
+    index decomposed with per-query strides.
+    """
     nxr, nyr = H.nx(res), H.ny(res)
-    kx = min(kx, nxr // 2)
-    pkx = min(pkx, nxr // 2)
-    ys = np.arange(max(0, y0 - r), min(nyr - 1, y0 + r) + 1, dtype=np.int64)
-    xs_off = np.arange(-kx, kx + 1, dtype=np.int64)
-    xs = (x0 + xs_off) % nxr
-    xx, yy = np.meshgrid(xs, ys)
-    xo, _ = np.meshgrid(xs_off, ys)
-    if pr >= 0:
-        inner = (np.abs(xo) <= pkx) & (np.abs(yy - y0) <= pr)
-        keep = ~inner.ravel()
-    else:
-        keep = np.ones(xx.size, dtype=bool)
-    cells = H.pack_xy(xx.ravel()[keep], yy.ravel()[keep], res)
-    return np.unique(cells)
+    x0 = np.asarray(x0, dtype=np.int64)
+    y0 = np.asarray(y0, dtype=np.int64)
+    r = np.asarray(r, dtype=np.int64)
+    kxc = np.minimum(np.asarray(kx, dtype=np.int64), nxr // 2)
+    pkxc = np.minimum(np.asarray(pkx, dtype=np.int64), nxr // 2)
+    pr = np.asarray(pr, dtype=np.int64)
+    ylo = np.maximum(0, y0 - r)
+    yhi = np.minimum(nyr - 1, y0 + r)
+    nxq = 2 * kxc + 1
+    tot = (yhi - ylo + 1) * nxq
+    off = np.concatenate([[0], np.cumsum(tot)])
+    n = int(off[-1])
+    qidx = np.repeat(np.arange(len(x0), dtype=np.int64), tot)
+    j = np.arange(n, dtype=np.int64) - off[qidx]
+    row = j // nxq[qidx]
+    col = j - row * nxq[qidx]
+    y = ylo[qidx] + row
+    xo = col - kxc[qidx]
+    x = (x0[qidx] + xo) % nxr
+    keep = ~((np.abs(xo) <= pkxc[qidx]) & (np.abs(y - y0[qidx]) <= pr[qidx]))
+    qk, xk, yk = qidx[keep], x[keep], y[keep]
+    # per-query dedup: a full-wrap disk (2kx+1 = nx+1 offsets) aliases
+    # its two extreme columns onto the same grid column
+    key = qk * np.int64(nxr) * np.int64(nyr) + xk * np.int64(nyr) + yk
+    _, uidx = np.unique(key, return_index=True)
+    return qk[uidx], H.pack_xy(xk[uidx], yk[uidx], res)
 
 
 FRONTIER_SCHEMA = T.StructType(
@@ -116,13 +158,29 @@ def knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_rounds: int = 32,
+    many_threshold: int = 50_000,
 ) -> DataFrame:
     """k nearest ``points`` per query row. ``queries`` is a small
     driver-side pandas frame (query_id, lon, lat, k).
 
     Returns a DataFrame (query_id, image_id, dist_m, rank) with
     rank 1..k ordered by (dist_m, image_id).
+
+    Above ``many_threshold`` queries the driver-side state (top-k merge
+    + per-round toPandas) stops being the right trade, so the call
+    dispatches to :func:`knn_join_many`, which keeps all per-query
+    state in Spark. Both variants implement the identical ring
+    expansion and tie order, so results are interchangeable
+    (tests/test_knn.py pins the parity).
     """
+    if len(queries) >= many_threshold:
+        qdf = spark.createDataFrame(
+            queries[["query_id", "lon", "lat", "k"]]
+        )
+        return knn_join_many(
+            spark, points, qdf, res=res,
+            id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+        )
     skel = points.select(
         F.col(id_col).alias("image_id"),
         F.col(lon_col).alias("p_lon"),
@@ -157,40 +215,41 @@ def _knn_loop(spark, skel, queries, res, max_rounds):
         act = q[~q["done"]]
         if not len(act):
             break
-        # next radius: quadruple (fewer rounds; last ring dominates cost)
-        frames = []
-        new_r = {}
-        new_kx = {}
-        for row in act.itertuples(index=True):
-            r = 2 if row.r == 0 else min(row.r * 4, nyr)
-            bound = r * ch_m
-            kx = _required_kx(bound, float(row.lat), r, res)
-            ring = _ring_cells(int(row.x0), int(row.y0), r, kx, int(row.pr), int(row.pkx), res)
-            new_r[row.Index] = r
-            new_kx[row.Index] = kx
-            if len(ring):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": row.query_id,
-                            "q_lon": float(row.lon),
-                            "q_lat": float(row.lat),
-                            "k": int(row.k),
-                            "cell": ring,
-                        }
-                    )
-                )
-        for idx, r in new_r.items():
-            kx = new_kx[idx]
-            q.loc[idx, ["pr", "pkx", "r"]] = [r, kx, r]
-            y0 = int(q.loc[idx, "y0"])
-            all_rows = r >= max(y0, nyr - 1 - y0)
-            all_cols = kx >= nxr // 2
-            q.loc[idx, "covered"] = total_cells if (all_rows and all_cols) else 0
-        if frames:
-            frontier = spark.createDataFrame(
-                pd.concat(frames, ignore_index=True), schema=FRONTIER_SCHEMA
+        # next radius: quadruple (fewer rounds; last ring dominates cost).
+        # Everything below is one vectorized pass over ALL active
+        # queries — no per-query Python loop (driver stays flat at 10⁵+
+        # queries; see scripts/knn_scale_bench.py).
+        old_r = act["r"].to_numpy(dtype=np.int64)
+        new_r = np.where(old_r == 0, 2, np.minimum(old_r * 4, nyr))
+        new_kx = _required_kx_batch(
+            new_r * ch_m, act["lat"].to_numpy(dtype=np.float64), new_r, res
+        )
+        qk, ring_cells = _ring_cells_batch(
+            act["x0"].to_numpy(dtype=np.int64),
+            act["y0"].to_numpy(dtype=np.int64),
+            new_r,
+            new_kx,
+            act["pr"].to_numpy(dtype=np.int64),
+            act["pkx"].to_numpy(dtype=np.int64),
+            res,
+        )
+        q.loc[act.index, "pr"] = new_r
+        q.loc[act.index, "pkx"] = new_kx
+        q.loc[act.index, "r"] = new_r
+        y0 = act["y0"].to_numpy(dtype=np.int64)
+        full_cover = (new_r >= np.maximum(y0, nyr - 1 - y0)) & (new_kx >= nxr // 2)
+        q.loc[act.index, "covered"] = np.where(full_cover, total_cells, 0)
+        if len(ring_cells):
+            frontier_pdf = pd.DataFrame(
+                {
+                    "query_id": act["query_id"].to_numpy()[qk],
+                    "q_lon": act["lon"].to_numpy(dtype=np.float64)[qk],
+                    "q_lat": act["lat"].to_numpy(dtype=np.float64)[qk],
+                    "k": act["k"].to_numpy()[qk],
+                    "cell": ring_cells,
+                }
             )
+            frontier = spark.createDataFrame(frontier_pdf, schema=FRONTIER_SCHEMA)
             cand = skel.join(F.broadcast(frontier), "cell", "inner").withColumn(
                 "dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon")
             )
@@ -210,10 +269,12 @@ def _knn_loop(spark, skel, queries, res, max_rounds):
         # NO id-dedup: every ROW is a point; duplicate ids are data
         # (exact_dedup is the cure), and all three kNN variants must
         # rank them identically (brute force keeps them).
+        parts = [f for f in (best, top) if len(f)]
         best = (
-            pd.concat([best, top], ignore_index=True)
-            .sort_values(["query_id", "dist_m", "image_id"], kind="mergesort")
-        )
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=["query_id", "image_id", "dist_m"])
+        ).sort_values(["query_id", "dist_m", "image_id"], kind="mergesort")
         kmap = q.set_index("query_id")["k"]
         rn = best.groupby("query_id", sort=False).cumcount()
         best = best[rn < best["query_id"].map(kmap).to_numpy()]
@@ -221,23 +282,23 @@ def _knn_loop(spark, skel, queries, res, max_rounds):
         # vectorized termination: n ≥ k AND kth_dist < bound, or exhausted
         stats = best.groupby("query_id").agg(n=("image_id", "size"), kth=("dist_m", "max"))
         q = q.set_index("query_id")
-        stats = stats.reindex(q.index).fillna({"n": 0, "kth": np.inf})
+        stats = stats.reindex(q.index)
+        n_found = np.nan_to_num(stats["n"].to_numpy(dtype=np.float64), nan=0.0)
+        kth = stats["kth"].to_numpy(dtype=np.float64)
+        kth = np.where(np.isnan(kth), np.inf, kth)
         bound_now = q["r"].to_numpy() * ch_m
         exhausted = q["covered"].to_numpy() >= total_cells
-        done = exhausted | (
-            (stats["n"].to_numpy() >= q["k"].to_numpy())
-            & (stats["kth"].to_numpy() < bound_now)
-        )
+        done = exhausted | ((n_found >= q["k"].to_numpy()) & (kth < bound_now))
         q["done"] = q["done"].to_numpy() | done
         q = q.reset_index()
 
-    best = best.sort_values(["query_id", "dist_m", "image_id"], kind="mergesort")
-    best["rank"] = best.groupby("query_id").cumcount() + 1
-    out_rows = [
-        (r.query_id, str(r.image_id), float(r.dist_m), int(r.rank))
-        for r in best.itertuples(index=False)
-    ]
-    return spark.createDataFrame(out_rows, schema=OUT_SCHEMA)
+    best = best.sort_values(["query_id", "dist_m", "image_id"], kind="mergesort").reset_index(drop=True)
+    best["rank"] = (best.groupby("query_id").cumcount() + 1).astype(np.int32)
+    best["image_id"] = best["image_id"].astype(str)
+    best["dist_m"] = best["dist_m"].astype(np.float64)
+    return spark.createDataFrame(
+        best[["query_id", "image_id", "dist_m", "rank"]], schema=OUT_SCHEMA
+    )
 
 
 def knn_join_bruteforce(
