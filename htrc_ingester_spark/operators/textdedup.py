@@ -182,36 +182,66 @@ def minhash_signatures(
     n_bands: int = 8,
     rows_per_band: int = 2,
     shingle_k: int = 3,
+    hash_impl: str = "xx64",
 ) -> DataFrame:
-    """(id, band, bucket): LSH bucket per band = md5 of the band's
-    concatenated row min-hashes.
+    """(id, band, bucket): LSH bucket per band = hash of the band's
+    row min-hashes.
 
     Implementation: explode shingles once, compute every salted hash on
     the exploded rows, take per-doc ``min()`` aggregates. One pass over
     the shingle stream with map-side partial aggregation — Catalyst's
     projection collapsing would otherwise recompute the shingle array
-    per hash (measured 16x blowup on the inlined-transform version)."""
+    per hash (measured 16x blowup on the inlined-transform version).
+
+    ``hash_impl``:
+
+    - ``"xx64"`` (default): native ``xxhash64(seed_lit, shingle)`` —
+      bigint min-hashes, all whole-stage-codegen, ~2x faster than the
+      md5 family (the round-1 headline bottleneck). Buckets are bigints.
+      No cross-dialect twin exists, so the catalog oracle checks the
+      verified-pairs OUTPUT (exact Jaccard is hash-free) rather than
+      the signatures.
+    - ``"md5"``: the cross-dialect family (``minhash_sql``) — 32-bit
+      hex slices of salted md5, reproducible verbatim in DuckDB for
+      signature-level oracles.
+    """
     sh = shingles_sql(text_col, shingle_k, "spark")
     n_hashes = n_bands * rows_per_band
-    n_chunks = (n_hashes + 3) // 4
-    exploded = df.select(id_col, F.explode(F.expr(sh)).alias("_s")).select(
-        id_col,
-        *[F.expr(f"md5(concat('c{c}:', _s))").alias(f"_h{c}") for c in range(n_chunks)],
-    )
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.expr(f"substr(_h{h // 4}, {(h % 4) * 8 + 1}, 8)")).alias(f"_m{h}")
-            for h in range(n_hashes)
+    exploded_raw = df.select(id_col, F.explode(F.expr(sh)).alias("_s"))
+    if hash_impl == "xx64":
+        mins = exploded_raw.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64(F.lit(h), F.col("_s"))).alias(f"_m{h}")
+                for h in range(n_hashes)
+            ]
+        )
+        band_cols = [
+            F.xxhash64(
+                F.lit(-1 - b),
+                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias(f"_b{b}")
+            for b in range(n_bands)
         ]
-    )
-    band_cols = [
-        F.expr(
-            "md5(concat("
-            + ", ".join(f"_m{b * rows_per_band + r}" for r in range(rows_per_band))
-            + "))"
-        ).alias(f"_b{b}")
-        for b in range(n_bands)
-    ]
+    else:
+        n_chunks = (n_hashes + 3) // 4
+        exploded = exploded_raw.select(
+            id_col,
+            *[F.expr(f"md5(concat('c{c}:', _s))").alias(f"_h{c}") for c in range(n_chunks)],
+        )
+        mins = exploded.groupBy(id_col).agg(
+            *[
+                F.min(F.expr(f"substr(_h{h // 4}, {(h % 4) * 8 + 1}, 8)")).alias(f"_m{h}")
+                for h in range(n_hashes)
+            ]
+        )
+        band_cols = [
+            F.expr(
+                "md5(concat("
+                + ", ".join(f"_m{b * rows_per_band + r}" for r in range(rows_per_band))
+                + "))"
+            ).alias(f"_b{b}")
+            for b in range(n_bands)
+        ]
     sig = mins.select(id_col, *band_cols)
     pairs = F.array(
         *[F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bucket")) for b in range(n_bands)]
@@ -231,40 +261,74 @@ def lsh_near_dup_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 50,
+    hash_impl: str = "xx64",
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: band-bucket self-join candidates, then
     exact shingle-Jaccard verify. ``max_bucket`` drops degenerate hot
     buckets (boilerplate skew guard — logged upstream, not silent: the
     dropped buckets are exactly the all-identical groups that exact
-    dedup already collapses)."""
-    # signatures feed BOTH the bucket-size pass and the join — persist
-    # the tiny (id, band, bucket) frame or the whole shingle+hash
-    # lineage runs twice
-    sig = minhash_signatures(df, id_col, text_col, n_bands, rows_per_band, shingle_k).persist()
-    sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    kept = sig.join(F.broadcast(sizes.where(F.col("_n") <= max_bucket)), ["band", "bucket"])
-    a = kept.alias("a")
-    b = kept.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    dedup already collapses).
+
+    Plan shape (round-2 rework — the round-1 headline cost was stage
+    DEPTH, not hashing):
+
+    - bucket-size guard is a WINDOW over (band, bucket) (spillable —
+      a hot boilerplate bucket never materializes in an aggregation
+      buffer), and pair generation COMPACTS each surviving bucket with
+      ``collect_list`` on the SAME exchange, exploding i<j pairs
+      in-place — no bucket self-join, no second shuffle, and the
+      collect is bounded by ``max_bucket``;
+    - the verify joins broadcast the candidate-doc shingle arrays
+      (|candidate docs| ≈ 2x|pairs| ≪ corpus). Set
+      ``broadcast_verify=False`` for a pathological corpus where the
+      candidate set itself exceeds broadcast size — the joins fall back
+      to shuffle joins of the same shape.
+    """
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(
+        df, id_col, text_col, n_bands, rows_per_band, shingle_k, hash_impl
     )
+    wb = Window.partitionBy("band", "bucket")
+    kept = sig.withColumn("_n", F.count(F.lit(1)).over(wb)).where(
+        F.col("_n") <= max_bucket
+    )
+    grouped = kept.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ids, (x, i) ->"
+                " transform(slice(_ids, i + 2, size(_ids)),"
+                " y -> struct(x as id_a, y as id_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.id_a", "_p.id_b")
+    # sorted list ⇒ id_a ≤ id_b; drop equal-id pairs (duplicate doc ids
+    # are data, but a doc is never its own near-duplicate)
+    cand = pairs.where(F.col("id_a") < F.col("id_b")).distinct()
     # exact-verify shingles ONLY for docs that appear in a candidate
     # pair (≈ 2×|pairs| ≪ corpus — at 10^12 rows this is the
     # difference between re-shingling everything and almost nothing)
     cand_ids = cand.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
+    if broadcast_verify:
+        cand_ids = F.broadcast(cand_ids)
     sh = shingles_sql(text_col, shingle_k, "spark")
     docs = (
         df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), F.expr(f"array_distinct({sh})").alias("_sh"))
     )
+    docs_a = docs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha")
+    docs_b = docs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb")
+    if broadcast_verify:
+        docs_a, docs_b = F.broadcast(docs_a), F.broadcast(docs_b)
     verified = (
-        cand.join(docs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
-        .join(docs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        cand.join(docs_a, "id_a")
+        .join(docs_b, "id_b")
         .withColumn(
             "jaccard",
             F.expr(

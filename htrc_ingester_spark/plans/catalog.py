@@ -866,38 +866,28 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle() -> str:
+    """Output-level oracle: ALL pairs with exact shingle-Jaccard ≥ 0.5
+    (hash-free — O(n²) is fine at oracle scale). This is a STRICTER
+    check than replicating the LSH buckets: the operator must find
+    every true near-dup pair (recall) and nothing else (the verify
+    stage guarantees precision). The xx64 signature family has no
+    cross-dialect twin; a miss from banding or the max_bucket guard
+    would surface as a gate failure — on the fixture every true pair
+    has Jaccard ≥ 0.87, so the 8-band/2-row miss probability is < 1e-5
+    and the deterministic fixture either passes forever or never."""
     from ..operators import textdedup as TD
 
     sh = TD.shingles_sql("text", 3, "duckdb")
-    n_bands, rpb, max_bucket = 8, 2, 50
-    band_selects = []
-    for b in range(n_bands):
-        mins = [TD.minhash_sql("shraw", b * rpb + r, "duckdb") for r in range(rpb)]
-        band_selects.append(
-            f"select doc_id, {b} as band, md5(concat({', '.join(mins)})) as bucket from sh"
-        )
-    buckets = " union all ".join(band_selects)
     return f"""
     with docs as ({_dup_docs_sql('duckdb')}),
     sh as (
-      select doc_id, {sh} as shraw, list_distinct({sh}) as shd
+      select doc_id, list_distinct({sh}) as shd
       from docs where len({sh}) > 0),
-    buckets as ({buckets}),
-    keep as (
-      select band, bucket from buckets group by 1, 2 having count(*) <= {max_bucket}),
-    kept as (
-      select b.* from buckets b join keep k using (band, bucket)),
-    cand as (
-      select distinct a.doc_id as id_a, b.doc_id as id_b
-      from kept a join kept b using (band, bucket)
-      where a.doc_id < b.doc_id),
     verified as (
-      select c.id_a, c.id_b,
-             round(cast(len(list_intersect(sa.shd, sb.shd)) as double) /
-                   len(list_distinct(list_concat(sa.shd, sb.shd))), 5) as jaccard
-      from cand c
-      join sh sa on sa.doc_id = c.id_a
-      join sh sb on sb.doc_id = c.id_b)
+      select a.doc_id as id_a, b.doc_id as id_b,
+             round(cast(len(list_intersect(a.shd, b.shd)) as double) /
+                   len(list_distinct(list_concat(a.shd, b.shd))), 5) as jaccard
+      from sh a join sh b on a.doc_id < b.doc_id)
     select id_a, id_b, jaccard from verified
     where jaccard >= 0.5 order by id_a, id_b
     """
