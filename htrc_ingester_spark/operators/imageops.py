@@ -19,10 +19,16 @@ This module is the Spark-side plumbing for that contract:
   call is one function swap on a real cluster.
 
 All Python work is Arrow-batched ``mapInPandas`` — one Python
-invocation per ~64k-row batch, vectorized numpy inside (codec.py);
-per-row Python never touches Spark's row loop. ``bytes`` stays in the
-partition it was read in — no shuffle of image content (bounded-shuffle
-rule); only the skeleton of the validation result moves.
+invocation per batch. Inside a batch, inherently per-row steps (zlib
+decode of variable-size frames, the per-image keyed PRNG) run in a
+tight numpy-filling loop; every fixed-size step (the 32×32 DCT phash,
+threshold checks, output assembly) is vectorized across the batch
+(``codec.phash64_batch``). Measured floor: ~143 µs/row single-process,
+of which the contract-mandated expected-pixel PRNG is ~45 µs; the
+32-worker host ceiling is ~3x the single-process rate (memory/steal
+contention, see BENCH.md). ``bytes`` stays in the partition it was
+read in — no shuffle of image content (bounded-shuffle rule); only the
+skeleton of the validation result moves.
 """
 
 from __future__ import annotations
@@ -63,40 +69,73 @@ def _expected_pixels(image_id: str, w: int, h: int, seed_ns: int) -> np.ndarray:
 
 def decode_validate(df: DataFrame, seed_ns: int = 43) -> DataFrame:
     """Per-row decode + full invariant check. Input columns:
-    (image_id, bytes, w, h, fmt, caption, phash, lon, lat)."""
+    (image_id, bytes, w, h, fmt, caption, phash, lon, lat).
+
+    Batch structure: the parts that are inherently per-row (zlib decode,
+    the per-image keyed PRNG for expected pixels, PSNR over
+    variable-size frames) run in a tight loop that only fills numpy
+    arrays; everything fixed-size — the 32×32 DCT phash, threshold
+    checks, output assembly — is vectorized across the whole Arrow
+    batch (``codec.phash64_batch``)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k.name: [] for k in VALIDATE_SCHEMA.fields}
-            for r in pdf.itertuples(index=False):
-                err = None
-                shape_ok = psnr_ok = caption_ok = phash_ok = False
-                psnr = float("nan")
-                ph = 0
+            n = len(pdf)
+            ids = pdf["image_id"].astype(str).to_numpy()
+            fmts = pdf["fmt"].astype(str).to_numpy()
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            lons = pdf["lon"].to_numpy(dtype=np.float64)
+            lats = pdf["lat"].to_numpy(dtype=np.float64)
+            caps = pdf["caption"].to_numpy()
+            decl_ph = pdf["phash"].to_numpy()
+            blobs = pdf["bytes"].to_numpy()
+
+            shape_ok = np.zeros(n, dtype=bool)
+            psnr = np.full(n, np.nan)
+            caption_ok = np.zeros(n, dtype=bool)
+            decoded = np.zeros(n, dtype=bool)
+            errors: list[str | None] = [None] * n
+            grays = np.zeros((n, codec._PHASH_SIZE, codec._PHASH_SIZE))
+            for i in range(n):
                 try:
-                    pix = codec.decode_image(bytes(r.bytes))
-                    shape_ok = pix.shape == (int(r.h), int(r.w), 3)
-                    want = _expected_pixels(str(r.image_id), int(r.w), int(r.h), seed_ns)
-                    psnr = codec.psnr_db(pix, want) if shape_ok else 0.0
-                    psnr_ok = (psnr == float("inf")) if r.fmt == "png" else (psnr >= PSNR_MIN_DB)
-                    lat, lon = float(r.lat), float(r.lon)
-                    caption_ok = r.caption == f"caption for {r.image_id} at {lat:.4f},{lon:.4f}"
-                    ph = codec.phash64(pix)
-                    phash_ok = int(ph) == int(r.phash)
+                    pix = codec.decode_image(bytes(blobs[i]))
+                    decoded[i] = True
+                    shape_ok[i] = pix.shape == (int(hs[i]), int(ws[i]), 3)
+                    if shape_ok[i]:
+                        want = _expected_pixels(ids[i], int(ws[i]), int(hs[i]), seed_ns)
+                        psnr[i] = codec.psnr_db(pix, want)
+                    else:
+                        psnr[i] = 0.0
+                    caption_ok[i] = (
+                        caps[i] == f"caption for {ids[i]} at {lats[i]:.4f},{lons[i]:.4f}"
+                    )
+                    grays[i] = codec._resize_gray(pix)
                 except NotImplementedError as e:  # stubbed formats
-                    err = f"stub: {e}"
+                    errors[i] = f"stub: {e}"
                 except Exception as e:  # torn bytes → error channel
-                    err = repr(e)
-                out["image_id"].append(str(r.image_id))
-                out["fmt"].append(str(r.fmt))
-                out["shape_ok"].append(shape_ok)
-                out["psnr_db"].append(float(min(psnr, 1e9)))
-                out["psnr_ok"].append(psnr_ok)
-                out["caption_ok"].append(caption_ok)
-                out["phash_ok"].append(phash_ok)
-                out["phash"].append(int(ph))
-                out["error"].append(err)
-            yield pd.DataFrame(out)
+                    errors[i] = repr(e)
+
+            ph = np.zeros(n, dtype=np.int64)
+            if decoded.any():
+                ph[decoded] = codec.phash64_batch(grays[decoded])
+            phash_ok = decoded & (ph == decl_ph.astype(np.int64))
+            psnr_ok = np.where(
+                fmts == "png", np.isinf(psnr), psnr >= PSNR_MIN_DB
+            ) & decoded
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "fmt": fmts,
+                    "shape_ok": shape_ok,
+                    "psnr_db": np.minimum(np.nan_to_num(psnr, nan=np.nan, posinf=1e9), 1e9),
+                    "psnr_ok": psnr_ok,
+                    "caption_ok": caption_ok,
+                    "phash_ok": phash_ok,
+                    "phash": ph,
+                    "error": errors,
+                }
+            )
 
     return df.mapInPandas(batches, VALIDATE_SCHEMA)
 
@@ -109,11 +148,17 @@ def phash_column(df: DataFrame, bytes_col: str = "bytes", id_col: str = "image_i
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, phs = [], []
-            for r in pdf.itertuples(index=False):
-                ids.append(str(getattr(r, id_col)))
-                phs.append(codec.phash64(codec.decode_image(bytes(getattr(r, bytes_col)))))
-            yield pd.DataFrame({id_col: ids, "phash": phs})
+            n = len(pdf)
+            blobs = pdf[bytes_col].to_numpy()
+            grays = np.zeros((n, codec._PHASH_SIZE, codec._PHASH_SIZE))
+            for i in range(n):
+                grays[i] = codec._resize_gray(codec.decode_image(bytes(blobs[i])))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype(str).to_numpy(),
+                    "phash": codec.phash64_batch(grays),
+                }
+            )
 
     return df.select(id_col, bytes_col).mapInPandas(batches, schema)
 
@@ -134,15 +179,22 @@ def resize_features(df: DataFrame, thumb_size: int = 8) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"image_id": [], "thumb": [], "mean_rgb": [], "std_rgb": []}
-            for r in pdf.itertuples(index=False):
-                pix = codec.decode_image(bytes(r.bytes))
-                g = codec._resize_gray(pix, thumb_size)
-                rows["image_id"].append(str(r.image_id))
-                rows["thumb"].append([float(x) for x in g.ravel()])
-                rows["mean_rgb"].append([float(pix[..., c].mean()) for c in range(3)])
-                rows["std_rgb"].append([float(pix[..., c].std()) for c in range(3)])
-            yield pd.DataFrame(rows)
+            blobs = pdf["bytes"].to_numpy()
+            thumbs, means, stds = [], [], []
+            for i in range(len(pdf)):
+                pix = codec.decode_image(bytes(blobs[i]))
+                thumbs.append(codec._resize_gray(pix, thumb_size).ravel())
+                flat = pix.reshape(-1, 3).astype(np.float64)
+                means.append(flat.mean(axis=0))
+                stds.append(flat.std(axis=0))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].astype(str).to_numpy(),
+                    "thumb": thumbs,
+                    "mean_rgb": means,
+                    "std_rgb": stds,
+                }
+            )
 
     return df.select("image_id", "bytes").mapInPandas(batches, FEATURE_SCHEMA)
 

@@ -61,11 +61,18 @@ def main() -> None:
     n_images = images.count()
 
     def pipeline() -> dict:
+        # decode leg: 16m splits keep every worker fed on the bytes column
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
         checks = IO.decode_validate(images)
         bad = checks.where(
             ~(F.col("shape_ok") & F.col("psnr_ok") & F.col("caption_ok") & F.col("phash_ok"))
         ).count()
-        skel = images.select("image_id", "lon", "lat")
+        # spatial leg: column pruning drops the bytes column, so the
+        # same files are ~1% of the split-sizing weight — 16m splits
+        # would schedule 256 near-empty tasks. Per-leg split sizing is
+        # exactly what a real job would submit (conf is plan-time).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        skel = spark.read.parquet(table).select("image_id", "lon", "lat")
         hits = pip_join(spark, skel, FS.RECTS, res=FS.RES)
         tiled = assign_tiles(hits, zoom_res=FS.ZOOM_RES, n_tiles=FS.N_TILES)
         agg = tiled.groupBy("poly_id", "tile_id").agg(F.count(F.lit(1)).alias("n"))
