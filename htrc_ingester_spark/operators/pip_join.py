@@ -139,6 +139,26 @@ def build_cell_cover(polys: list[dict], res: int, res_max: int | None = None) ->
     )
 
 
+def cover_area_fraction(cover: pd.DataFrame) -> float:
+    """Upper bound on the fraction of the globe the cover touches
+    (grid-area sense): Σ 1/(nx·ny) over cover cells. Overlapping
+    polygons double-count — fine for a selectivity heuristic."""
+    cells = cover["cell"].to_numpy()
+    if not len(cells):
+        return 0.0
+    res = H.cell_res(cells)
+    frac = 0.0
+    for r in np.unique(res):
+        n_r = int((res == r).sum())
+        frac += n_r / (H.nx(int(r)) * H.ny(int(r)))
+    return min(1.0, frac)
+
+
+# auto-persist threshold: candidates ≤ ~25% of the point table is worth
+# one materialization to avoid the second scan+probe pass
+_PERSIST_FRACTION = 0.25
+
+
 def pip_join(
     spark: SparkSession,
     points: DataFrame,
@@ -147,7 +167,7 @@ def pip_join(
     res_max: int | None = None,
     lon_col: str = "lon",
     lat_col: str = "lat",
-    persist_candidates: bool = False,
+    persist_candidates: bool | None = None,
 ) -> DataFrame:
     """points ⋈ polygons containment join.
 
@@ -156,6 +176,18 @@ def pip_join(
     (inner-join semantics, like the reference's unmatched-zip-entry drop
     at HectorManager.java:508-510 — track drops with a left_anti if
     needed).
+
+    ``persist_candidates``: the full/partial split has two consumers,
+    so without persistence the point scan+probe runs twice. Default
+    ``None`` decides from the cover's area fraction (a driver-side
+    O(|cover|) estimate of candidate selectivity): selective covers
+    (< ~25% of the grid) persist the candidate set — at 10^12 points
+    that's ≪ one scan's worth of 3-column rows spread across the
+    cluster (MEMORY_AND_DISK, spills, never recomputes) — while
+    near-global covers keep the two-scan plan, whose second pass is a
+    column-pruned read cheaper than caching ~the whole table. Pass
+    True/False to override; the persisted frame is left cached for the
+    returned plan (unpersist after consuming if the session lives on).
     """
     if res_max is None:
         res_max = min(res + 5, H.RES_MAX)
@@ -191,18 +223,17 @@ def pip_join(
     # whole-stage codegen). Cover levels are disjoint regions per
     # polygon, so no duplicate hits.
     #
-    # Scan economics: the full/partial split consumes the join output
-    # twice, so the point-side scan+explode+probe runs once per branch
-    # (two total). The scan is a column-pruned read of 3 columns —
-    # cheaper than persisting the candidate set at 10^12 scale; when
-    # candidates are small relative to memory (selective polygons),
-    # pass persist_candidates=True to run the scan once instead.
+    # Scan economics: see the persist_candidates doc — selective covers
+    # persist the candidate set (single point-side scan), near-global
+    # covers re-scan the column-pruned skeleton per branch.
     levels = np.sort(np.unique(H.cell_res(cover["cell"].to_numpy()))).tolist()
     cover_df = spark.createDataFrame(cover, schema=schema)
     chain = F.array(*[h3_cell(lon_col, lat_col, int(r)) for r in levels])
     cand = points.withColumn("__cell", F.explode(chain)).join(
         F.broadcast(cover_df), F.col("__cell") == F.col("cell"), "inner"
     )
+    if persist_candidates is None:
+        persist_candidates = cover_area_fraction(cover) <= _PERSIST_FRACTION
     if persist_candidates:
         cand = cand.persist()
 
