@@ -58,6 +58,29 @@ def classify_line(line):
     )
 
 
+COPYRIGHT_ENUM = ("PUBLIC_DOMAIN", "IN_COPYRIGHT")
+
+
+def validate_copyright(df: DataFrame, col: str = "copyright",
+                       out_col: str = "copyright_enum", err_col: str = "error") -> DataFrame:
+    """C6: enum parse/validate with invalid→error-channel.
+
+    REF Constants.java:114-117 (CopyrightEnum {PUBLIC_DOMAIN,
+    IN_COPYRIGHT}) + DeltaLogParser.java:318-322 (valueOf on the
+    COPYRIGHT header value) — except an invalid value routes to the
+    error channel instead of throwing out of the parse thread, per the
+    engine's never-drop-silently discipline."""
+    v = F.col(col)
+    valid = v.isin(*COPYRIGHT_ENUM)
+    return df.withColumn(out_col, F.when(valid, v)).withColumn(
+        err_col,
+        F.when(
+            ~F.coalesce(valid, F.lit(False)),
+            F.concat(F.lit("invalid copyright: "), F.coalesce(v, F.lit("<null>"))),
+        ),
+    )
+
+
 def path_to_volume_id(path):
     """Leaf filename (minus extension), pairtree-uncleaned → volume id
     (F5: DeltaLogParser.java:423-452 line→volumeID; the clean/unclean

@@ -81,11 +81,20 @@ def compute_manifests(
 
 
 def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """None means 'no manifests yet' (fresh output dir). Any OTHER read
+    failure — torn files, permissions — propagates: an integrity module
+    must not mask integrity failures behind a silent full recompute."""
+    from pyspark.errors import AnalysisException
+
     path = os.path.join(out_dir, MANIFEST_SUBDIR)
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in (getattr(e, "getErrorClass", lambda: "")() or "") or (
+            "Path does not exist" in str(e)
+        ):
+            return None
+        raise
 
 
 def write_resumable(
@@ -186,6 +195,37 @@ def verify_manifests(
         F.col("c.phash_digest").alias("computed_phash"),
         F.col("d.phash_digest").alias("declared_phash"),
     )
+
+
+def invalidate_partitions(
+    spark: SparkSession, out_dir: str, partition_ids: list
+) -> int:
+    """Un-verify named partitions: drop their manifest rows so the next
+    ``write_resumable`` recomputes them from source — the manifest-side
+    half of the revert walk (REF tools/RevertDeltaLogs.java:604-710
+    renames _VERIFIED_ names backwards for exactly this effect).
+
+    Manifests are driver-trivial (one row per partition), so the
+    rewrite materializes them on the driver before overwriting the
+    manifest dir (can't overwrite a dir Spark is lazily reading).
+    Returns the number of manifest rows dropped."""
+    existing = read_manifests(spark, out_dir)
+    if existing is None:
+        return 0
+    pdf = existing.toPandas()
+    keep = pdf[~pdf["partition_id"].isin(partition_ids)]
+    dropped = len(pdf) - len(keep)
+    if dropped:
+        manifest_dir = os.path.join(out_dir, MANIFEST_SUBDIR)
+        if len(keep):
+            spark.createDataFrame(keep, schema=existing.schema).write.mode(
+                "overwrite"
+            ).parquet(manifest_dir)
+        else:
+            import shutil
+
+            shutil.rmtree(manifest_dir, ignore_errors=True)
+    return dropped
 
 
 def repair_partitions(

@@ -115,10 +115,30 @@ def neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: same-bucket candidates → exact
-    cosine ≥ threshold. Returns (id_a, id_b, cos)."""
+    cosine ≥ threshold. Returns (id_a, id_b, cos).
+
+    ``max_bucket`` is the hot-bucket guard its siblings already carry
+    (phash_neardup_pairs, lsh_near_dup_pairs): a flood of near-identical
+    vectors — exactly this operator's target workload — lands in ONE
+    8-bit bucket and the self-join goes quadratic in the flood before
+    the cosine filter runs. Buckets above the cap are dropped from the
+    pair search (they are the all-identical groups exact dedup
+    collapses); inspect them with :func:`oversized_buckets` — the
+    drop is observable, never silent. ``None`` disables the guard
+    (small corpora / oracle parity)."""
     b = with_bucket(df.select(id_col, vec_col), vec_col, dim)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("_n", F.count(F.lit(1)).over(wb))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a1 = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("bucket")
     )
@@ -131,6 +151,23 @@ def neardup_pairs(
         .withColumn("cos", F.expr(f"round({cosine_sql('_va', '_vb', 'spark')}, 5)"))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def oversized_buckets(
+    df: DataFrame,
+    max_bucket: int = 1000,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The side channel for ``neardup_pairs``' hot-bucket guard:
+    (bucket, n) rows the guard would drop — route these to exact dedup
+    or a salted verify instead of the quadratic self-join."""
+    return (
+        with_bucket(df, vec_col, dim)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
     )
 
 

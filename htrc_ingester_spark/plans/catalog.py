@@ -716,6 +716,48 @@ def _cdc_parse_oracle() -> str:
 _register_fn("cdc_delta_log_parse", _cdc_parse, _cdc_parse_oracle())
 
 
+# C6: copyright-enum validate (REF Constants.java:114-117,
+# DeltaLogParser.java:318-322) — valid values parse, invalid/missing
+# route to the error channel.
+_C6_SRC_SQL = """
+      select cast(doc_id as bigint) as doc_id,
+             case cast(doc_id % 5 as int)
+                  when 0 then 'PUBLIC_DOMAIN'
+                  when 1 then 'PUBLIC_DOMAIN'
+                  when 2 then 'IN_COPYRIGHT'
+                  when 3 then 'public_domain'
+                  else '' end as copyright
+      from documents
+"""
+
+
+def _c6_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import ingest as I
+
+    _load(spark, sf_dir, "documents")
+    src = spark.sql(_C6_SRC_SQL)
+    return (
+        I.validate_copyright(src)
+        .select("doc_id", "copyright_enum", "error")
+        .orderBy("doc_id")
+    )
+
+
+def _c6_oracle() -> str:
+    return f"""
+    with src as ({_C6_SRC_SQL})
+    select doc_id,
+           case when copyright in ('PUBLIC_DOMAIN', 'IN_COPYRIGHT')
+                then copyright end as copyright_enum,
+           case when copyright is null or copyright not in ('PUBLIC_DOMAIN', 'IN_COPYRIGHT')
+                then 'invalid copyright: ' || coalesce(copyright, '<null>') end as error
+    from src order by doc_id
+    """
+
+
+_register_fn("c6_enum_validate", _c6_validate, _c6_oracle())
+
+
 def _cdc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import ingest as I
 
@@ -1070,7 +1112,9 @@ def _emb_neardup_oracle() -> str:
     cos = E.cosine_sql("a.embedding", "b.embedding", "duckdb")
     return f"""
     with d as ({_dup_embs_sql('duckdb')}),
-    bb as (select vec_id, embedding, {b} as bucket from d)
+    bb0 as (select vec_id, embedding, {b} as bucket from d),
+    sz as (select bucket, count(*) as n from bb0 group by 1),
+    bb as (select bb0.* from bb0 join sz using (bucket) where sz.n <= 1000)
     select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 5) as cos
     from bb a join bb b on a.bucket = b.bucket and a.vec_id < b.vec_id
     where round({cos}, 5) >= 0.999

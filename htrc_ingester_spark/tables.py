@@ -48,12 +48,43 @@ def _latest_version(table_dir: str) -> int | None:
         return int(f.read().strip().lstrip("v"))
 
 
+def _max_version(table_dir: str) -> int | None:
+    """Highest version ever written (snapshot dirs + lock markers), NOT
+    the pointer: after a revert the pointer is behind, and a new commit
+    must never silently overwrite a reverted-away snapshot."""
+    best: int | None = None
+    for name in os.listdir(table_dir):
+        stem = name.removesuffix(".lock")
+        if stem.startswith("v") and stem[1:].isdigit():
+            v = int(stem[1:])
+            best = v if best is None else max(best, v)
+    return best
+
+
 def commit(df: DataFrame, table_dir: str, note: str = "") -> int:
     """Write the next immutable snapshot and flip the pointer. Returns
-    the new version number."""
+    the new version number.
+
+    Version allocation is ATOMIC: an O_CREAT|O_EXCL ``v<N>.lock``
+    marker claims the number before any data is written, so two
+    concurrent committers can never clobber each other's snapshot —
+    the loser retries with the next number (the minimal analog of
+    Iceberg's conflict-detecting commit; plain last-pointer-wins for
+    the flip itself, which is the same row-level semantics as the
+    reference's rename race)."""
     os.makedirs(table_dir, exist_ok=True)
-    cur = _latest_version(table_dir)
+    cur = _max_version(table_dir)
     version = 0 if cur is None else cur + 1
+    while True:
+        try:
+            fd = os.open(
+                os.path.join(table_dir, f"v{version}.lock"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            break
+        except FileExistsError:
+            version += 1
     path = os.path.join(table_dir, f"v{version}")
     df.write.mode("overwrite").parquet(path)
     n = df.sparkSession.read.parquet(path).count()
@@ -61,6 +92,42 @@ def commit(df: DataFrame, table_dir: str, note: str = "") -> int:
         f.write(
             json.dumps(
                 {"version": version, "ts": time.time(), "row_count": n, "note": note}
+            )
+            + "\n"
+        )
+    tmp = os.path.join(table_dir, _PTR + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{version}")
+    os.replace(tmp, os.path.join(table_dir, _PTR))
+    return version
+
+
+def revert(table_dir: str, version: int, note: str = "revert") -> int:
+    """Walk the commit pointer BACKWARDS to an existing snapshot.
+
+    The reference's revert tool (tools/RevertDeltaLogs.java:604-710)
+    renames the on-disk state machine backwards (_VERIFIED_ →
+    _PROCESSED_ → raw) so a stage genuinely re-runs; here the analogous
+    O(1)-metadata move is flipping ``_LATEST`` to ``v<version>``.
+    Later snapshots stay on disk for audit/time-travel; the commit log
+    records the revert; a subsequent ``commit()`` allocates ABOVE the
+    highest version ever written (``_max_version``), never overwriting
+    a reverted-away snapshot. Pair with
+    ``manifest.invalidate_partitions`` to make a downstream resumable
+    stage recompute from the reverted table."""
+    path = os.path.join(table_dir, f"v{version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no snapshot v{version} in {table_dir}")
+    cur = _latest_version(table_dir)
+    with open(os.path.join(table_dir, _LOG), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "version": version,
+                    "ts": time.time(),
+                    "note": note,
+                    "reverted_from": cur,
+                }
             )
             + "\n"
         )

@@ -64,7 +64,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--mult", type=int, default=20)
-    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--levels", default="2,8")  # 8->32 measures the HOST ceiling (steal/frequency), not the engine — see BENCH.md
     args = ap.parse_args()
 
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -88,7 +88,7 @@ def main() -> None:
     ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = f"""# BENCH — two-parallelism scaling evidence (north rule)
 
-Generated {ts} by `python scripts/scaling_bench.py --sf-dir {args.sf_dir} --mult {args.mult}`.
+Generated {ts} by `python scripts/scaling_bench.py --sf-dir {args.sf_dir} --mult {args.mult} --levels {lo},{hi}`.
 
 **Metric (BASELINE.json):** images/sec through H3-encode → PIP-join →
 tile-assign; scaling efficiency ≥ 0.8 from N to 4N executors.

@@ -124,3 +124,39 @@ def test_verify_detects_value_drift_same_rowcount(spark, tmp_path):
     fails = M.verify_manifests(spark, out, "bucket").toPandas()
     assert list(fails.partition_id) == [5]
     assert fails.computed_rows[0] == fails.declared_rows[0]  # counts match
+
+
+def test_invalidate_partitions_forces_rerun_and_converges(spark, tmp_path):
+    """Kill-revert-rerun: invalidating manifests for named partitions
+    makes write_resumable recompute exactly those, and the final output
+    equals an uninterrupted run."""
+    df = _images(spark)
+    out = str(tmp_path / "out")
+    M.write_resumable(spark, df, out, "bucket", commit_seq=1)
+    want = _read_sorted(spark, out)
+
+    dropped = M.invalidate_partitions(spark, out, [2, 5])
+    assert dropped == 2
+    stats = M.write_resumable(spark, df, out, "bucket", commit_seq=2)
+    assert stats == {"written": 2, "skipped": 6}
+    assert M.verify_manifests(spark, out, "bucket").count() == 0
+    got = _read_sorted(spark, out)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_read_manifests_propagates_corruption(spark, tmp_path):
+    """A corrupt manifest dir must RAISE, not silently degrade into a
+    full recompute (ADVICE r1): only path-not-found means 'fresh'."""
+    import os
+
+    out = str(tmp_path / "out")
+    assert M.read_manifests(spark, out) is None  # fresh: fine
+    mdir = os.path.join(out, M.MANIFEST_SUBDIR)
+    os.makedirs(mdir)
+    with open(os.path.join(mdir, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        df = M.read_manifests(spark, out)
+        # some Spark versions defer the failure to schema inference
+        if df is not None:
+            df.collect()

@@ -149,3 +149,8 @@ def test_processing_time_query_graceful_stop(spark, dirs):
         q.stop()
     q.awaitTermination(30)
     assert not q.isActive
+    # the stopped checkpoint is resumable: a later availableNow run on
+    # the SAME checkpoint drains only the new file and merges it
+    _write_dlog(os.path.join(dirs["dlog"], "t-002.txt"), ["root/ab/uc2,ark+=13960=tb.zip"])
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    assert _snapshot_ids(spark, dirs["snap"]) == ["uc2.ark:/13960/ta", "uc2.ark:/13960/tb"]

@@ -69,3 +69,42 @@ def test_collections_membership_set_semantics(spark, tmp_path):
     assert sorted(r.member_id for r in T.members(spark, d, "ALL").collect()) == ["x", "z"]
     # removal is collection-scoped: PUBLIC still has y
     assert sorted(r.member_id for r in T.members(spark, d, "PUBLIC").collect()) == ["x", "y"]
+
+
+def test_revert_walks_pointer_backwards_and_never_overwrites(spark, tmp_path):
+    """REF tools/RevertDeltaLogs.java:604-710 parity: revert makes the
+    stage genuinely re-run from the old state, and a post-revert commit
+    allocates ABOVE the highest version ever written."""
+    d = str(tmp_path / "t")
+    T.commit(_df(spark, ["a"]), d, note="v0")
+    T.commit(_df(spark, ["a", "b"]), d, note="v1")
+    T.commit(_df(spark, ["a", "b", "c"]), d, note="v2")
+    assert T.revert(d, 1) == 1
+    assert T.read(spark, d).count() == 2           # pointer is back at v1
+    assert T.read(spark, d, version=2).count() == 3  # v2 kept for audit
+    v3 = T.commit(_df(spark, ["x"]), d, note="after-revert")
+    assert v3 == 3                                  # above max-ever, not v2
+    assert T.read(spark, d).count() == 1
+    notes = [e.get("note") for e in T.history(d)]
+    assert "revert" in notes
+
+
+def test_revert_to_missing_version_raises(spark, tmp_path):
+    d = str(tmp_path / "t")
+    T.commit(_df(spark, ["a"]), d)
+    with pytest.raises(FileNotFoundError):
+        T.revert(d, 7)
+
+
+def test_concurrent_commit_version_allocation_is_atomic(spark, tmp_path):
+    """Two committers racing for the same version: the lock marker
+    forces distinct version numbers (no silent snapshot clobber)."""
+    import os
+
+    d = str(tmp_path / "t")
+    T.commit(_df(spark, ["a"]), d)
+    # simulate a concurrent committer that already claimed v1
+    open(os.path.join(d, "v1.lock"), "w").close()
+    v = T.commit(_df(spark, ["a", "b"]), d)
+    assert v == 2
+    assert T.read(spark, d).count() == 2
