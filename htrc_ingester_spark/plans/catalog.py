@@ -310,8 +310,11 @@ _register_fn("knn_join_suppliers", _knn, _knn_oracle())
 
 
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2-lite encode (Arrow pandas_udf — trig, not SQL) → per-face
-    counts. Rows-only driver check; numpy oracle in pytest."""
+    """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
+    the Arrow path) → per-face counts. The DuckDB oracle is the
+    ``s2_sql_expr`` twin: kernel-vs-SQL parity is exact on the fixture
+    (0 mismatching cells at sf0.001/sf0.01; a libm 1-ulp flip would
+    need a point within ~1e-15 of a cell boundary)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -335,7 +338,19 @@ def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register_fn("s2_encode_hist", _s2_hist, None)
+def _s2_hist_oracle() -> str:
+    from ..geo import s2lite
+
+    expr = s2lite.s2_sql_expr("lon", "lat", 12, "duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    cells as (select {expr} as s2_cell from img)
+    select cast(s2_cell // {1 << 59} as int) as face, cast(count(*) as bigint) as n
+    from cells group by 1 order by 1
+    """
+
+
+_register_fn("s2_encode_hist", _s2_hist, _s2_hist_oracle())
 
 
 # ===========================================================================
