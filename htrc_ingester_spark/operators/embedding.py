@@ -172,6 +172,103 @@ def oversized_buckets(
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer of nlist deterministic centroids
+# (±1-corner vectors from the same md5-parity family — RNG-free, fixed
+# forever). Rows are assigned to their argmax-dot centroid ("inverted
+# list"); a query probes only its nprobe best centroids and re-ranks
+# those lists by exact cosine. The classic IVF recall/scan-fraction
+# trade with everything a pure column expression — at 10^12 rows
+# `ivf_cell` becomes the partition key and probing nprobe lists is a
+# partition-pruned scan of ~nprobe/nlist of the table.
+# ---------------------------------------------------------------------------
+
+N_LIST = 16
+
+
+def ivf_centroid_sql(c: str, dim: int, dialect: str) -> str:
+    """±1.0 component array of centroid ``c`` (an SQL expression)."""
+    if dialect == "spark":
+        comp = (
+            f"cast(2 * (ascii(substr(md5(concat('ivf', cast({c} as string), ':',"
+            f" cast(d as string))), 1, 1)) % 2) - 1 as double)"
+        )
+        return f"transform(sequence(0, {dim - 1}), d -> {comp})"
+    comp = f"cast(2 * (ascii(substr(md5('ivf' || {c} || ':' || d), 1, 1)) % 2) - 1 as double)"
+    return f"list_transform(range(0, {dim}), d -> {comp})"
+
+
+def ivf_dots_sql(vec: str, dim: int, nlist: int, dialect: str) -> str:
+    """Array of <vec, centroid_c> for c in 0..nlist-1."""
+    if dialect == "spark":
+        dot = dot_sql(vec, ivf_centroid_sql("c", dim, "spark"), "spark")
+        return f"transform(sequence(0, {nlist - 1}), c -> {dot})"
+    cent = ivf_centroid_sql("c", dim, "duckdb")
+    return (
+        f"list_transform(range(0, {nlist}),"
+        f" c -> list_dot_product(cast({vec} as double[]), {cent}))"
+    )
+
+
+def ivf_cell_sql(dots: str, dialect: str) -> str:
+    """1-based argmax-dot centroid id (first max on ties — both
+    dialects return the first position)."""
+    if dialect == "spark":
+        return f"cast(array_position({dots}, array_max({dots})) as int)"
+    return f"cast(list_position({dots}, list_max({dots})) as int)"
+
+
+def ivf_probe_cells_sql(dots: str, nlist: int, nprobe: int, dialect: str) -> str:
+    """Cells whose dot ≥ the nprobe-th largest (≥ nprobe cells when
+    tied — deterministic, identical in both dialects)."""
+    if dialect == "spark":
+        thr = f"element_at(array_sort({dots}), {nlist - nprobe + 1})"
+        return (
+            f"filter(sequence(1, {nlist}), c -> element_at({dots}, c) >= {thr})"
+        )
+    thr = f"(list_sort({dots}))[{nlist - nprobe + 1}]"
+    return f"list_filter(range(1, {nlist + 1}), c -> ({dots})[c] >= {thr})"
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    nlist: int = N_LIST,
+) -> DataFrame:
+    """IVF approximate top-k: assign rows to inverted lists, probe the
+    query's ``nprobe`` nearest lists, exact-cosine re-rank. Returns
+    (query_id, vec_id, cos, rank) ordered by (cos desc, vec_id)."""
+    from pyspark.sql import Window
+
+    dots = ivf_dots_sql(vec_col, dim, nlist, "spark")
+    data = df.select(id_col, vec_col).withColumn(
+        "ivf_cell", F.expr(ivf_cell_sql(dots, "spark"))
+    )
+    qdots = ivf_dots_sql("_qv", dim, nlist, "spark")
+    q = (
+        query_df.select(F.col("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn(
+            "ivf_cell",
+            F.explode(F.expr(ivf_probe_cells_sql(qdots, nlist, nprobe, "spark"))),
+        )
+        .withColumn("ivf_cell", F.col("ivf_cell").cast("int"))
+    )
+    cand = data.join(F.broadcast(q), "ivf_cell").withColumn(
+        "cos", F.expr(f"round({cosine_sql(vec_col, '_qv', 'spark')}, 5)")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Image near-dup by perceptual hash: band the 64-bit phash into 4x16-bit
 # LSH buckets (two images within hamming distance d collide on some
 # band with probability ≥ 1 - (d/4 choose ...) — any pair with ≤3

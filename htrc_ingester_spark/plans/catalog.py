@@ -1112,6 +1112,49 @@ def _ann_lsh_oracle() -> str:
 _register_fn("similarity_ann_lsh", _ann_lsh, _ann_lsh_oracle())
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import embedding as E
+
+    _load(spark, sf_dir, "embeddings")
+    data = spark.sql("select cast(vec_id as bigint) as vec_id, embedding from embeddings")
+    qdf = spark.sql(
+        "select cast(vec_id as string) as query_id, embedding "
+        "from embeddings where vec_id in (0, 7, 42)"
+    )
+    return E.ivf_topk(data, qdf, k=5, nprobe=4).orderBy("query_id", "rank")
+
+
+def _ann_ivf_oracle() -> str:
+    from ..operators import embedding as E
+
+    dots = E.ivf_dots_sql("embedding", 64, E.N_LIST, "duckdb")
+    cell = E.ivf_cell_sql("dots", "duckdb")
+    probe = E.ivf_probe_cells_sql("dots", E.N_LIST, 4, "duckdb")
+    cos = E.cosine_sql("e.embedding", "q.embedding", "duckdb")
+    return f"""
+    with d0 as (
+      select cast(vec_id as bigint) as vec_id, embedding, {dots} as dots
+      from embeddings),
+    d as (select vec_id, embedding, {cell} as ivf_cell from d0),
+    q0 as (select cast(vec_id as string) as query_id, embedding, {dots} as dots
+           from embeddings where vec_id in (0, 7, 42)),
+    q as (select query_id, embedding, cast(unnest({probe}) as int) as ivf_cell from q0),
+    cand as (
+      select q.query_id, e.vec_id, round({cos}, 5) as cos
+      from d e join q on e.ivf_cell = q.ivf_cell),
+    ranked as (
+      select query_id, vec_id, cos,
+             cast(row_number() over (partition by query_id
+                                     order by cos desc, vec_id) as int) as rank
+      from cand)
+    select query_id, vec_id, cos, rank from ranked
+    where rank <= 5 order by query_id, rank
+    """
+
+
+_register_fn("similarity_ivf_topk", _ann_ivf, _ann_ivf_oracle())
+
+
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import embedding as E
 
