@@ -10,6 +10,10 @@ Jobs mirror the reference's entry points (SURVEY.md §3):
 - ``verify``        — phase-3 re-verification of a manifested store:
   --store-dir --partition-col.
 - ``knn``           — k nearest images to a point: --lon --lat --k.
+- ``revert``        — walk a versioned table back to --version and
+  optionally un-verify partitions of a manifested store so they re-run
+  (tools/RevertDeltaLogs.java:604-710 parity): --table-dir --version
+  [--invalidate-store --partitions a,b].
 - ``catalog``       — list every registered query (the public API
   surface).
 
@@ -49,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("catalog")
 
+    p = sub.add_parser("revert")
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--version", type=int, required=True)
+    p.add_argument(
+        "--invalidate-store", default=None,
+        help="manifested output dir whose partitions should re-run",
+    )
+    p.add_argument(
+        "--partitions", default="",
+        help="comma-separated partition ids to invalidate (with --invalidate-store)",
+    )
+
     args = ap.parse_args(argv)
 
     if args.job == "catalog":
@@ -61,6 +77,24 @@ def main(argv: list[str] | None = None) -> int:
             "with_oracle": len(oracles),
         }
         print(json.dumps(out))
+        return 0
+
+    if args.job == "revert":
+        # pointer walk-back is pure metadata; Spark only spins up if
+        # manifests need invalidating (tools/RevertDeltaLogs.java parity)
+        from . import tables as TB
+
+        v = TB.revert(args.table_dir, args.version)
+        dropped = 0
+        if args.invalidate_store:
+            from . import manifest as M
+            from .session import get_spark as _gs
+
+            parts = [p for p in args.partitions.split(",") if p != ""]
+            parts = [int(p) if p.lstrip("-").isdigit() else p for p in parts]
+            dropped = M.invalidate_partitions(_gs("cli-revert"), args.invalidate_store, parts)
+        print(json.dumps({"job": "revert", "now_at_version": v,
+                          "manifests_invalidated": dropped}))
         return 0
 
     from .session import get_spark

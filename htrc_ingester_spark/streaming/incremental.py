@@ -152,3 +152,81 @@ def windowed_change_rates(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "kind", "n")
     )
+
+
+def collapse_stream_stateful(raw_stream: DataFrame) -> DataFrame:
+    """ST4 as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): per-volume last-writer-wins ACROSS
+    micro-batches with O(1) state per volume.
+
+    The foreachBatch MERGE path (run_incremental_merge) collapses
+    within a batch and merges into a snapshot; this operator is the
+    streaming dual for pipelines whose sink is a change FEED (Kafka, a
+    downstream job) rather than a table: it emits a (volume_id, op,
+    src_file, pos, path) row only when a volume's winning line ADVANCES
+    in the (src_file, pos) total order — late or duplicate lines emit
+    nothing, exactly the reference's upsert-map discipline
+    (DeltaLogParser.java:242-244) held open-endedly over the stream.
+
+    Input: the RAW whole-file stream (``read_delta_log_stream``).
+    The ``parse_batch`` rank window is batch-only (non-time windows are
+    illegal on streams), so ordering here is the lexicographic
+    (src_file, pos) pair carried in state — file names are
+    timestamp-sortable per the dlog convention, which is the same
+    chronology the rank encodes.
+
+    State = (src_file, pos, op, path) per volume — bytes-bounded, no
+    timeout (volume ids recur forever; at 10^8 volumes the state store
+    is a few GB across executors, RocksDB-backed on a real cluster)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    lines = raw_stream.select(
+        F.col("src_file"),
+        F.posexplode(F.split(F.col("value"), "\n")).alias("pos", "line"),
+    ).where(F.col("line") != "")
+    kind = I.classify_line("line")
+    path = F.when(
+        kind == I.KIND_DELETE, F.regexp_replace(F.col("line"), "^deleting ", "")
+    ).otherwise(F.col("line"))
+    parsed = (
+        lines.select(
+            "src_file",
+            F.col("pos").cast("long").alias("pos"),
+            kind.alias("kind"),
+            path.alias("path"),
+        )
+        .where(F.col("kind").isin(I.KIND_DELETE, I.KIND_ZIP, I.KIND_METS))
+        .withColumn("volume_id", I.path_to_volume_id(F.col("path")))
+    )
+
+    def fn(key, pdf_iter, state):
+        best = tuple(state.get) if state.exists else None
+        advanced = False
+        for pdf in pdf_iter:
+            for r in pdf.sort_values(["src_file", "pos"]).itertuples(index=False):
+                cand = (str(r.src_file), int(r.pos))
+                if best is None or cand > (str(best[0]), int(best[1])):
+                    op = "delete" if r.kind == I.KIND_DELETE else "upsert"
+                    best = (cand[0], cand[1], op, str(r.path))
+                    advanced = True
+        if advanced:
+            src_file, pos, op, p = best
+            state.update((src_file, int(pos), op, p))
+            yield pd.DataFrame(
+                {
+                    "volume_id": [key[0]],
+                    "op": [op],
+                    "src_file": [src_file],
+                    "pos": [int(pos)],
+                    "path": [p],
+                }
+            )
+
+    return parsed.groupBy("volume_id").applyInPandasWithState(
+        fn,
+        outputStructType="volume_id string, op string, src_file string, pos long, path string",
+        stateStructType="src_file string, pos long, op string, path string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -154,3 +154,53 @@ def test_processing_time_query_graceful_stop(spark, dirs):
     _write_dlog(os.path.join(dirs["dlog"], "t-002.txt"), ["root/ab/uc2,ark+=13960=tb.zip"])
     S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
     assert _snapshot_ids(spark, dirs["snap"]) == ["uc2.ark:/13960/ta", "uc2.ark:/13960/tb"]
+
+
+def test_stateful_collapse_emits_only_advancing_changes(spark, dirs, tmp_path):
+    """applyInPandasWithState ST4: per-volume last-writer-wins across
+    micro-batches — a second drain with a HIGHER seq emits the new op,
+    while late/duplicate lines (seq <= state) emit nothing."""
+    ckpt = str(tmp_path / "state_ckpt")
+
+    def drain(name):
+        stream = S.read_delta_log_stream(spark, dirs["dlog"])
+        out = S.collapse_stream_stateful(stream)
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.volume_id, r.op, r.pos) for r in rows}
+
+    _write_dlog(
+        os.path.join(dirs["dlog"], "d-001.txt"),
+        ["root/ab/uc2,ark+=13960=ta.zip", "root/ab/uc2,ark+=13960=tb.zip"],
+    )
+    got1 = drain("state_run1")
+    assert {(v, o) for v, o, _ in got1} == {
+        ("uc2.ark:/13960/ta", "upsert"),
+        ("uc2.ark:/13960/tb", "upsert"),
+    }
+
+    # batch 2: ta gets a newer delete; tb gets a DUPLICATE (stale) line
+    # in an earlier-sorting file name → lower seq → must NOT emit
+    _write_dlog(
+        os.path.join(dirs["dlog"], "d-000-late.txt"),
+        ["root/ab/uc2,ark+=13960=tb.zip"],
+    )
+    _write_dlog(
+        os.path.join(dirs["dlog"], "d-002.txt"),
+        ["deleting root/ab/uc2,ark+=13960=ta.zip"],
+    )
+    got2 = drain("state_run2")
+    emitted = {(v, o) for v, o, _ in got2}
+    assert ("uc2.ark:/13960/ta", "delete") in emitted
+    assert ("uc2.ark:/13960/tb", "upsert") not in emitted
