@@ -427,8 +427,12 @@ def knn_join_many(
     best: DataFrame | None = None
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("image_id").asc())
 
+    # ONE Spark action per round (the new state's count): it materializes
+    # the round's persisted top-k and state together, and doubles as the
+    # next round's active-query check — round-1's three barriers
+    # (state.count, new_best.count, new_state.count) collapsed into one.
+    n_active = state.count()
     for _ in range(max_rounds):
-        n_active = state.count()
         if n_active == 0:
             break
         # grow: r *= 4 (2 on the first round); recompute kx at new r
@@ -474,13 +478,9 @@ def knn_join_many(
             .drop("rn")
             .persist()
         )
-        new_best.count()  # materialize before unpersisting parents
-        if best is not None:
-            best.unpersist()
-        best = new_best
 
         # convergence: joined stats against the grown state
-        stats = best.groupBy("query_id").agg(
+        stats = new_best.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n_found"), F.max("dist_m").alias("kth")
         )
         new_state = (
@@ -506,7 +506,12 @@ def knn_join_many(
             )
             .persist()
         )
-        new_state.count()
+        # the single action: materializes new_best's cache (its plan
+        # feeds stats) and new_state, and is next round's active count
+        n_active = new_state.count()
+        if best is not None:
+            best.unpersist()
+        best = new_best
         state.unpersist()
         state = new_state
 
