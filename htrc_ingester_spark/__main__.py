@@ -10,6 +10,8 @@ Jobs mirror the reference's entry points (SURVEY.md §3):
 - ``verify``        — phase-3 re-verification of a manifested store:
   --store-dir --partition-col.
 - ``knn``           — k nearest images to a point: --lon --lat --k.
+- ``keys``          — enumerate a versioned table's keys (KeyLister
+  parity / S10): --table-dir [--key-col --version --limit].
 - ``revert``        — walk a versioned table back to --version and
   optionally un-verify partitions of a manifested store so they re-run
   (tools/RevertDeltaLogs.java:604-710 parity): --table-dir --version
@@ -52,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=5)
 
     sub.add_parser("catalog")
+
+    p = sub.add_parser("keys")
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--key-col", default="volume_id")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--limit", type=int, default=100)
 
     p = sub.add_parser("revert")
     p.add_argument("--table-dir", required=True)
@@ -124,6 +132,15 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"job": "verify", "failed_partitions": fails,
                           "wall_sec": round(time.monotonic() - t0, 3)}))
         return 1 if fails else 0
+    elif args.job == "keys":
+        # KeyLister.java parity: enumerate store keys (S10 full key scan)
+        from . import tables as TB
+
+        df = TB.read(spark, args.table_dir, version=args.version)
+        keys = [r[0] for r in df.select(args.key_col).distinct()
+                .orderBy(args.key_col).limit(args.limit).collect()]
+        print(json.dumps({"job": "keys", "n_listed": len(keys), "keys": keys,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
     elif args.job == "knn":
         import pandas as pd
 

@@ -58,6 +58,17 @@ def classify_line(line):
     )
 
 
+def extract_failed_ids(df: DataFrame, id_col: str = "volume_id",
+                       err_col: str = "error") -> DataFrame:
+    """Distinct ids whose row carries an error-channel value — the feed
+    for point repair (REF tools/ExtractVIDFromErrorLogs.java: grep the
+    error logs for volume ids, re-ingest exactly those; here the error
+    channel is a COLUMN, so the extraction is a filter+distinct instead
+    of log parsing). Pipe into ``manifest.repair_partitions`` or a
+    targeted re-run."""
+    return df.where(F.col(err_col).isNotNull()).select(id_col).distinct()
+
+
 COPYRIGHT_ENUM = ("PUBLIC_DOMAIN", "IN_COPYRIGHT")
 
 

@@ -104,3 +104,22 @@ def test_validated_pages_to_manifested_store_and_resume(spark, tree, tmp_path):
         phash_col=None, tile_col=None, id_col="filename",
     )
     assert again["written"] == 0  # full resume skip
+
+
+def test_extract_failed_ids_feeds_point_repair(spark):
+    """ExtractVIDFromErrorLogs parity: the error channel column yields
+    exactly the distinct ids needing re-ingest."""
+    import pandas as pd
+
+    from htrc_ingester_spark import ingest as I
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "volume_id": ["a", "b", "b", "c"],
+                "error": [None, "torn bytes", "bad checksum", None],
+            }
+        )
+    )
+    got = sorted(r.volume_id for r in I.extract_failed_ids(df).collect())
+    assert got == ["b"]
