@@ -83,13 +83,15 @@ def validate_copyright(df: DataFrame, col: str = "copyright",
     engine's never-drop-silently discipline."""
     v = F.col(col)
     valid = v.isin(*COPYRIGHT_ENUM)
-    return df.withColumn(out_col, F.when(valid, v)).withColumn(
-        err_col,
-        F.when(
-            ~F.coalesce(valid, F.lit(False)),
-            F.concat(F.lit("invalid copyright: "), F.coalesce(v, F.lit("<null>"))),
-        ),
+    new_err = F.when(
+        ~F.coalesce(valid, F.lit(False)),
+        F.concat(F.lit("invalid copyright: "), F.coalesce(v, F.lit("<null>"))),
     )
+    if err_col in df.columns:
+        # never erase an upstream validator's error (the error channel
+        # accumulates; extract_failed_ids must still see earlier rows)
+        new_err = F.coalesce(F.col(err_col), new_err)
+    return df.withColumn(out_col, F.when(valid, v)).withColumn(err_col, new_err)
 
 
 def path_to_volume_id(path):

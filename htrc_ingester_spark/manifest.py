@@ -213,7 +213,12 @@ def invalidate_partitions(
     if existing is None:
         return 0
     pdf = existing.toPandas()
-    keep = pdf[~pdf["partition_id"].isin(partition_ids)]
+    # type-robust match: CLI args arrive as strings while manifests may
+    # store ints (or vice versa) — compare raw AND stringified, so
+    # `--partitions 5` invalidates partition_id 5 or '5' alike
+    strs = {str(p) for p in partition_ids}
+    mask = pdf["partition_id"].isin(partition_ids) | pdf["partition_id"].astype(str).isin(strs)
+    keep = pdf[~mask]
     dropped = len(pdf) - len(keep)
     if dropped:
         manifest_dir = os.path.join(out_dir, MANIFEST_SUBDIR)

@@ -97,7 +97,16 @@ def decode_validate(df: DataFrame, seed_ns: int = 43) -> DataFrame:
             decoded = np.zeros(n, dtype=bool)
             errors: list[str | None] = [None] * n
             grays = np.zeros((n, codec._PHASH_SIZE, codec._PHASH_SIZE))
+            # null metadata routes to the error channel like any other
+            # bad row (the vectorized astype would otherwise fold NaN
+            # into INT64_MIN / format into the caption silently)
+            meta_null = (
+                pdf[["phash", "w", "h", "lon", "lat"]].isna().any(axis=1).to_numpy()
+            )
             for i in range(n):
+                if meta_null[i]:
+                    errors[i] = "null metadata (phash/w/h/lon/lat)"
+                    continue
                 try:
                     pix = codec.decode_image(bytes(blobs[i]))
                     decoded[i] = True
@@ -119,7 +128,8 @@ def decode_validate(df: DataFrame, seed_ns: int = 43) -> DataFrame:
             ph = np.zeros(n, dtype=np.int64)
             if decoded.any():
                 ph[decoded] = codec.phash64_batch(grays[decoded])
-            phash_ok = decoded & (ph == decl_ph.astype(np.int64))
+            decl_safe = np.where(meta_null, 0, decl_ph).astype(np.int64)
+            phash_ok = decoded & ~meta_null & (ph == decl_safe)
             psnr_ok = np.where(
                 fmts == "png", np.isinf(psnr), psnr >= PSNR_MIN_DB
             ) & decoded

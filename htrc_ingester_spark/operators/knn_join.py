@@ -174,12 +174,17 @@ def knn_join(
     (tests/test_knn.py pins the parity).
     """
     if len(queries) >= many_threshold:
-        qdf = spark.createDataFrame(
-            queries[["query_id", "lon", "lat", "k"]]
+        # the pandas contract fixes the query columns as (lon, lat);
+        # knn_join_many reads the SAME column names from both sides, so
+        # rename the query frame to the points-side names and forward
+        # the caller's termination budget
+        qpdf = queries[["query_id", "lon", "lat", "k"]].rename(
+            columns={"lon": lon_col, "lat": lat_col}
         )
         return knn_join_many(
-            spark, points, qdf, res=res,
+            spark, points, spark.createDataFrame(qpdf), res=res,
             id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+            max_rounds=max_rounds,
         )
     skel = points.select(
         F.col(id_col).alias("image_id"),

@@ -307,8 +307,13 @@ def lsh_near_dup_pairs(
         ).alias("_p")
     ).select("_p.id_a", "_p.id_b")
     # sorted list ⇒ id_a ≤ id_b; drop equal-id pairs (duplicate doc ids
-    # are data, but a doc is never its own near-duplicate)
-    cand = pairs.where(F.col("id_a") < F.col("id_b")).distinct()
+    # are data, but a doc is never its own near-duplicate).
+    # cand is consumed three times (verify join + both id sides of the
+    # doc lookup): persist the tiny pair frame so the shingle+hash+
+    # window lineage above it runs ONCE, not 3x (ReuseExchange is not
+    # guaranteed across broadcast/semi-join boundaries). Left cached
+    # for the returned plan; Spark evicts LRU under memory pressure.
+    cand = pairs.where(F.col("id_a") < F.col("id_b")).distinct().persist()
     # exact-verify shingles ONLY for docs that appear in a candidate
     # pair (≈ 2×|pairs| ≪ corpus — at 10^12 rows this is the
     # difference between re-shingling everything and almost nothing)
@@ -318,9 +323,12 @@ def lsh_near_dup_pairs(
     if broadcast_verify:
         cand_ids = F.broadcast(cand_ids)
     sh = shingles_sql(text_col, shingle_k, "spark")
+    # persist: docs_a/docs_b would otherwise each re-scan the corpus
+    # for the semi-join — two full scans instead of one
     docs = (
         df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), F.expr(f"array_distinct({sh})").alias("_sh"))
+        .persist()
     )
     docs_a = docs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha")
     docs_b = docs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb")

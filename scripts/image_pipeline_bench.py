@@ -79,8 +79,11 @@ def main() -> None:
         n_tiles_out = agg.count()
         return {"bad_rows": bad, "tile_groups": n_tiles_out}
 
-    # warm (python workers + JIT)
+    # warm (python workers + JIT); drop the warm run's auto-persisted
+    # PIP candidate cache so the timed run measures its own
+    # materialization, not a resident copy
     pipeline()
+    spark.catalog.clearCache()
     t0 = time.monotonic()
     stats = pipeline()
     wall = time.monotonic() - t0

@@ -267,6 +267,26 @@ class TestKNNMany:
         assert list(got.sort_values("rank").image_id) == list(want.sort_values("rank").image_id)
 
 
+class TestKNNDispatch:
+    def test_auto_dispatch_respects_custom_column_names(self, spark):
+        """knn_join above many_threshold must forward custom points-side
+        lon/lat/id column names correctly (regression: the dispatch once
+        applied points-side names to the fixed query-frame columns)."""
+        from htrc_ingester_spark.operators.knn_join import knn_join
+
+        pdf = pd.DataFrame(
+            {"pid": ["a", "b", "c"], "x": [0.1, 1.0, 50.0], "y": [0.0, 0.0, 0.0]}
+        )
+        pts = spark.createDataFrame(pdf)
+        qp = pd.DataFrame({"query_id": ["q"], "lon": [0.0], "lat": [0.0], "k": [2]})
+        got = knn_join(
+            spark, pts, qp, res=7,
+            id_col="pid", lon_col="x", lat_col="y",
+            many_threshold=1,  # force the dispatch path
+        ).toPandas()
+        assert list(got.sort_values("rank").image_id) == ["a", "b"]
+
+
 class TestKNNDuplicateRows:
     def test_all_three_variants_rank_duplicate_points_identically(self, spark):
         """Two distinct rows sharing an image_id are two points; every
