@@ -33,16 +33,28 @@ from pyspark.sql import functions as F
 N_PLANES = 8
 
 
+def _md5_sign(tag: str) -> float:
+    """±1.0 from the first md5 hex char's ascii parity — the Python
+    twin of the SQL expression ``2*(ascii(substr(md5(tag),1,1))%2)-1``
+    (hex digits split 8/8 on ascii parity → unbiased)."""
+    import hashlib
+
+    return float(2 * (ord(hashlib.md5(tag.encode()).hexdigest()[0]) % 2) - 1)
+
+
 def sign_array_sql(plane: int, dim: int, dialect: str) -> str:
-    """±1.0 component array of hyperplane ``plane`` (length ``dim``)."""
+    """±1.0 component array of hyperplane ``plane`` (length ``dim``).
+
+    The components are the fixed md5-parity family, but they are
+    PRECOMPUTED here and embedded as literals: the lambda form made
+    every engine evaluate dim md5 digests per plane PER ROW (Catalyst
+    does not constant-fold through higher-order lambdas — measured 512
+    md5/row on the 8-plane bucket), where the array is a compile-time
+    constant."""
+    comps = ", ".join(repr(_md5_sign(f"p{plane}:{d}")) for d in range(dim))
     if dialect == "spark":
-        comp = (
-            f"cast(2 * (ascii(substr(md5(concat('p{plane}:', cast(d as string))), 1, 1)) % 2)"
-            f" - 1 as double)"
-        )
-        return f"transform(sequence(0, {dim - 1}), d -> {comp})"
-    comp = f"cast(2 * (ascii(substr(md5('p{plane}:' || d), 1, 1)) % 2) - 1 as double)"
-    return f"list_transform(range(0, {dim}), d -> {comp})"
+        return f"cast(array({comps}) as array<double>)"
+    return f"cast(list_value({comps}) as double[])"
 
 
 def dot_sql(vec_a: str, vec_b: str, dialect: str) -> str:
@@ -185,28 +197,27 @@ def oversized_buckets(
 N_LIST = 16
 
 
-def ivf_centroid_sql(c: str, dim: int, dialect: str) -> str:
-    """±1.0 component array of centroid ``c`` (an SQL expression)."""
+def ivf_centroid_sql(c: int, dim: int, dialect: str) -> str:
+    """±1.0 component array of centroid ``c`` — precomputed md5-parity
+    literals (same reasoning as ``sign_array_sql``: the lambda form
+    cost nlist×dim md5 digests per row)."""
+    comps = ", ".join(repr(_md5_sign(f"ivf{c}:{d}")) for d in range(dim))
     if dialect == "spark":
-        comp = (
-            f"cast(2 * (ascii(substr(md5(concat('ivf', cast({c} as string), ':',"
-            f" cast(d as string))), 1, 1)) % 2) - 1 as double)"
-        )
-        return f"transform(sequence(0, {dim - 1}), d -> {comp})"
-    comp = f"cast(2 * (ascii(substr(md5('ivf' || {c} || ':' || d), 1, 1)) % 2) - 1 as double)"
-    return f"list_transform(range(0, {dim}), d -> {comp})"
+        return f"cast(array({comps}) as array<double>)"
+    return f"cast(list_value({comps}) as double[])"
 
 
 def ivf_dots_sql(vec: str, dim: int, nlist: int, dialect: str) -> str:
-    """Array of <vec, centroid_c> for c in 0..nlist-1."""
+    """Array of <vec, centroid_c> for c in 0..nlist-1 (unrolled — the
+    centroids are compile-time literals)."""
     if dialect == "spark":
-        dot = dot_sql(vec, ivf_centroid_sql("c", dim, "spark"), "spark")
-        return f"transform(sequence(0, {nlist - 1}), c -> {dot})"
-    cent = ivf_centroid_sql("c", dim, "duckdb")
-    return (
-        f"list_transform(range(0, {nlist}),"
-        f" c -> list_dot_product(cast({vec} as double[]), {cent}))"
-    )
+        dots = [dot_sql(vec, ivf_centroid_sql(c, dim, "spark"), "spark") for c in range(nlist)]
+        return f"array({', '.join(dots)})"
+    dots = [
+        f"list_dot_product(cast({vec} as double[]), {ivf_centroid_sql(c, dim, 'duckdb')})"
+        for c in range(nlist)
+    ]
+    return f"list_value({', '.join(dots)})"
 
 
 def ivf_cell_sql(dots: str, dialect: str) -> str:
