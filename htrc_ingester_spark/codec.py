@@ -48,7 +48,10 @@ def _png_bytes(pix: np.ndarray, extra_chunks: list[tuple[bytes, bytes]] | None =
     out = [_PNG_SIG, _chunk(b"IHDR", ihdr)]
     for tag, payload in extra_chunks or []:
         out.append(_chunk(tag, payload))
-    out.append(_chunk(b"IDAT", zlib.compress(raw, 6)))
+    # level 1: PNG is lossless at any level, so pixels/phash/PSNR are
+    # unaffected; encode is the fixture generator's hot path and level
+    # 6 bought ~10% size for ~2x the CPU on random-noise pixels
+    out.append(_chunk(b"IDAT", zlib.compress(raw, 1)))
     out.append(_chunk(b"IEND", b""))
     return b"".join(out)
 

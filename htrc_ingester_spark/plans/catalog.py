@@ -1196,8 +1196,13 @@ def _image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import imageops as IO
 
-    skel = FS.load_images(spark, sf_dir).limit(2000).select(
-        F.col("image_id").cast("string").alias("image_id"), "lon", "lat"
+    # limit() collapses to ONE partition — repartition so the per-row
+    # generate/decode work (the entry's whole cost) spreads across cores
+    skel = (
+        FS.load_images(spark, sf_dir)
+        .limit(2000)
+        .select(F.col("image_id").cast("string").alias("image_id"), "lon", "lat")
+        .repartition(32)
     )
     images = IO.generate_images(skel)
     checks = IO.decode_validate(images)
