@@ -150,3 +150,55 @@ class TestBytesDiscipline:
         skel = full.select("image_id", "lon", "lat")
         hits = pip_join(spark, skel, data.polygons()[:3], res=7)
         assert "bytes" not in plan_of(hits)
+
+
+class TestRound2PlanShapes:
+    """Pins for the round-2 perf wins: these assertions fail if a
+    refactor silently reintroduces the removed costs."""
+
+    def test_lsh_planes_are_literals_not_per_row_md5(self, spark):
+        """The hyperplane/centroid arrays must be compile-time literals:
+        Catalyst does not constant-fold through HOF lambdas, and the
+        lambda form cost 512 md5 digests per row."""
+        from htrc_ingester_spark.operators import embedding as E
+
+        assert "md5" not in E.sign_array_sql(0, 64, "spark")
+        assert "md5" not in E.ivf_centroid_sql(0, 64, "spark")
+        # and the values still come from the md5-parity family
+        assert E._md5_sign("p0:0") in (-1.0, 1.0)
+
+    def test_minhash_pairgen_single_bucket_exchange(self, spark):
+        """Bucket guard + pair generation share ONE (band,bucket)
+        exchange (window + collect_list on the same partitioning); the
+        old bucket self-join's second shuffle must not come back."""
+        from htrc_ingester_spark.operators.textdedup import lsh_near_dup_pairs
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": range(40), "text": [f"w{i} a b c d e f g" for i in range(40)]}
+            )
+        )
+        pairs = lsh_near_dup_pairs(docs)
+        plan = plan_of(pairs)
+        # no sort-merge self-join anywhere in the near-dup plan
+        assert "SortMergeJoin" not in plan
+
+    def test_ivf_join_is_broadcast(self, spark):
+        from htrc_ingester_spark.operators.embedding import ivf_topk
+
+        rng = __import__("numpy").random.default_rng(1)
+        emb = pd.DataFrame(
+            {
+                "vec_id": range(50),
+                "embedding": [rng.normal(size=64).tolist() for _ in range(50)],
+            }
+        )
+        data_df = spark.createDataFrame(emb)
+        q = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": ["q0"], "embedding": [rng.normal(size=64).tolist()]}
+            )
+        )
+        plan = plan_of(ivf_topk(data_df, q, k=3))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
