@@ -357,14 +357,16 @@ def knn_join_bruteforce(
 # ---------------------------------------------------------------------------
 
 
-def _kx_sql(lat: str, r: str, res: int) -> str:
+def _kx_sql(lat: str, r: str, res: int, bound: str | None = None) -> str:
     """SQL twin of _required_kx: lon half-width (in cells) covering the
-    termination bound at row-band latitudes. Full wrap (nx) when the
-    bound exceeds the band's capacity."""
+    distance ``bound`` (default: the ring-termination bound r·cell_h)
+    at row-band latitudes. Full wrap (nx) when the bound exceeds the
+    band's capacity."""
     ch = H.cell_h_deg(res)
     cw = H.cell_w_deg(res)
     nxr = H.nx(res)
-    bound = f"({r} * {ch} * {H.M_PER_DEG_LAT})"
+    if bound is None:
+        bound = f"({r} * {ch} * {H.M_PER_DEG_LAT})"
     band_lo = f"greatest(-90.0d, {lat} - ({r} + 1) * {ch})"
     band_hi = f"least(90.0d, {lat} + ({r} + 1) * {ch})"
     cos_min = f"least(cos(radians({band_lo})), cos(radians({band_hi})))"
@@ -538,3 +540,81 @@ def knn_join_many(
     out.count()
     best.unpersist()
     return out
+
+
+def radius_join(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    res: int = 7,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All ``points`` within ``radius_m`` meters of each query row — the
+    ST_DWithin analog (spatial range join), built on the kNN machinery's
+    PROVEN coverage bound (module docstring): any point within the
+    radius lies within ``ceil(radius/cell_h_m)`` cell rows (great-circle
+    distance ≥ its latitude arc), and the anisotropic lon width per
+    query comes from the same haversine-lon-term argument (``_kx_sql``
+    with the radius as the bound). One disk, no iteration: the radius
+    is known up front, so the frontier is a single cell-disk explode →
+    equi-join on cell → exact haversine filter.
+
+    ``queries``: DataFrame (query_id, lon, lat). Returns (query_id,
+    image_id, dist_m) — INCLUSIVE boundary, deterministic.
+
+    Scale: shuffles only the (query × disk-cell) skeleton and candidate
+    matches, like one kNN round; no per-query driver state."""
+    ch_m = H.cell_h_deg(res) * H.M_PER_DEG_LAT
+    nxr, nyr = H.nx(res), H.ny(res)
+    r_rows = int(np.ceil(radius_m / ch_m))
+
+    skel = points.select(
+        F.col(id_col).alias("image_id"),
+        F.col(lon_col).alias("p_lon"),
+        F.col(lat_col).alias("p_lat"),
+        h3_cell(lon_col, lat_col, res).alias("cell"),
+    )
+    q = (
+        queries.select(
+            F.col("query_id").cast("string"),
+            F.col(lon_col).alias("q_lon").cast("double"),
+            F.col(lat_col).alias("q_lat").cast("double"),
+        )
+        .withColumn("_c0", h3_cell("q_lon", "q_lat", res))
+        .withColumn("x0", F.expr(f"cast((_c0 div {1 << 28}) % {1 << 28} as int)"))
+        .withColumn("y0", F.expr(f"cast(_c0 % {1 << 28} as int)"))
+        .drop("_c0")
+        .withColumn(
+            "kx",
+            F.expr(_kx_sql("q_lat", str(r_rows), res, bound=f"cast({radius_m!r} as double)")).cast("int"),
+        )
+    )
+    disk = (
+        q.withColumn(
+            "dy",
+            F.explode(F.expr(f"sequence(greatest(-{r_rows}, -y0), least({r_rows}, {nyr - 1} - y0))")),
+        )
+        .withColumn("kx_c", F.expr(f"least(kx, {nxr // 2})"))
+        .withColumn("dx", F.explode(F.expr("sequence(-kx_c, kx_c)")))
+        .withColumn(
+            "cell",
+            F.expr(
+                f"cast({res} as bigint) * {1 << 56}"
+                f" + cast(pmod(x0 + dx, {nxr}) as bigint) * {1 << 28}"
+                f" + cast(y0 + dy as bigint)"
+            ),
+        )
+        .select("query_id", "q_lon", "q_lat", "cell")
+        # full-wrap disks alias their two extreme columns (see the ring
+        # dedup note in knn_join_many)
+        .dropDuplicates(["query_id", "cell"])
+    )
+    return (
+        skel.join(disk, "cell")
+        .withColumn("dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon"))
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select("query_id", F.col("image_id").cast("string").alias("image_id"), "dist_m")
+    )

@@ -309,6 +309,40 @@ def _knn_oracle() -> str:
 _register_fn("knn_join_suppliers", _knn, _knn_oracle())
 
 
+def _radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial range join (ST_DWithin analog): all points within 750 km
+    of each query, via one cell-disk cover at the kNN coverage bound."""
+    from pyspark.sql import functions as F
+
+    from ..operators.knn_join import radius_join
+
+    _load(spark, sf_dir, "customer", "supplier")
+    points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
+    qdf = spark.sql(_QUERIES_SQL).where("cast(query_id as int) % 20 = 0").drop("k")
+    return (
+        radius_join(spark, points, qdf, radius_m=750_000.0, res=5)
+        .withColumn("dist_m", F.round("dist_m", 3))
+        .orderBy("query_id", "image_id")
+    )
+
+
+def _radius_oracle() -> str:
+    from ..functions import haversine_sql_expr
+
+    dist = haversine_sql_expr("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+    with p as ({_POINTS_SQL}),
+    q as (select * from ({_QUERIES_SQL}) t where cast(query_id as int) % 20 = 0)
+    select q.query_id, p.point_id as image_id, round({dist}, 3) as dist_m
+    from q cross join p
+    where {dist} <= 750000.0
+    order by query_id, image_id
+    """
+
+
+_register_fn("radius_join_within", _radius, _radius_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the

@@ -310,3 +310,63 @@ class TestKNNDuplicateRows:
         for got in (a, b, c):
             assert list(got.image_id) == ["dup", "dup"]
             assert list(got["rank"]) == [1, 2]
+
+
+class TestRadiusJoin:
+    def test_matches_bruteforce_including_polar_and_antimeridian(self, spark, images_df):
+        """radius_join (ST_DWithin analog) must return EXACTLY the
+        brute-force haversine ball, including near-pole queries (full
+        lon wrap) and antimeridian queries (disk wraps the seam)."""
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.functions import haversine_m
+        from htrc_ingester_spark.operators.knn_join import radius_join
+
+        qpdf = pd.DataFrame(
+            {
+                "query_id": ["q_sf", "q_anti", "q_polar"],
+                "lon": [-122.42, 179.95, 10.0],
+                "lat": [37.77, -16.5, 88.5],
+            }
+        )
+        radius = 400_000.0
+        got = radius_join(
+            spark, images_df, spark.createDataFrame(qpdf), radius_m=radius, res=6
+        ).toPandas()
+        want = (
+            images_df.crossJoin(
+                F.broadcast(
+                    spark.createDataFrame(qpdf).select(
+                        "query_id",
+                        F.col("lon").alias("q_lon"),
+                        F.col("lat").alias("q_lat"),
+                    )
+                )
+            )
+            .withColumn("dist_m", haversine_m("q_lat", "q_lon", "lat", "lon"))
+            .where(F.col("dist_m") <= radius)
+            .select("query_id", F.col("image_id").cast("string").alias("image_id"), "dist_m")
+            .toPandas()
+        )
+        g = got.sort_values(["query_id", "image_id"]).reset_index(drop=True)
+        w = want.sort_values(["query_id", "image_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[["query_id", "image_id"]], w[["query_id", "image_id"]]
+        )
+        np.testing.assert_allclose(g.dist_m, w.dist_m, rtol=1e-12)
+
+    def test_zero_and_global_radius(self, spark, images_df):
+        from htrc_ingester_spark.operators.knn_join import radius_join
+
+        q = spark.createDataFrame(
+            pd.DataFrame({"query_id": ["q"], "lon": [0.0], "lat": [0.0]})
+        )
+        n_all = images_df.count()
+        # half the circumference + slack covers the globe
+        got_all = radius_join(spark, images_df, q, radius_m=2.1e7, res=5).count()
+        assert got_all == n_all
+        # tiny radius around an empty spot matches nothing
+        q2 = spark.createDataFrame(
+            pd.DataFrame({"query_id": ["q"], "lon": [-45.0], "lat": [-60.0]})
+        )
+        assert radius_join(spark, images_df, q2, radius_m=10.0, res=5).count() == 0
