@@ -1,0 +1,86 @@
+"""As-of join: for each left row, the latest right row at-or-before its
+timestamp per key (the temporal join Spark's API lacks; task brief lists
+it with range join as a must-express custom operator).
+
+Construction — the union trick, not a join:
+
+1. tag both sides and union them on the shared (key, ts) spine; right
+   rows carry their payload columns, left rows carry nulls there;
+2. one window per key ordered by ``(ts, side, right_order)`` — right
+   sorts BEFORE left at equal ts (backward-inclusive as-of semantics),
+   and ties among right rows at identical (key, ts) resolve
+   deterministically by the highest ``right_order`` value;
+3. ``last(payload, ignorenulls=True)`` over rows-unbounded-preceding
+   fills each left row with the most recent right payload;
+4. keep the left rows.
+
+Scale: ONE hash exchange on the key (both sides together) and a sort
+within partitions — same cost as a single sort-merge join, with no
+range-explosion; skewed keys fall to AQE skew handling like any other
+window. This is the standard large-scale as-of shape (a point-in-time
+join over a union spine) rather than a per-row lookup.
+
+Reference parity: the reference resolves "which delta-log line governs
+this volume at time T" implicitly through its rename chronology; as-of
+generalizes that last-state-at-a-point-in-time question to any keyed
+event pair (SURVEY.md §2.3 J3 last-writer-wins is the ts→∞ special
+case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("event_id", "value"),
+    order_col: str = "event_id",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward-inclusive as-of join. Returns all of ``left``'s columns
+    plus ``prefix + c`` for each right payload column (null when no
+    right row precedes the left row for that key).
+
+    ``order_col`` breaks ties among right rows sharing (key, ts):
+    the highest value wins — deterministic on any cluster size.
+    """
+    lcols = left.columns
+    payload = list(payload_cols)
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[order_col].dataType).alias("_rord"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in payload
+        ],
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in (on, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        F.col(order_col).alias("_rord"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+    )
+    spine = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_rord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.select(
+        *lcols,
+        F.col("_side"),
+        *[
+            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in payload
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")

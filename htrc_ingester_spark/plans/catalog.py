@@ -343,6 +343,64 @@ def _radius_oracle() -> str:
 _register_fn("radius_join_within", _radius, _radius_oracle())
 
 
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over `events`: for each click, the user's latest view
+    at-or-before it (temporal point-in-time lookup; operators/asof_join)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof_join import asof_join
+
+    _load(spark, sf_dir, "events")
+    left = spark.sql(
+        "select event_id, ts, user_id, value from events where event_type = 'click'"
+    )
+    right = spark.sql(
+        "select event_id, ts, user_id, value from events where event_type = 'view'"
+    )
+    # no-match rows keep a -1 sentinel instead of null: the driver's
+    # value canonicalizer can't sort mixed float/NaN tuples
+    return (
+        asof_join(left, right)
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("asof_event_id"), F.lit(-1)).alias("asof_event_id"),
+            F.round(F.coalesce(F.col("asof_value"), F.lit(-1.0)), 5).alias("asof_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _asof_oracle() -> str:
+    win = (
+        "over (partition by user_id order by ts, side, rord"
+        " rows between unbounded preceding and current row)"
+    )
+    return f"""
+    with l as (select event_id, ts, user_id, value from events where event_type = 'click'),
+    r as (select event_id, ts, user_id, value from events where event_type = 'view'),
+    spine as (
+      select event_id, ts, user_id, 1 as side,
+             cast(null as bigint) as rord,
+             cast(null as bigint) as p_event_id, cast(null as double) as p_value
+      from l
+      union all
+      select cast(null as bigint), ts, user_id, 0, event_id, event_id, value from r),
+    filled as (
+      select event_id, user_id, side,
+             last_value(p_event_id ignore nulls) {win} as asof_event_id,
+             last_value(p_value ignore nulls) {win} as asof_value
+      from spine)
+    select event_id, user_id,
+           coalesce(asof_event_id, -1) as asof_event_id,
+           round(coalesce(asof_value, -1.0), 5) as asof_value
+    from filled where side = 1 order by event_id
+    """
+
+
+_register_fn("asof_join_clicks_views", _asof, _asof_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the

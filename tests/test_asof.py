@@ -1,0 +1,68 @@
+"""As-of join semantics: backward-inclusive match, deterministic ties,
+no-match nulls — pinned against a hand-computed fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from htrc_ingester_spark.operators.asof_join import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [10, 11, 12, 13],
+                "ts": [_ts(5), _ts(10), _ts(10), _ts(1)],
+                "user_id": [1, 1, 2, 2],
+                "value": [0.0, 0.0, 0.0, 0.0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [100, 101, 102, 103],
+                "ts": [_ts(5), _ts(3), _ts(10), _ts(10)],
+                "user_id": [1, 1, 2, 2],
+                "value": [1.5, 2.5, 3.5, 4.5],
+            }
+        )
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_ties(spark, sides):
+    left, right = sides
+    got = (
+        asof_join(left, right)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # user 1, click at t=5: view 100 at t=5 matches INCLUSIVELY
+    assert got.loc[10, "asof_event_id"] == 100
+    # user 1, click at t=10: latest view still 100 (t=5)
+    assert got.loc[11, "asof_event_id"] == 100
+    # user 2, click at t=10: TWO views at t=10 → highest event_id wins
+    assert got.loc[12, "asof_event_id"] == 103
+    assert got.loc[12, "asof_value"] == 4.5
+    # user 2, click at t=1: nothing precedes → null payload
+    assert pd.isna(got.loc[13, "asof_event_id"])
+
+
+def test_plan_single_exchange(spark, sides):
+    left, right = sides
+    plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    # the union-spine construction: no join operator at all, one
+    # window after one key exchange
+    assert "Join" not in plan
+    assert "Window" in plan
