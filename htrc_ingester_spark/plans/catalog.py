@@ -401,6 +401,141 @@ def _asof_oracle() -> str:
 _register_fn("asof_join_clicks_views", _asof, _asof_oracle())
 
 
+def _rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style two-level rollup: minute pre-aggregates
+    re-aggregated to hours. The oracle aggregates the raw rows straight
+    to hours, so a value-MATCH proves the re-aggregation is lossless
+    (sum/count/min/max compose; avg is derived sum/count, never
+    averaged-of-averages)."""
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "events")
+    minutes = (
+        spark.table("events")
+        .groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    return (
+        minutes.groupBy(F.date_trunc("hour", "minute").alias("hour"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_v"), 4).alias("sum_v"),
+            F.round(F.sum("sum_v") / F.sum("n"), 6).alias("avg_v"),
+            F.round(F.min("min_v"), 4).alias("min_v"),
+            F.round(F.max("max_v"), 4).alias("max_v"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def _rollup_hour_oracle() -> str:
+    return """
+    select date_trunc('hour', ts) as hour, event_type,
+           cast(count(*) as bigint) as n,
+           round(sum(value), 4) as sum_v,
+           round(sum(value) / count(*), 6) as avg_v,
+           round(min(value), 4) as min_v,
+           round(max(value), 4) as max_v
+    from events
+    group by 1, 2 order by 1, 2
+    """
+
+
+_register_fn("events_rollup_hour", _rollup_hour, _rollup_hour_oracle())
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) per user via
+    Spark's native session_window; the oracle derives the identical
+    sessions with a lag/cumulative-sum construction — a value MATCH
+    pins Spark's session semantics to the textbook definition."""
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "events")
+    return (
+        spark.table("events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_v",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def _sessionize_oracle() -> str:
+    # new session when the gap from the previous event (per user)
+    # is >= 30 min; session id = cumulative count of session starts
+    return """
+    with ordered as (
+      select user_id, ts, value,
+             case when ts - lag(ts) over (partition by user_id order by ts, event_id)
+                       >= interval 30 minutes then 1
+                  when lag(ts) over (partition by user_id order by ts, event_id) is null then 1
+                  else 0 end as new_session
+      from events),
+    tagged as (
+      select user_id, ts, value,
+             sum(new_session) over (partition by user_id order by ts
+                                    rows between unbounded preceding and current row) as sid
+      from ordered)
+    select user_id, min(ts) as session_start,
+           cast(count(*) as bigint) as n_events,
+           round(sum(value), 4) as sum_v
+    from tagged group by user_id, sid
+    order by user_id, session_start
+    """
+
+
+_register_fn("events_sessionize", _sessionize, _sessionize_oracle())
+
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type: Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the continuous
+    (type-7) definition."""
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "events")
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 5).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 5).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 5).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _percentiles_oracle() -> str:
+    return """
+    select event_type,
+           round(quantile_cont(value, 0.5), 5) as p50,
+           round(quantile_cont(value, 0.95), 5) as p95,
+           round(quantile_cont(value, 0.99), 5) as p99
+    from events group by 1 order by 1
+    """
+
+
+_register_fn("events_value_percentiles", _percentiles, _percentiles_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the
