@@ -383,3 +383,70 @@ def winnow_fingerprints(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set("_wmin")).alias("fingerprints"))
     )
+
+
+def split_assign_sql(id_expr: str, dialect: str,
+                     train: float = 0.8, val: float = 0.1) -> str:
+    """Deterministic train/val/test split assignment from a salted md5
+    of the id — the standard leakage-safe way to split training data
+    (content-keyed, so the same document lands in the same split on any
+    cluster, any partitioning, any rerun; near-duplicates should be
+    collapsed FIRST via the dedup family or they straddle splits).
+
+    Uniformity: the first 6 md5 hex chars give 24 bits; u = v / 2^24 ∈
+    [0, 1). Identical arithmetic in both dialects (no conv(): the hex
+    chars are mapped via ascii - '0' - 39*(is_letter))."""
+    # hex char -> value: ascii(c) - 48, minus 39 more when c in a..f
+    def hx(i: int) -> str:
+        c = f"substr(md5(concat('split:', cast({id_expr} as string))), {i}, 1)" \
+            if dialect == "spark" else \
+            f"substr(md5('split:' || cast({id_expr} as string)), {i}, 1)"
+        return f"(ascii({c}) - 48 - 39 * (case when ascii({c}) >= 97 then 1 else 0 end))"
+
+    u = " + ".join(f"{hx(i)} * {16 ** (6 - i)}" for i in range(1, 7))
+    frac = f"(cast({u} as double) / 16777216.0)"
+    return (
+        f"case when {frac} < {train!r} then 'train' "
+        f"when {frac} < {train + val!r} then 'val' else 'test' end"
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction for
+    training-data curation). Classic smoothed IDF
+    ``ln((N+1)/(df+1)) + 1``; ties break on the term string so results
+    are deterministic on any cluster size.
+
+    Shape: explode words once → (doc, word) counts → word doc-frequency
+    (broadcast back: |vocab| ≪ corpus) → per-doc top-k window. Two
+    shuffles total (word counts, doc window) — no all-pairs anything."""
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "word", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

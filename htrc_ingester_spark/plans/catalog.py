@@ -536,6 +536,69 @@ def _percentiles_oracle() -> str:
 _register_fn("events_value_percentiles", _percentiles, _percentiles_oracle())
 
 
+def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment (salted-md5
+    uniform per doc id) — per-(source, split) counts."""
+    from pyspark.sql import functions as F
+
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    expr = TD.split_assign_sql("doc_id", "spark")
+    return (
+        spark.table("documents")
+        .withColumn("split", F.expr(expr))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+def _split_assign_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    expr = TD.split_assign_sql("doc_id", "duckdb")
+    return f"""
+    select source, {expr} as split, cast(count(*) as bigint) as n
+    from documents group by 1, 2 order by 1, 2
+    """
+
+
+_register_fn("dataset_split_assign", _split_assign, _split_assign_oracle())
+
+
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import tfidf_top_terms
+
+    _load(spark, sf_dir, "documents")
+    return tfidf_top_terms(spark.table("documents")).orderBy("doc_id", "rank")
+
+
+def _tfidf_oracle() -> str:
+    return """
+    with words as (
+      select doc_id, unnest(string_split(text, ' ')) as word from documents),
+    w as (select doc_id, word from words where word <> ''),
+    tf as (select doc_id, word, count(*) as tf from w group by 1, 2),
+    n as (select count(distinct doc_id) as n_docs from documents),
+    dfreq as (select word, count(*) as df from tf group by 1),
+    scored as (
+      select tf.doc_id, tf.word,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1)) + 1.0), 6) as tfidf
+      from tf join dfreq using (word) cross join n),
+    ranked as (
+      select doc_id, word, tfidf,
+             cast(row_number() over (partition by doc_id
+                                     order by tfidf desc, word) as int) as rank
+      from scored)
+    select doc_id, word, tfidf, rank from ranked
+    where rank <= 3 order by doc_id, rank
+    """
+
+
+_register_fn("text_tfidf_top_terms", _tfidf, _tfidf_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the

@@ -231,3 +231,51 @@ class TestPhashNearDup:
         # 0 vs -1 differ in EVERY band → never candidates, even with a
         # permissive threshold: LSH recall is only guaranteed ≤3 bits
         assert (1, 3) not in m and (2, 3) not in m
+
+
+def test_split_assign_deterministic_and_proportioned(spark):
+    """Salted-md5 split: stable across reruns/partitionings and within
+    a few points of the 80/10/10 target on 5k ids."""
+    from pyspark.sql import functions as F
+
+    from htrc_ingester_spark.operators.textdedup import split_assign_sql
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    expr = split_assign_sql("doc_id", "spark")
+    counts = dict(
+        (r["split"], r["n"])
+        for r in df.withColumn("split", F.expr(expr))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n = sum(counts.values())
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+    # determinism under repartitioning
+    again = dict(
+        (r["split"], r["n"])
+        for r in df.repartition(17).withColumn("split", F.expr(expr))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert counts == again
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    import pandas as pd
+
+    from htrc_ingester_spark.operators.textdedup import tfidf_top_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "common zebra",
+                "common common common",
+                "common yak yak",
+            ],
+        }
+    )
+    got = tfidf_top_terms(spark.createDataFrame(docs), top_k=1).toPandas()
+    top = got.set_index("doc_id")["word"]
+    assert top[1] == "zebra"   # rare term beats frequent-common
+    assert top[3] == "yak"
