@@ -51,14 +51,18 @@ def asof_join(
     """
     lcols = left.columns
     payload = list(payload_cols)
+    # the payload travels as ONE struct: last(ignorenulls) over separate
+    # columns would mix columns from DIFFERENT right rows whenever the
+    # matched row carries a null field (the struct itself is non-null
+    # for every right row, so the fill is atomic per row)
+    null_payload = F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: {right.schema[c].dataType.simpleString()}" for c in payload) + ">"
+    )
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("_side"),
         F.lit(None).cast(right.schema[order_col].dataType).alias("_rord"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        null_payload.alias("_payload"),
     )
     r_tagged = right.select(
         *[
@@ -67,20 +71,30 @@ def asof_join(
         ],
         F.lit(0).alias("_side"),
         F.col(order_col).alias("_rord"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_payload"),
     )
     spine = l_tagged.unionByName(r_tagged)
+    # explicit NULLS FIRST everywhere (Spark's asc default) so the
+    # DuckDB oracle can pin the identical ordering (its default is
+    # NULLS LAST)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_rord").asc())
+        .orderBy(
+            F.col(ts_col).asc_nulls_first(),
+            F.col("_side").asc_nulls_first(),
+            F.col("_rord").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = spine.select(
         *lcols,
         F.col("_side"),
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_payload"),
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    return (
+        filled.where(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"_payload.{c}").alias(f"{prefix}{c}") for c in payload],
+        )
+    )

@@ -432,14 +432,19 @@ def tfidf_top_terms(
         .where(F.col("word") != "")
     )
     tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    # N stays INSIDE the plan (1-row broadcast cross join): an eager
+    # .count() here would fire a full scan of df's lineage at
+    # plan-construction time, before the caller even executes
+    n_docs = df.select(F.countDistinct(id_col).alias("_n_docs"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+                F.col("tf")
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1)) + 1.0),
                 6,
             ),
         )

@@ -372,8 +372,11 @@ def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _asof_oracle() -> str:
+    # struct-packed payload (atomic fill — see operators/asof_join.py)
+    # + NULLS FIRST pinned to match Spark's asc default
     win = (
-        "over (partition by user_id order by ts, side, rord"
+        "over (partition by user_id"
+        " order by ts nulls first, side nulls first, rord nulls first"
         " rows between unbounded preceding and current row)"
     )
     return f"""
@@ -382,18 +385,19 @@ def _asof_oracle() -> str:
     spine as (
       select event_id, ts, user_id, 1 as side,
              cast(null as bigint) as rord,
-             cast(null as bigint) as p_event_id, cast(null as double) as p_value
+             cast(null as struct(event_id bigint, value double)) as payload
       from l
       union all
-      select cast(null as bigint), ts, user_id, 0, event_id, event_id, value from r),
+      select cast(null as bigint), ts, user_id, 0, event_id,
+             struct_pack(event_id := event_id, value := value)
+      from r),
     filled as (
       select event_id, user_id, side,
-             last_value(p_event_id ignore nulls) {win} as asof_event_id,
-             last_value(p_value ignore nulls) {win} as asof_value
+             last_value(payload ignore nulls) {win} as p
       from spine)
     select event_id, user_id,
-           coalesce(asof_event_id, -1) as asof_event_id,
-           round(coalesce(asof_value, -1.0), 5) as asof_value
+           coalesce(p.event_id, -1) as asof_event_id,
+           round(coalesce(p.value, -1.0), 5) as asof_value
     from filled where side = 1 order by event_id
     """
 
@@ -482,7 +486,7 @@ def _sessionize_oracle() -> str:
     # is >= 30 min; session id = cumulative count of session starts
     return """
     with ordered as (
-      select user_id, ts, value,
+      select user_id, ts, value, event_id,
              case when ts - lag(ts) over (partition by user_id order by ts, event_id)
                        >= interval 30 minutes then 1
                   when lag(ts) over (partition by user_id order by ts, event_id) is null then 1
@@ -490,7 +494,7 @@ def _sessionize_oracle() -> str:
       from events),
     tagged as (
       select user_id, ts, value,
-             sum(new_session) over (partition by user_id order by ts
+             sum(new_session) over (partition by user_id order by ts, event_id
                                     rows between unbounded preceding and current row) as sid
       from ordered)
     select user_id, min(ts) as session_start,

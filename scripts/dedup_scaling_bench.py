@@ -132,7 +132,7 @@ def main() -> None:
     print(json.dumps(result))
 
     section = f"""
-## Dedup-family scaling (same N→4N protocol)
+## Dedup-family scaling (same N→{hi // lo}N protocol)
 
 `python scripts/dedup_scaling_bench.py --sf-dir {args.sf_dir} --mult {args.mult} --levels {lo},{hi}` —
 the full MinHash-LSH near-dup pipeline over documents ×{args.mult}
@@ -142,7 +142,7 @@ via rep-keyed character substitution on ~2% of base docs; {r_lo['n_pairs']:,} ve
 | parallelism | wall (s) | docs/sec |
 |---|---|---|
 | local[{lo}] (N) | {r_lo['wall_sec']} | {r_lo['docs_per_sec']:,} |
-| local[{hi}] (4N) | {r_hi['wall_sec']} | {r_hi['docs_per_sec']:,} |
+| local[{hi}] ({hi // lo}N) | {r_hi['wall_sec']} | {r_hi['docs_per_sec']:,} |
 
 **Scaling efficiency {result['scaling_efficiency']}** → {"PASS" if result['pass'] else "FAIL"} (≥ 0.8).
 The dedup family's only wide ops are the (band,bucket) exchange and the

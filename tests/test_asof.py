@@ -59,10 +59,36 @@ def test_backward_inclusive_and_ties(spark, sides):
     assert pd.isna(got.loc[13, "asof_event_id"])
 
 
+def test_atomic_payload_fill_with_null_field(spark):
+    """The matched right row's payload must come from ONE row: a null
+    field in the latest right row stays null, never back-filled from an
+    older right row (regression: per-column last(ignorenulls) mixed
+    rows)."""
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"event_id": [10], "ts": [_ts(30)], "user_id": [1], "value": [0.0]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [100, 101],
+                "ts": [_ts(5), _ts(20)],
+                "user_id": [1, 1],
+                "value": [2.0, None],
+            }
+        )
+    )
+    got = asof_join(left, right).toPandas().iloc[0]
+    assert got["asof_event_id"] == 101
+    assert pd.isna(got["asof_value"])  # NOT 2.0 from event 100
+
+
 def test_plan_single_exchange(spark, sides):
     left, right = sides
     plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
     # the union-spine construction: no join operator at all, one
-    # window after one key exchange
+    # window after exactly one (non-broadcast) key exchange
     assert "Join" not in plan
     assert "Window" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
