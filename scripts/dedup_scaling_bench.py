@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -86,21 +85,13 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
 
 
 def run_level(cpus: int, zip_path: str, sf_dir: str, mult: int) -> dict:
-    cmd = [
-        "spark-submit",
-        "--master", f"local[{cpus}]",
-        "--driver-memory", "24g",
-        "--py-files", zip_path,
-        os.path.abspath(__file__),
-        "--child", str(cpus), "--sf-dir", sf_dir, "--mult", str(mult),
-    ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-    for line in out.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"docs_per_sec"' in line:
-            return json.loads(line)
-    sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:] + "\n")
-    raise RuntimeError(f"child local[{cpus}] produced no result line")
+    from scaling_bench import launch_child
+
+    return launch_child(
+        cpus, zip_path,
+        [os.path.abspath(__file__), "--child", str(cpus), "--sf-dir", sf_dir, "--mult", str(mult)],
+        "docs_per_sec",
+    )
 
 
 def main() -> None:

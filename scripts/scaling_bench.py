@@ -34,30 +34,36 @@ def build_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def run_level(cpus: int, zip_path: str, sf_dir: str, mult: int) -> dict:
+def launch_child(cpus: int, zip_path: str, script_args: list, result_key: str) -> dict:
+    """spark-submit a child benchmark at local[cpus] and scrape its one
+    JSON result line (shared by the flagship and dedup evidence runs).
+
+    local mode note: executors live in the driver JVM — size it like a
+    real executor, or 32 threads thrash a 1 GB default heap and the
+    scaling measurement measures GC, not the engine."""
     cmd = [
         "spark-submit",
-        "--master",
-        f"local[{cpus}]",
-        # local mode: executors live in the driver JVM — size it like a
-        # real executor, or 32 threads thrash a 1 GB default heap and
-        # the scaling measurement measures GC, not the engine
-        "--driver-memory",
-        "24g",
-        "--py-files",
-        zip_path,
-        os.path.join(REPO, "scripts", "scaling_child.py"),
-        str(cpus),
-        sf_dir,
-        str(mult),
+        "--master", f"local[{cpus}]",
+        "--driver-memory", "24g",
+        "--py-files", zip_path,
+        *script_args,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     for line in out.stdout.splitlines():
         line = line.strip()
-        if line.startswith("{") and '"images_per_sec"' in line:
+        if line.startswith("{") and f'"{result_key}"' in line:
             return json.loads(line)
     sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:] + "\n")
     raise RuntimeError(f"child local[{cpus}] produced no result line")
+
+
+def run_level(cpus: int, zip_path: str, sf_dir: str, mult: int) -> dict:
+    return launch_child(
+        cpus, zip_path,
+        [os.path.join(REPO, "scripts", "scaling_child.py"), str(cpus), sf_dir, str(mult)],
+        "images_per_sec",
+    )
+
 
 
 def main() -> None:
