@@ -1127,7 +1127,10 @@ def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     vid = f"translate({vid}, '+=,', ':/.')"
     snapshot = spark.sql(f"select {vid} as volume_id, source, n_chars from documents")
     lines = spark.sql(_dlog_lines_sql("spark"))
-    changes = I.collapse_changes(I.parse_delta_log(lines))
+    # apply_changes consumes the change set twice (tombstone anti-join +
+    # upsert overlay); persist the tiny collapsed frame so the
+    # parse+window lineage runs once
+    changes = I.collapse_changes(I.parse_delta_log(lines)).persist()
     merged = I.apply_changes(snapshot, changes, snapshot)
     return (
         merged.groupBy("source")
