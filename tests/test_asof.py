@@ -92,3 +92,54 @@ def test_plan_single_exchange(spark, sides):
     assert "Join" not in plan
     assert "Window" in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_random_parity_with_pandas_merge_asof(spark):
+    """Independent oracle: pandas.merge_asof (backward, inclusive,
+    last-right-row-wins on equal ts when right is sorted by
+    (ts, event_id)) must agree on randomized keyed event sets."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 400
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l),
+            "ts": pd.to_datetime(rng.integers(0, 5000, n_l), unit="s"),
+            "user_id": rng.integers(0, 20, n_l),
+            "value": np.zeros(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": np.arange(1000, 1000 + n_r),
+            "ts": pd.to_datetime(rng.integers(0, 5000, n_r), unit="s"),
+            "user_id": rng.integers(0, 20, n_r),
+            "value": rng.normal(size=n_r).round(3),
+        }
+    )
+    got = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values(["ts", "event_id"], kind="mergesort"),
+        right.sort_values(["ts", "event_id"], kind="mergesort")
+        .rename(columns={"event_id": "asof_event_id", "value": "asof_value"}),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["asof_event_id"].astype("float64"),
+        want["asof_event_id"].astype("float64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        got["asof_value"].astype("float64"),
+        want["asof_value"].astype("float64"),
+        check_names=False,
+    )
