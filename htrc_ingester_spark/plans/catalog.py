@@ -647,6 +647,37 @@ def _s2_hist_oracle() -> str:
 _register_fn("s2_encode_hist", _s2_hist, _s2_hist_oracle())
 
 
+def _geohash_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encode (geo/geohash — third index family) → top prefixes
+    at precision 4, the standard geohash aggregation shape."""
+    from pyspark.sql import functions as F
+
+    from ..geo import geohash as GH
+
+    img = FS.load_images(spark, sf_dir)
+    return (
+        img.withColumn("gh", F.expr(GH.geohash_sql_expr("lon", "lat", 4, "spark")))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gh"))
+        .limit(40)
+    )
+
+
+def _geohash_hist_oracle() -> str:
+    from ..geo import geohash as GH
+
+    expr = GH.geohash_sql_expr("lon", "lat", 4, "duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select {expr} as gh, cast(count(*) as bigint) as n
+    from img group by 1 order by n desc, gh limit 40
+    """
+
+
+_register_fn("geohash_encode_hist", _geohash_hist, _geohash_hist_oracle())
+
+
 # ===========================================================================
 # Reference relational parity (SURVEY.md §2.2/2.3/2.4/2.5/2.6/2.7)
 # ===========================================================================

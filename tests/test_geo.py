@@ -289,3 +289,42 @@ class TestS2SQLParity:
             [r.c for r in df.selectExpr(f"{s2lite.s2_sql_expr('lon','lat',12,'spark')} as c").collect()]
         )
         assert (got_s == want).all()
+
+
+class TestGeohash:
+    def test_wikipedia_vector(self):
+        import numpy as np
+
+        from htrc_ingester_spark.geo import geohash as GH
+
+        assert GH.encode(np.array([57.64911]), np.array([10.40744]), 11)[0] == "u4pruydqqvj"
+        assert GH.encode(np.array([0.0]), np.array([0.0]), 4)[0] == "s000"
+
+    def test_numpy_spark_duckdb_triple_parity(self, spark):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.geo import geohash as GH
+
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame(
+            {
+                "lon": np.concatenate([rng.uniform(-180, 180, 300), [-180.0, 180.0, 0.0]]),
+                "lat": np.concatenate([rng.uniform(-90, 90, 300), [90.0, -90.0, 0.0]]),
+            }
+        )
+        want = GH.encode(pdf.lat.to_numpy(), pdf.lon.to_numpy(), 6)
+        got_spark = (
+            spark.createDataFrame(pdf)
+            .select(F.expr(GH.geohash_sql_expr("lon", "lat", 6, "spark")).alias("g"))
+            .toPandas()["g"].to_numpy()
+        )
+        con = duckdb.connect()
+        con.register("pts", pdf)
+        got_duck = con.sql(
+            f"select {GH.geohash_sql_expr('lon', 'lat', 6, 'duckdb')} as g from pts"
+        ).df()["g"].to_numpy()
+        assert (got_spark == want).all()
+        assert (got_duck == want).all()
