@@ -678,6 +678,51 @@ def _geohash_hist_oracle() -> str:
 _register_fn("geohash_encode_hist", _geohash_hist, _geohash_hist_oracle())
 
 
+def _pyramid_sql(dialect: str) -> str:
+    """Spatial pyramid rollup as SQL, identical both dialects: res-7
+    per-cell counts re-aggregated to res-5 via the aperture-4 parent
+    bit derivation (parent x = x >> 2, y >> 2)."""
+    from ..geo import h3lite as H
+
+    c7 = H.h3_sql_expr("lon", "lat", 7)
+    div = "div" if dialect == "spark" else "//"
+    parent = (
+        f"(cast(5 as bigint) * {1 << 56}"
+        f" + ((c7 {div} {1 << 28}) % {1 << 28} {div} 4) * {1 << 28}"
+        f" + (c7 % {1 << 28}) {div} 4)"
+    )
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    cells as (select {c7} as c7 from img),
+    fine as (select c7, count(*) as n from cells group by 1)
+    select {parent} as cell_r5, cast(sum(n) as bigint) as n
+    from fine group by 1 order by 1
+    """
+
+
+def _pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(_pyramid_sql("spark"))
+
+
+def _pyramid_oracle() -> str:
+    """Direct res-5 encode — a value MATCH proves the two-level spatial
+    pyramid (fine counts → parent sums) equals single-level truth:
+    hierarchical tile aggregates can be built from finer tiles without
+    re-reading the points."""
+    from ..geo import h3lite as H
+
+    c5 = H.h3_sql_expr("lon", "lat", 5)
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select {c5} as cell_r5, cast(count(*) as bigint) as n
+    from img group by 1 order by 1
+    """
+
+
+_register_fn("spatial_pyramid_rollup", _pyramid, _pyramid_oracle())
+
+
 # ===========================================================================
 # Reference relational parity (SURVEY.md §2.2/2.3/2.4/2.5/2.6/2.7)
 # ===========================================================================
