@@ -147,8 +147,14 @@ def _pip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pip_general_oracle() -> str:
-    """SQL twin of geo/geometry.py's ray-cast kernel over the seed-stable
-    polygon fixtures (data.polygons()).
+    from .. import data
+
+    return pip_crossing_oracle_sql(data.polygons(), FS.images_sql("lineitem"))
+
+
+def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
+    """SQL twin of geo/geometry.py's ray-cast kernel for ARBITRARY
+    rings over a points query (columns image_id, lon, lat).
 
     The ring-only preprocessing (closure, longitude unwrap, winding
     classification, frame center / mean latitude) is done here in Python
@@ -172,7 +178,6 @@ def _pip_general_oracle() -> str:
     """
     import numpy as np
 
-    from .. import data
     from ..geo.geometry import unwrap_ring
 
     def d(x: float) -> str:
@@ -180,7 +185,7 @@ def _pip_general_oracle() -> str:
 
     norm_rows: list[str] = []
     cap_rows: list[str] = []
-    for p in data.polygons():
+    for p in polys:
         r_lon = np.array([v[0] for v in p["ring"]], dtype=np.float64)
         r_lat = np.array([v[1] for v in p["ring"]], dtype=np.float64)
         if r_lon.shape[0] < 3:
@@ -230,7 +235,7 @@ def _pip_general_oracle() -> str:
     # double-count edges and flip parity), then re-expanded by joining
     # back to img (image_id → (lon,lat) is functional, so id join is safe).
     return f"""
-    with img as ({FS.images_sql('lineitem')}),
+    with img as ({points_sql}),
     pt as (select distinct image_id, lon, lat from img),
     norm_edges(poly_id, x1, y1, x2, y2, center) as (values {', '.join(norm_rows)}),
     cap_edges(poly_id, a, ya, b, yb, lo, north) as (values {', '.join(cap_rows)}),

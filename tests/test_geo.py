@@ -328,3 +328,80 @@ class TestGeohash:
         ).df()["g"].to_numpy()
         assert (got_spark == want).all()
         assert (got_duck == want).all()
+
+
+class TestPIPCrossingOracleGenerator:
+    def test_random_rings_match_kernel(self):
+        """The DuckDB crossing-count oracle generator must reproduce the
+        numpy ray-cast kernel for ARBITRARY rings — random concave
+        stars, antimeridian-straddling quads, and polar caps — not just
+        the shipped fixtures (it is the flagship family's value gate)."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from htrc_ingester_spark.geo.geometry import points_in_ring
+        from htrc_ingester_spark.plans.catalog import pip_crossing_oracle_sql
+
+        rng = np.random.default_rng(17)
+        polys = []
+        # concave stars at random centers/orientations
+        for i in range(4):
+            clon = rng.uniform(-170, 170)
+            clat = rng.uniform(-60, 60)
+            spikes = rng.integers(5, 9)
+            ring = []
+            for k in range(2 * spikes):
+                ang = 2 * np.pi * k / (2 * spikes) + rng.uniform(0, 0.3)
+                r = rng.uniform(3, 8) if k % 2 == 0 else rng.uniform(0.5, 2)
+                ring.append((clon + r * np.cos(ang), clat + r * np.sin(ang)))
+            ring.append(ring[0])
+            polys.append({"poly_id": f"star{i}", "ring": ring})
+        # antimeridian quads
+        for i in range(2):
+            w = rng.uniform(0.5, 3)
+            lat0 = rng.uniform(-50, 40)
+            polys.append(
+                {
+                    "poly_id": f"anti{i}",
+                    "ring": [
+                        (180 - w, lat0), (-180 + w, lat0),
+                        (-180 + w, lat0 + 5), (180 - w, lat0 + 5),
+                        (180 - w, lat0),
+                    ],
+                }
+            )
+        # polar caps (north + south) at random latitudes
+        for i, sgn in enumerate((1, -1)):
+            latc = sgn * rng.uniform(70, 85)
+            polys.append(
+                {
+                    "poly_id": f"cap{i}",
+                    "ring": [(lon, latc) for lon in range(-180, 181, 40)],
+                }
+            )
+
+        n = 4000
+        pts = pd.DataFrame(
+            {
+                "image_id": np.arange(n),
+                "lon": rng.uniform(-180, 180, n),
+                "lat": rng.uniform(-90, 90, n),
+            }
+        )
+        con = duckdb.connect()
+        con.register("pts_tbl", pts)
+        sql = pip_crossing_oracle_sql(
+            polys, "select image_id, lon, lat from pts_tbl"
+        )
+        got = con.sql(sql).df()
+        for p in polys:
+            rl = np.array([v[0] for v in p["ring"]])
+            rt = np.array([v[1] for v in p["ring"]])
+            want_ids = set(
+                pts.image_id.to_numpy()[
+                    points_in_ring(pts.lon.to_numpy(), pts.lat.to_numpy(), rl, rt)
+                ]
+            )
+            got_ids = set(got[got.poly_id == p["poly_id"]].image_id)
+            assert got_ids == want_ids, p["poly_id"]
