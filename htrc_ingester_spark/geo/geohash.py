@@ -26,7 +26,9 @@ def _bit_counts(precision: int) -> tuple[int, int]:
 
 
 def encode(lat, lon, precision: int = 6):
-    """Vectorized numpy geohash encode → array of strings."""
+    """Vectorized numpy geohash encode → array of strings. All bit
+    extraction and char-value assembly is whole-array (5·precision bit
+    ops total); only the final per-row string join is Python."""
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
     nlon, nlat = _bit_counts(precision)
@@ -36,23 +38,23 @@ def encode(lat, lon, precision: int = 6):
     la = np.clip(
         np.floor((lat + 90.0) / 180.0 * (1 << nlat)).astype(np.int64), 0, (1 << nlat) - 1
     )
-    out = np.empty(lat.shape, dtype=object)
     flat_li, flat_la = li.ravel(), la.ravel()
-    res = []
-    for i in range(flat_li.shape[0]):
-        chars = []
-        for c in range(precision):
-            v = 0
-            for b in range(5):
-                j = 5 * c + b  # interleaved stream position, MSB first
-                if j % 2 == 0:
-                    bit = (flat_li[i] >> (nlon - 1 - j // 2)) & 1
-                else:
-                    bit = (flat_la[i] >> (nlat - 1 - (j - 1) // 2)) & 1
-                v = (v << 1) | int(bit)
-            chars.append(_B32[v])
-        res.append("".join(chars))
-    out.ravel()[:] = res
+    vals = np.zeros((precision, flat_li.shape[0]), dtype=np.int64)
+    for c in range(precision):
+        for b in range(5):
+            j = 5 * c + b  # interleaved stream position, MSB first
+            if j % 2 == 0:
+                bit = (flat_li >> (nlon - 1 - j // 2)) & 1
+            else:
+                bit = (flat_la >> (nlat - 1 - (j - 1) // 2)) & 1
+            vals[c] = (vals[c] << 1) | bit
+    alphabet = np.array(list(_B32))
+    chars = alphabet[vals]  # (precision, n) of 1-char strings
+    joined = chars[0]
+    for c in range(1, precision):
+        joined = np.char.add(joined, chars[c])
+    out = np.empty(lat.shape, dtype=object)
+    out.ravel()[:] = joined
     return out
 
 

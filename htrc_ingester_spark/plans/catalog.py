@@ -234,12 +234,18 @@ def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
     # Parity must be computed per distinct point (grouping raw rows would
     # double-count edges and flip parity), then re-expanded by joining
     # back to img (image_id → (lon,lat) is functional, so id join is safe).
-    return f"""
-    with img as ({points_sql}),
-    pt as (select distinct image_id, lon, lat from img),
-    norm_edges(poly_id, x1, y1, x2, y2, center) as (values {', '.join(norm_rows)}),
-    cap_edges(poly_id, a, ya, b, yb, lo, north) as (values {', '.join(cap_rows)}),
-    norm_hits as (
+    # Each ring-kind branch is emitted only when that kind exists — an
+    # empty VALUES list is a syntax error in both dialects.
+    ctes = [
+        f"img as ({points_sql})",
+        "pt as (select distinct image_id, lon, lat from img)",
+    ]
+    hit_sources = []
+    if norm_rows:
+        ctes.append(
+            f"norm_edges(poly_id, x1, y1, x2, y2, center) as (values {', '.join(norm_rows)})"
+        )
+        ctes.append(f"""norm_hits as (
       select image_id, poly_id from (
         select p.image_id, e.poly_id, p.lat,
                e.x1, e.y1, e.x2, e.y2, {plon_norm} as plon
@@ -247,8 +253,13 @@ def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
       ) t
       group by image_id, poly_id
       having sum(case when {crossing_norm} then 1 else 0 end) % 2 = 1
-    ),
-    cap_hits as (
+    )""")
+        hit_sources.append("select image_id, poly_id from norm_hits")
+    if cap_rows:
+        ctes.append(
+            f"cap_edges(poly_id, a, ya, b, yb, lo, north) as (values {', '.join(cap_rows)})"
+        )
+        ctes.append(f"""cap_hits as (
       select image_id, poly_id from (
         select p.image_id, e.poly_id, p.lat,
                e.a, e.ya, e.b, e.yb, e.north, {plon_cap} as plon
@@ -256,12 +267,15 @@ def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
       ) t
       group by image_id, poly_id
       having sum(case when {cap_counted} then 1 else 0 end) % 2 = 0
-    ),
-    hits as (
-      select image_id, poly_id from norm_hits
-      union all
-      select image_id, poly_id from cap_hits
-    )
+    )""")
+        hit_sources.append("select image_id, poly_id from cap_hits")
+    if not hit_sources:  # no usable rings at all → empty result
+        hit_sources.append(
+            "select image_id, cast(null as varchar) as poly_id from pt where 1 = 0"
+        )
+    ctes.append("hits as (" + " union all ".join(hit_sources) + ")")
+    return f"""
+    with {', '.join(ctes)}
     select i.image_id as image_id, h.poly_id as poly_id
     from img i join hits h on i.image_id = h.image_id
     order by i.image_id, h.poly_id
@@ -683,14 +697,16 @@ def _geohash_hist_oracle() -> str:
 _register_fn("geohash_encode_hist", _geohash_hist, _geohash_hist_oracle())
 
 
-def _pyramid_sql(dialect: str) -> str:
-    """Spatial pyramid rollup as SQL, identical both dialects: res-7
-    per-cell counts re-aggregated to res-5 via the aperture-4 parent
-    bit derivation (parent x = x >> 2, y >> 2)."""
+def _pyramid_sql() -> str:
+    """Spatial pyramid rollup (Spark SQL): res-7 per-cell counts
+    re-aggregated to res-5 via the aperture-4 parent bit derivation
+    (parent x = x >> 2, y >> 2). The ORACLE is deliberately a direct
+    res-5 encode, not this query's twin — the MATCH is the proof that
+    fine→coarse re-aggregation equals single-level truth."""
     from ..geo import h3lite as H
 
     c7 = H.h3_sql_expr("lon", "lat", 7)
-    div = "div" if dialect == "spark" else "//"
+    div = "div"
     parent = (
         f"(cast(5 as bigint) * {1 << 56}"
         f" + ((c7 {div} {1 << 28}) % {1 << 28} {div} 4) * {1 << 28}"
@@ -707,7 +723,7 @@ def _pyramid_sql(dialect: str) -> str:
 
 def _pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "lineitem")
-    return spark.sql(_pyramid_sql("spark"))
+    return spark.sql(_pyramid_sql())
 
 
 def _pyramid_oracle() -> str:
@@ -1210,7 +1226,9 @@ def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = spark.sql(_dlog_lines_sql("spark"))
     # apply_changes consumes the change set twice (tombstone anti-join +
     # upsert overlay); persist the tiny collapsed frame so the
-    # parse+window lineage runs once
+    # parse+window lineage runs once. Left cached for the returned lazy
+    # plan (entries run in ephemeral bench/gate sessions; Spark evicts
+    # storage blocks LRU under pressure)
     changes = I.collapse_changes(I.parse_delta_log(lines)).persist()
     merged = I.apply_changes(snapshot, changes, snapshot)
     return (
