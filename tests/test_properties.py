@@ -157,3 +157,48 @@ def test_s2_parent_containment(lon, lat, level):
     direct = int(s2lite.latlng_to_cell(lat, lon, level - 1))
     assert int(s2lite.cell_to_parent(np.int64(child), level - 1)) == direct
     assert int(s2lite.cell_level(np.int64(child))) == level
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, st.integers(min_value=1, max_value=12))
+def test_geohash_prefix_hierarchy_and_range(lon, lat, precision):
+    """Geohash invariants for every input: encoding at precision p is a
+    PREFIX of the precision-(p+1) encoding (hierarchical containment),
+    chars come from the base-32 alphabet, and the encode is stable."""
+    from htrc_ingester_spark.geo import geohash as GH
+
+    g = GH.encode(np.array([lat]), np.array([lon]), precision)[0]
+    g2 = GH.encode(np.array([lat]), np.array([lon]), precision + 1)[0]
+    assert len(g) == precision
+    assert g2.startswith(g)
+    assert all(ch in GH._B32 for ch in g)
+    assert GH.encode(np.array([lat]), np.array([lon]), precision)[0] == g
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(lons, lats), min_size=3, max_size=12),
+    lons,
+    lats,
+)
+def test_pip_oracle_generator_matches_kernel_pointwise(ring_pts, plon, plat):
+    """For ANY ring hypothesis invents (self-intersecting, collinear,
+    tiny), the SQL crossing-count oracle generator must agree with the
+    numpy kernel on any query point."""
+    import duckdb
+    import pandas as pd
+
+    from htrc_ingester_spark.plans.catalog import pip_crossing_oracle_sql
+
+    ring = [(float(a), float(b)) for a, b in ring_pts]
+    ring.append(ring[0])
+    rl = np.array([p[0] for p in ring])
+    rt = np.array([p[1] for p in ring])
+    want = bool(G.points_in_ring(np.array([plon]), np.array([plat]), rl, rt)[0])
+    con = duckdb.connect()
+    con.register("pts_tbl", pd.DataFrame({"image_id": [0], "lon": [plon], "lat": [plat]}))
+    sql = pip_crossing_oracle_sql(
+        [{"poly_id": "h", "ring": ring}], "select * from pts_tbl"
+    )
+    got = len(con.sql(sql).df()) == 1
+    assert got == want
