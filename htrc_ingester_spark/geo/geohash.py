@@ -90,3 +90,40 @@ def geohash_sql_expr(lon_col: str, lat_col: str, precision: int = 6,
     if dialect == "spark":
         return "concat(" + ", ".join(chars) + ")"
     return " || ".join(chars)
+
+
+def decode_bbox(geohashes):
+    """Vectorized inverse: geohash strings → (lat0, lat1, lon0, lon1)
+    float64 arrays (the cell's bounding box). De-interleaves each
+    char's 5 bits back into the lon/lat integers, then scales."""
+    ghs = np.asarray(geohashes, dtype=object)
+    flat = ghs.ravel()
+    if not len(flat):
+        z = np.zeros(ghs.shape)
+        return z, z, z, z
+    precision = len(flat[0])
+    nlon, nlat = _bit_counts(precision)
+    vals = np.array(
+        [[_B32.index(ch) for ch in g] for g in flat], dtype=np.int64
+    )  # (n, precision)
+    li = np.zeros(len(flat), dtype=np.int64)
+    la = np.zeros(len(flat), dtype=np.int64)
+    for c in range(precision):
+        for b in range(5):
+            j = 5 * c + b
+            bit = (vals[:, c] >> (4 - b)) & 1
+            if j % 2 == 0:
+                li = (li << 1) | bit
+            else:
+                la = (la << 1) | bit
+    lon0 = li / (1 << nlon) * 360.0 - 180.0
+    lon1 = (li + 1) / (1 << nlon) * 360.0 - 180.0
+    lat0 = la / (1 << nlat) * 180.0 - 90.0
+    lat1 = (la + 1) / (1 << nlat) * 180.0 - 90.0
+
+    def shp(a):
+        out = np.empty(ghs.shape)
+        out.ravel()[:] = a
+        return out
+
+    return shp(lat0), shp(lat1), shp(lon0), shp(lon1)

@@ -202,3 +202,17 @@ def test_pip_oracle_generator_matches_kernel_pointwise(ring_pts, plon, plat):
     )
     got = len(con.sql(sql).df()) == 1
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, st.integers(min_value=1, max_value=10))
+def test_geohash_roundtrip_bbox_contains_point(lon, lat, precision):
+    """decode_bbox(encode(p)) must contain p (up to the same one-ULP
+    quantization-boundary tolerance as the h3 boundary property)."""
+    from htrc_ingester_spark.geo import geohash as GH
+
+    g = GH.encode(np.array([lat]), np.array([lon]), precision)
+    lat0, lat1, lon0, lon1 = GH.decode_bbox(g)
+    eps = 1e-9
+    assert lat0[0] - eps <= lat <= lat1[0] + eps
+    assert lon0[0] - eps <= lon <= lon1[0] + eps
