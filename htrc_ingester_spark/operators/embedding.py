@@ -100,16 +100,35 @@ def ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Bucketed approximate top-k: each query scans only its bucket.
     query_df: (query_id, embedding). Returns (query_id, vec_id, cos,
-    rank) ranked by (cos desc, vec_id) — total order, deterministic."""
+    rank) ranked by (cos desc, vec_id) — total order, deterministic.
+
+    ``multi_probe=True`` also probes the query bucket's hamming-1
+    neighbors (flip one signature bit at a time → N_PLANES extra
+    buckets per query): the standard recall knob — a near neighbor
+    whose dot against ONE hyperplane flips sign lands one bit away.
+    Scan fraction grows from 1/2^P to (P+1)/2^P of the table; still an
+    equi-join on the bucket column (partition-pruned at scale)."""
     from pyspark.sql import Window
 
     data = with_bucket(df, vec_col, dim)
     q = with_bucket(
         query_df.select(F.col("query_id"), F.col(vec_col).alias("_qv")), "_qv", dim
-    ).withColumnRenamed("bucket", "_qb")
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.expr(f"cast(bucket ^ {1 << p} as int)")
+                for p in range(N_PLANES)
+            ],
+        )
+        q = q.withColumn("_qb", F.explode(probes)).drop("bucket")
+    else:
+        q = q.withColumnRenamed("bucket", "_qb")
     cand = data.join(F.broadcast(q), F.col("bucket") == F.col("_qb"), "inner").withColumn(
         "cos", F.expr(f"round({cosine_sql(vec_col, '_qv', 'spark')}, 5)")
     )

@@ -1551,6 +1551,49 @@ def _ann_ivf_oracle() -> str:
 _register_fn("similarity_ivf_topk", _ann_ivf, _ann_ivf_oracle())
 
 
+def _ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import embedding as E
+
+    _load(spark, sf_dir, "embeddings")
+    data = spark.sql("select cast(vec_id as bigint) as vec_id, embedding from embeddings")
+    qdf = spark.sql(
+        "select cast(vec_id as string) as query_id, embedding "
+        "from embeddings where vec_id in (0, 7, 42)"
+    )
+    return E.ann_topk(data, qdf, k=5, multi_probe=True).orderBy("query_id", "rank")
+
+
+def _ann_multiprobe_oracle() -> str:
+    from ..operators import embedding as E
+
+    b = E.bucket_sql("embedding", 64, "duckdb")
+    cos = E.cosine_sql("e.embedding", "q.embedding", "duckdb")
+    probes = ", ".join(
+        ["bucket"] + [f"cast(xor(bucket, {1 << p}) as int)" for p in range(E.N_PLANES)]
+    )
+    return f"""
+    with b as (
+      select cast(vec_id as bigint) as vec_id, embedding, {b} as bucket
+      from embeddings),
+    q0 as (select cast(vec_id as string) as query_id, embedding, bucket
+           from b where vec_id in (0, 7, 42)),
+    q as (select query_id, embedding, unnest(list_value({probes})) as qb from q0),
+    cand as (
+      select q.query_id, e.vec_id, round({cos}, 5) as cos
+      from b e join q on e.bucket = q.qb),
+    ranked as (
+      select query_id, vec_id, cos,
+             cast(row_number() over (partition by query_id
+                                     order by cos desc, vec_id) as int) as rank
+      from cand)
+    select query_id, vec_id, cos, rank from ranked
+    where rank <= 5 order by query_id, rank
+    """
+
+
+_register_fn("similarity_ann_multiprobe", _ann_multiprobe, _ann_multiprobe_oracle())
+
+
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import embedding as E
 

@@ -279,3 +279,57 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = got.set_index("doc_id")["word"]
     assert top[1] == "zebra"   # rare term beats frequent-common
     assert top[3] == "yak"
+
+
+def test_multiprobe_ann_recall_dominates_single_probe(spark):
+    """Hamming-1 multi-probe must find a superset-or-equal candidate
+    pool: per-query recall vs brute-force top-k is >= the single-probe
+    recall, and candidate coverage strictly helps on at least one query
+    for a boundary-heavy workload."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from htrc_ingester_spark.operators.embedding import ann_topk, cosine_sql
+
+    rng = np.random.default_rng(9)
+    n, dim, k = 400, 64, 10
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [rng.normal(size=dim).tolist() for _ in range(n)],
+        }
+    )
+    data = spark.createDataFrame(emb)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"q{i}" for i in range(8)],
+            "embedding": [rng.normal(size=dim).tolist() for _ in range(8)],
+        }
+    )
+    qdf = spark.createDataFrame(qpdf)
+
+    def topk_sets(df):
+        out = df.toPandas()
+        return {q: set(g.vec_id) for q, g in out.groupby("query_id")}
+
+    single = topk_sets(ann_topk(data, qdf, k=k))
+    multi = topk_sets(ann_topk(data, qdf, k=k, multi_probe=True))
+    # brute-force truth
+    brute = (
+        data.crossJoin(F.broadcast(qdf.select("query_id", F.col("embedding").alias("_qv"))))
+        .withColumn("cos", F.expr(cosine_sql("embedding", "_qv", "spark")))
+        .withColumn(
+            "rank",
+            F.expr("row_number() over (partition by query_id order by cos desc, vec_id)"),
+        )
+        .where(F.col("rank") <= k)
+    )
+    truth = topk_sets(brute.select("query_id", "vec_id"))
+    gain = 0
+    for q in truth:
+        r1 = len(single.get(q, set()) & truth[q])
+        r2 = len(multi.get(q, set()) & truth[q])
+        assert r2 >= r1, q
+        gain += r2 - r1
+    assert gain > 0  # boundary neighbors exist at this density
