@@ -455,3 +455,48 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select(id_col, "word", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for documents whose 32-bit SimHash differs
+    by ≤ ``max_hamming`` bits — completes the SimHash leg (signatures
+    existed, pair-finding didn't). Same banded-LSH shape as
+    ``embedding.phash_neardup_pairs``: 4×8-bit bands are
+    pigeonhole-complete for ≤3 flipped bits; hot bands capped by a
+    spillable window count."""
+    from pyspark.sql import Window
+
+    sh = simhash32(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"cast((simhash >> {b * 8}) & 255 as int)").alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    sig = sh.withColumn("_b", F.explode(bands)).select(
+        id_col, "simhash", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+    wb = Window.partitionBy("band", "bucket")
+    kept = sig.withColumn("_n", F.count(F.lit(1)).over(wb)).where(F.col("_n") <= max_bucket)
+    a, b = kept.alias("a"), kept.alias("b")
+    ham = hamming32_sql("a.simhash", "b.simhash", "spark")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr(ham).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1349,6 +1349,44 @@ def _minhash_lsh_oracle() -> str:
 _register_fn("dedup_minhash_lsh", _minhash_lsh, _minhash_lsh_oracle())
 
 
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    uni = spark.sql(_dup_docs_sql("spark"))
+    return TD.simhash_neardup_pairs(uni).orderBy("id_a", "id_b")
+
+
+def _simhash_pairs_oracle() -> str:
+    from ..operators import textdedup as TD
+
+    sim = TD.simhash32_sql("doc_id", "w")
+    ham = TD.hamming32_sql("a.simhash", "b.simhash", "duckdb")
+    return f"""
+    with docs as ({_dup_docs_sql('duckdb')}),
+    words as (
+      select doc_id, unnest(string_split(text, ' ')) as w from docs),
+    ww as (select doc_id, w from words where w <> ''),
+    sh as (select doc_id, {sim} as simhash from ww group by doc_id),
+    bands as (
+      select doc_id, simhash, band,
+             cast((simhash >> (band * 8)) & 255 as int) as bucket
+      from sh cross join (select unnest([0, 1, 2, 3]) as band)),
+    sz as (select band, bucket, count(*) as n from bands group by 1, 2),
+    kept as (select b.* from bands b join sz using (band, bucket) where sz.n <= 200),
+    pairs as (
+      select distinct a.doc_id as id_a, b.doc_id as id_b,
+             cast({ham} as int) as hamming
+      from kept a join kept b using (band, bucket)
+      where a.doc_id < b.doc_id)
+    select id_a, id_b, hamming from pairs
+    where hamming <= 3 order by id_a, id_b
+    """
+
+
+_register_fn("dedup_simhash_pairs", _simhash_pairs, _simhash_pairs_oracle())
+
+
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textdedup as TD
 
