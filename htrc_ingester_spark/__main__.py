@@ -70,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--partitions", default="",
-        help="comma-separated partition ids to invalidate (with --invalidate-store)",
+        help="comma-separated partition ids to invalidate (with "
+        "--invalidate-store); omit to invalidate ALL partitions",
     )
 
     args = ap.parse_args(argv)
@@ -100,7 +101,11 @@ def main(argv: list[str] | None = None) -> int:
 
             parts = [p for p in args.partitions.split(",") if p != ""]
             parts = [int(p) if p.lstrip("-").isdigit() else p for p in parts]
-            dropped = M.invalidate_partitions(_gs("cli-revert"), args.invalidate_store, parts)
+            # no --partitions = invalidate ALL (an empty list would
+            # silently invalidate nothing and defeat the revert's point)
+            dropped = M.invalidate_partitions(
+                _gs("cli-revert"), args.invalidate_store, parts or None
+            )
         print(json.dumps({"job": "revert", "now_at_version": v,
                           "manifests_invalidated": dropped}))
         return 0

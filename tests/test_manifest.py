@@ -144,6 +144,21 @@ def test_invalidate_partitions_forces_rerun_and_converges(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_invalidate_all_partitions_with_none(spark, tmp_path):
+    """partition_ids=None invalidates EVERY manifest row (the CLI's
+    `revert --invalidate-store` without --partitions — ADVICE r2: an
+    empty list silently invalidated nothing)."""
+    df = _images(spark)
+    out = str(tmp_path / "out")
+    M.write_resumable(spark, df, out, "bucket", commit_seq=1)
+    n = M.read_manifests(spark, out).count()
+    assert n > 0
+    dropped = M.invalidate_partitions(spark, out, None)
+    assert dropped == n
+    stats = M.write_resumable(spark, df, out, "bucket", commit_seq=2)
+    assert stats["written"] == n and stats["skipped"] == 0
+
+
 def test_read_manifests_propagates_corruption(spark, tmp_path):
     """A corrupt manifest dir must RAISE, not silently degrade into a
     full recompute (ADVICE r1): only path-not-found means 'fresh'."""
