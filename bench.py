@@ -57,21 +57,32 @@ def main() -> None:
     # warm the JVM + parquet footer caches once (excluded from timings)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # noise discipline (VERDICT r2 #5): the host is ±30-50% run-to-run,
+    # so each query gets 1 untimed warmup (plan compile, codegen JIT,
+    # python-worker spawn — fixed costs a long-running cluster
+    # amortizes) + n_runs timed reps; report the MEDIAN with the MAD as
+    # the per-query noise bar. SPARK_GRAFT_BENCH_RUNS=1 for cold-ish
+    # single-shot numbers.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    mads: dict[str, float] = {}
     n_images = 0
     for name in HEADLINE:
         fn = qs[name]
-        # steady-state: best of n_runs (first run pays plan compile,
-        # codegen JIT, and python-worker spawn — fixed costs a long-
-        # running cluster amortizes; set SPARK_GRAFT_BENCH_RUNS=1 for
-        # cold numbers)
-        best = float("inf")
+        fn(spark, sf_dir).count()  # warmup, untimed
+        reps: list[float] = []
         for _ in range(n_runs):
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.monotonic() - t0)
+        reps.sort()
+        med = reps[len(reps) // 2] if n_runs % 2 else (
+            reps[n_runs // 2 - 1] + reps[n_runs // 2]
+        ) / 2
+        timings[name] = round(med, 3)
+        mads[name] = round(
+            sorted(abs(r - med) for r in reps)[len(reps) // 2], 3
+        )
         if name == "flagship_pip_tiles":
             # images/sec denominator = full input cardinality (every
             # image is H3-encoded and probed, matched or not)
@@ -85,6 +96,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_mad": mads,
+        "runs_per_query": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "images_per_sec_flagship": round(n_images / flagship_sec, 1) if n_images else None,
         "cpus": int(cpus),

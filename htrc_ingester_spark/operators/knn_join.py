@@ -378,6 +378,36 @@ def _kx_sql(lat: str, r: str, res: int, bound: str | None = None) -> str:
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (no action, no scan;
+    parquet sources report real footer sizes). -1 when unavailable —
+    callers then leave the join strategy to AQE."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return -1
+
+
+def _size_conf(spark: SparkSession, key: str, default: int) -> int:
+    """A Spark size conf in bytes ('10MB', '10485760b', …)."""
+    try:
+        v = spark.conf.get(key).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    try:
+        return int(float(v) * mult)
+    except ValueError:
+        return default
+
+
 def knn_join_many(
     spark: SparkSession,
     points: DataFrame,
@@ -393,26 +423,61 @@ def knn_join_many(
 
     Per round, UNRESOLVED queries explode to their new frontier ring
     (disk(r,kx) minus the previous disk — pure sequence/explode
-    arithmetic), join points on cell, and fold into a per-query top-k
-    kept as a DataFrame. A query resolves when its kth distance is
-    STRICTLY under the r·cell_h bound (or the grid is exhausted).
-    Deterministic: (dist_m, image_id) total order everywhere.
+    arithmetic), join points on cell, and fold into a per-query top-k.
+    A query resolves when its kth distance is STRICTLY under the
+    r·cell_h bound (or the grid is exhausted). Deterministic:
+    (dist_m, image_id) total order everywhere.
+
+    State layout (the round-2→3 perf rework): ONE row per query, with
+    the running top-k as a sorted ``array<struct<dist_m, image_id>>``
+    column. Each round is exactly two keyed exchanges — the
+    candidate ``groupBy(query_id).collect_list`` and the state⋈agg
+    merge join — where the previous row-per-neighbor layout paid a
+    window shuffle over ALL retained rows (done queries re-ranked
+    every round) plus a separate stats aggregation. Merging, the
+    convergence test, and ranking are all array expressions
+    (``array_sort``/``slice``) on that single row; struct comparison
+    sorts (dist_m asc, image_id asc), the same total order the window
+    used. Still one Spark action per round.
 
     Scale: per-round shuffles touch only unresolved queries × ring
-    cells and their candidate matches; `best` carries ≤ k rows per
-    query. Worst-case frontier (a query in an empty region growing to
-    the whole grid) degrades to the brute-force scan it genuinely
-    requires.
+    cells and their candidate matches; state carries one row (≤ k
+    neighbors) per query. A round's per-query collect_list buffer is
+    bounded by the ×4 ring-growth schedule (the round that first
+    reaches neighbors sees ~16× the minimal disk's points); a single
+    pathologically hot cell concentrates in one buffer the same way it
+    concentrated in one window partition before — salt upstream if a
+    cell can exceed executor memory. Worst-case frontier (a query in
+    an empty region growing to the whole grid) degrades to the
+    brute-force scan it genuinely requires.
     """
     ch_m = H.cell_h_deg(res) * H.M_PER_DEG_LAT
     nxr, nyr = H.nx(res), H.ny(res)
+    # ranks/ties use the SOURCE id dtype (numeric vs string tie-break
+    # matches the other variants); cast to string only at the end
+    id_type = dict(points.dtypes)[id_col]
+    empty_topk = f"cast(array() as array<struct<dist_m:double,image_id:{id_type}>>)"
 
     skel = points.select(
         F.col(id_col).alias("image_id"),
         F.col(lon_col).alias("p_lon"),
         F.col(lat_col).alias("p_lat"),
         h3_cell(lon_col, lat_col, res).alias("cell"),
-    ).persist()
+    )
+    # three skel regimes from Catalyst's size estimate (no action):
+    # small → pin the broadcast (skip AQE's materialize-then-replan
+    # latency every round); huge → pay ONE hash exchange on the join
+    # key so every round's sort-merge join reuses the cached
+    # partitioning instead of re-shuffling the points side; in
+    # between → cache as-is and let AQE pick per round.
+    est = _plan_size_bytes(skel)
+    bcast_thresh = int(
+        _size_conf(spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+    )
+    broadcast_skel = 0 <= est <= bcast_thresh > 0
+    if est > 64 * max(bcast_thresh, 10 * 1024 * 1024):
+        skel = skel.repartition("cell")
+    skel = skel.persist()
 
     state = (
         queries.select(
@@ -428,33 +493,48 @@ def knn_join_many(
         .withColumn("r", F.lit(0))
         .withColumn("pkx", F.lit(-1))
         .withColumn("pr", F.lit(-1))
+        .withColumn("done", F.lit(False))
+        .withColumn("topk", F.expr(empty_topk))
         .persist()
     )
 
-    best: DataFrame | None = None
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("image_id").asc())
-
-    # ONE Spark action per round (the new state's count): it materializes
-    # the round's persisted top-k and state together, and doubles as the
-    # next round's active-query check — round-1's three barriers
-    # (state.count, new_best.count, new_state.count) collapsed into one.
-    n_active = state.count()
+    # ONE Spark action per round: the new state's filtered count
+    # materializes the whole persisted state (cache writes are
+    # partition-granular) and doubles as the active-query check. No
+    # up-front count: round 1's frontier is every query by
+    # construction, so the loop enters directly (an empty query set
+    # just runs one empty round).
+    n_active: int | None = None
     for _ in range(max_rounds):
         if n_active == 0:
             break
-        # grow: r *= 4 (2 on the first round); recompute kx at new r
+        # grow: r *= 4 (2 on the first round); recompute kx at new r.
+        # Resolved rows keep their values (no wasted asin on them).
         grown = state.withColumn(
-            "r_new", F.expr(f"case when r = 0 then 2 else least(r * 4, {nyr}) end")
-        ).withColumn("kx_new", F.expr(_kx_sql("q_lat", "r_new", res)).cast("int"))
+            "r_new",
+            F.expr(f"case when done then r when r = 0 then 2 else least(r * 4, {nyr}) end"),
+        ).withColumn(
+            "kx_new",
+            F.expr(
+                f"case when done then pkx else cast({_kx_sql('q_lat', 'r_new', res)} as int) end"
+            ),
+        )
 
-        # frontier ring: dy ∈ [-r, r] rows (clamped), dx ∈ [-kx, kx]
-        # (wrapped, capped at nx/2), minus the previous disk rectangle
+        # frontier ring: dy ∈ [-r, r] rows (clamped), dx wrapped and
+        # capped at nx/2, minus the previous disk rectangle. The dx
+        # range is truncated on the high side when a full wrap would
+        # emit the same column at both extremes (2·kx+1 > nx): pmod
+        # maps any window of ≤ nx offsets injectively, so no
+        # dropDuplicates exchange is needed (the previous layout paid
+        # one per round).
         ring = (
-            grown.withColumn(
+            grown.where("not done")
+            .withColumn(
                 "dy", F.explode(F.expr(f"sequence(greatest(-r_new, -y0), least(r_new, {nyr - 1} - y0))"))
             )
             .withColumn("kx_c", F.expr(f"least(kx_new, {nxr // 2})"))
-            .withColumn("dx", F.explode(F.expr("sequence(-kx_c, kx_c)")))
+            .withColumn("dx_hi", F.expr(f"least(kx_c, {nxr} - 1 - kx_c)"))
+            .withColumn("dx", F.explode(F.expr("sequence(-kx_c, dx_hi)")))
             .where(~((F.expr("abs(dx)") <= F.expr(f"least(pkx, {nxr // 2})")) & (F.expr("abs(dy)") <= F.col("pr"))))
             .withColumn(
                 "cell",
@@ -464,81 +544,62 @@ def knn_join_many(
                     f" + cast(y0 + dy as bigint)"
                 ),
             )
-            .select("query_id", "q_lon", "q_lat", "k", "cell")
-            # full longitude wrap: sequence(-nx/2, nx/2) yields nx+1
-            # offsets and pmod maps the two extremes to the SAME
-            # column — without dedup a point there ranks twice and
-            # displaces the true kth neighbor (the driver-side
-            # variant np.unique's its ring; keep parity)
-            .dropDuplicates(["query_id", "cell"])
+            .select("query_id", "q_lon", "q_lat", "cell")
         )
 
-        cand = (
-            skel.join(ring, "cell", "inner")
+        cand_agg = (
+            (F.broadcast(skel) if broadcast_skel else skel).join(ring, "cell", "inner")
             .withColumn("dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon"))
-            .select("query_id", "image_id", "dist_m", "k")
-        )
-        pool = cand if best is None else best.unionByName(cand)
-        new_best = (
-            pool.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= F.col("k"))
-            .drop("rn")
-            .persist()
+            .groupBy("query_id")
+            .agg(F.collect_list(F.struct(F.col("dist_m"), F.col("image_id"))).alias("cands"))
         )
 
-        # convergence: joined stats against the grown state
-        stats = new_best.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_found"), F.max("dist_m").alias("kth")
-        )
         new_state = (
-            grown.join(stats, "query_id", "left")
+            grown.join(cand_agg, "query_id", "left")
+            .withColumn(
+                "topk2",
+                F.expr(f"slice(array_sort(concat(topk, coalesce(cands, {empty_topk}))), 1, k)"),
+            )
             .withColumn(
                 "exhausted",
                 F.expr(f"r_new >= greatest(y0, {nyr - 1} - y0) and kx_new >= {nxr // 2}"),
             )
+            # (size < k AND null-kth) resolves to FALSE, not null, under
+            # SQL three-valued AND — done stays a real boolean
             .withColumn(
-                "done",
-                F.col("exhausted")
-                | (
-                    (F.coalesce(F.col("n_found"), F.lit(0)) >= F.col("k"))
-                    & (F.col("kth") < F.col("r_new") * F.lit(ch_m))
+                "done2",
+                F.expr(
+                    f"done or exhausted or "
+                    f"(size(topk2) >= k and topk2[k - 1].dist_m < r_new * {ch_m!r}d)"
                 ),
             )
-            .where(~F.col("done"))
             .select(
                 "query_id", "q_lon", "q_lat", "k", "x0", "y0",
                 F.col("r_new").alias("r"),
                 F.col("kx_new").alias("pkx"),
                 F.col("r_new").alias("pr"),
+                F.col("done2").alias("done"),
+                F.col("topk2").alias("topk"),
             )
             .persist()
         )
-        # the single action: materializes new_best's cache (its plan
-        # feeds stats) and new_state, and is next round's active count
-        n_active = new_state.count()
-        if best is not None:
-            best.unpersist()
-        best = new_best
+        n_active = new_state.where("not done").count()
         state.unpersist()
         state = new_state
 
-    state.unpersist()
-    skel.unpersist()
-    if best is None:
-        return spark.createDataFrame([], OUT_SCHEMA)
-    # ranks are computed on the SOURCE id dtype (numeric tie-break,
-    # matching the other variants); the output casts to string only at
-    # the end so all three variants share OUT_SCHEMA
     out = (
-        best.withColumn("rank", F.row_number().over(w))
+        state.select("query_id", F.posexplode("topk").alias("pos", "nb"))
         .select(
-            "query_id", F.col("image_id").cast("string").alias("image_id"),
-            "dist_m", "rank",
+            "query_id",
+            F.col("nb.image_id").cast("string").alias("image_id"),
+            F.col("nb.dist_m").alias("dist_m"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
         )
     )
     out = out.persist()
     out.count()
-    best.unpersist()
+    state.unpersist()
+    skel.unpersist()
     return out
 
 
