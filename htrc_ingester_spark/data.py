@@ -154,6 +154,45 @@ def polygons(seed: int = 42) -> list[dict]:
     return polys
 
 
+def polygons_holes(seed: int = 42) -> list[dict]:
+    """Multi-ring polygon fixtures (even-odd over the ring list,
+    FIXTURES.md A2 extension): shell+hole, MultiPolygon, nested
+    island-in-a-lake (3 rings), and an antimeridian multipart whose
+    HOLE also crosses the antimeridian."""
+
+    def sq(clon: float, clat: float, d: float):
+        return [
+            (clon - d, clat - d), (clon + d, clat - d), (clon + d, clat + d),
+            (clon - d, clat + d), (clon - d, clat - d),
+        ]
+
+    sf, paris, tokyo = HOT_CENTERS[0], HOT_CENTERS[1], HOT_CENTERS[2]
+    return [
+        # classic polygon-with-hole over the dense SF cluster: points
+        # land in the annulus AND in the hole
+        {"poly_id": "holey_sf", "rings": [sq(*sf, 0.15), sq(*sf, 0.05)],
+         "kind": "shell_hole"},
+        # MultiPolygon: two disjoint shells, one poly_id
+        {"poly_id": "multi_paris_tokyo",
+         "rings": [sq(*paris, 0.12), sq(*tokyo, 0.12)], "kind": "multipolygon"},
+        # nested even-odd: shell ⊃ hole ⊃ island — in, out, in again
+        {"poly_id": "island_paris",
+         "rings": [sq(*paris, 0.2), sq(*paris, 0.1), sq(*paris, 0.03)],
+         "kind": "nested"},
+        # antimeridian shell (wide enough that the uniform 20% of the
+        # bench point distribution lands inside at gate scale) with a
+        # hole that itself crosses ±180
+        {"poly_id": "anti_hole",
+         "rings": [
+             [(150.0, -40.0), (-150.0, -40.0), (-150.0, 0.0),
+              (150.0, 0.0), (150.0, -40.0)],
+             [(175.0, -25.0), (-175.0, -25.0), (-175.0, -15.0),
+              (175.0, -15.0), (175.0, -25.0)],
+         ],
+         "kind": "anti_hole"},
+    ]
+
+
 def polygons_pdf(seed: int = 42) -> pd.DataFrame:
     rows = polygons(seed)
     return pd.DataFrame(

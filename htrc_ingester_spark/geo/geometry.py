@@ -128,6 +128,22 @@ def points_in_ring(lon: np.ndarray, lat: np.ndarray, ring_lon: np.ndarray, ring_
     return n_cross % 2 == 0
 
 
+def points_in_rings(lon: np.ndarray, lat: np.ndarray, rings) -> np.ndarray:
+    """Even-odd containment of many points in a MULTI-RING polygon:
+    ``rings`` is a list of (N, 2) arrays / [(lon, lat), ...] lists —
+    outer shells, holes, and disjoint parts all in one list, no
+    nesting metadata needed. A point is inside iff it is inside an ODD
+    number of rings (XOR): inside the outer but also inside a hole →
+    2 rings → out; a MultiPolygon's disjoint outers → at most 1 ring.
+    Each ring keeps the full single-ring convention (antimeridian
+    unwrap, polar caps, degenerate rings)."""
+    inside = np.zeros(np.asarray(lon).shape, dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        inside ^= points_in_ring(lon, lat, r[:, 0], r[:, 1])
+    return inside
+
+
 def ring_bbox(ring_lon, ring_lat):
     """(lon_min, lat_min, lon_max, lat_max) in the unwrapped frame;
     lon_min > 180-normalized lon_max signals antimeridian crossing.

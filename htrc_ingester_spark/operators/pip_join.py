@@ -52,34 +52,53 @@ from ..geo import geometry as G
 from ..geo import h3lite as H
 
 
-def _classify(cells: np.ndarray, r_lon: np.ndarray, r_lat: np.ndarray):
-    """Classify cells vs one ring → (full_mask, partial_mask).
+def poly_rings(p: dict) -> list[np.ndarray]:
+    """Normalize a polygon spec to its ring list as (N, 2) float64
+    arrays. Accepts ``rings: [ring, ...]`` (holes / MultiPolygon,
+    even-odd semantics) or the legacy single ``ring``."""
+    rings = p["rings"] if "rings" in p else [p["ring"]]
+    return [np.asarray(r, dtype=np.float64) for r in rings]
 
-    full: all 4 corners inside AND no edge bbox overlaps the cell.
+
+def _classify(cells: np.ndarray, rings: list[np.ndarray]):
+    """Classify cells vs one (multi-ring, even-odd) polygon →
+    (full_mask, partial_mask).
+
+    full: all 4 corners inside AND no ring-edge bbox overlaps the
+    cell. Sound for multi-ring even-odd: parity only changes across a
+    ring edge, so a cell no edge touches has constant parity — the
+    corners decide it. A cell wholly inside a hole has even-parity
+    corners and no edge hit → neither full nor partial (dropped).
     partial: not full AND not provably disjoint.
     """
-    c_lon0, c_lat0, c_lon1, c_lat1 = H.cell_to_boundary(cells)
     corners_in = np.ones(len(cells), dtype=bool)
     any_corner = np.zeros(len(cells), dtype=bool)
-    for cx, cy in ((c_lon0, c_lat0), (c_lon1, c_lat0), (c_lon1, c_lat1), (c_lon0, c_lat1)):
-        inside = G.points_in_ring(cx, cy, r_lon, r_lat)
-        corners_in &= inside
-        any_corner |= inside
-    u = G.unwrap_ring(r_lon)
-    e_lon0 = np.minimum(u[:-1], u[1:])
-    e_lon1 = np.maximum(u[:-1], u[1:])
-    e_lat0 = np.minimum(r_lat[:-1], r_lat[1:])
-    e_lat1 = np.maximum(r_lat[:-1], r_lat[1:])
+    c_lon0, c_lat0, c_lon1, c_lat1 = H.cell_to_boundary(cells)
+    corner_parity = [np.zeros(len(cells), dtype=bool) for _ in range(4)]
     boundary_hit = np.zeros(len(cells), dtype=bool)
-    for shift in (-360.0, 0.0, 360.0):
-        cl0 = c_lon0 + shift
-        cl1 = c_lon1 + shift
-        boundary_hit |= (
-            (cl0[:, None] <= e_lon1[None, :])
-            & (cl1[:, None] >= e_lon0[None, :])
-            & (c_lat0[:, None] <= e_lat1[None, :])
-            & (c_lat1[:, None] >= e_lat0[None, :])
-        ).any(axis=1)
+    for ring in rings:
+        r_lon, r_lat = ring[:, 0], ring[:, 1]
+        for j, (cx, cy) in enumerate(
+            ((c_lon0, c_lat0), (c_lon1, c_lat0), (c_lon1, c_lat1), (c_lon0, c_lat1))
+        ):
+            corner_parity[j] ^= G.points_in_ring(cx, cy, r_lon, r_lat)
+        u = G.unwrap_ring(r_lon)
+        e_lon0 = np.minimum(u[:-1], u[1:])
+        e_lon1 = np.maximum(u[:-1], u[1:])
+        e_lat0 = np.minimum(r_lat[:-1], r_lat[1:])
+        e_lat1 = np.maximum(r_lat[:-1], r_lat[1:])
+        for shift in (-360.0, 0.0, 360.0):
+            cl0 = c_lon0 + shift
+            cl1 = c_lon1 + shift
+            boundary_hit |= (
+                (cl0[:, None] <= e_lon1[None, :])
+                & (cl1[:, None] >= e_lon0[None, :])
+                & (c_lat0[:, None] <= e_lat1[None, :])
+                & (c_lat1[:, None] >= e_lat0[None, :])
+            ).any(axis=1)
+    for par in corner_parity:
+        corners_in &= par
+        any_corner |= par
     full = corners_in & ~boundary_hit
     partial = ~full & (boundary_hit | any_corner)
     return full, partial
@@ -99,7 +118,9 @@ def build_cell_cover(polys: list[dict], res: int, res_max: int | None = None) ->
     full:bool). ``res`` is the coarsest level; ``res_max`` (default
     res+5) the boundary-shell level — partial cells only exist there.
 
-    ``polys``: [{poly_id, ring: [(lon, lat), ...]}, ...]
+    ``polys``: [{poly_id, ring: [(lon, lat), ...]}, ...] or
+    [{poly_id, rings: [ring, ...]}, ...] for polygons with holes /
+    MultiPolygons (even-odd over the ring list).
     """
     if res_max is None:
         res_max = min(res + 5, H.RES_MAX)
@@ -114,15 +135,19 @@ def build_cell_cover(polys: list[dict], res: int, res_max: int | None = None) ->
             rows_full.append(np.full(len(cells), full, dtype=bool))
 
     for p in polys:
-        ring = p["ring"]
-        r_lon = np.array([v[0] for v in ring], dtype=np.float64)
-        r_lat = np.array([v[1] for v in ring], dtype=np.float64)
-        lon0, lat0, lon1, lat1 = G.ring_bbox(r_lon, r_lat)
-        frontier = np.unique(H.cover_bbox(lon0, lat0, lon1, lat1, res))
+        rings = poly_rings(p)
+        # seed frontier: union of the rings' bbox covers (holes are
+        # inside their shells for valid input, but including every
+        # ring's cover is harmless — classification decides)
+        seeds = []
+        for ring in rings:
+            lon0, lat0, lon1, lat1 = G.ring_bbox(ring[:, 0], ring[:, 1])
+            seeds.append(H.cover_bbox(lon0, lat0, lon1, lat1, res))
+        frontier = np.unique(np.concatenate(seeds)) if seeds else np.array([], dtype=np.int64)
         for level in range(res, res_max + 1):
             if len(frontier) == 0:
                 break
-            full, partial = _classify(frontier, r_lon, r_lat)
+            full, partial = _classify(frontier, rings)
             emit(frontier[full], p["poly_id"], True)
             if level == res_max:
                 emit(frontier[partial], p["poly_id"], False)
@@ -171,6 +196,11 @@ def pip_join(
 ) -> DataFrame:
     """points ⋈ polygons containment join.
 
+    ``polys`` entries carry either a single ``ring`` or ``rings`` —
+    a list of rings with even-odd semantics (outer shells, holes,
+    MultiPolygon parts all in one flat list; a point is inside iff
+    inside an odd number of rings).
+
     Returns ``points``' columns + ``poly_id``, one row per (point,
     containing polygon). Points outside every polygon are dropped
     (inner-join semantics, like the reference's unmatched-zip-entry drop
@@ -200,7 +230,7 @@ def pip_join(
         ]
     )
 
-    rings = {p["poly_id"]: np.array(p["ring"], dtype=np.float64) for p in polys}
+    rings = {p["poly_id"]: poly_rings(p) for p in polys}
     bc_rings = spark.sparkContext.broadcast(rings)
 
     @F.pandas_udf(T.BooleanType())
@@ -210,9 +240,8 @@ def pip_join(
         lat_v = lat.to_numpy(dtype=np.float64)
         pid_v = pid.to_numpy()
         for poly_id in pd.unique(pid_v):
-            ring = bc_rings.value[poly_id]
             ii = np.nonzero(pid_v == poly_id)[0]
-            out[ii] = G.points_in_ring(lon_v[ii], lat_v[ii], ring[:, 0], ring[:, 1])
+            out[ii] = G.points_in_rings(lon_v[ii], lat_v[ii], bc_rings.value[poly_id])
         return pd.Series(out)
 
     if not len(cover):

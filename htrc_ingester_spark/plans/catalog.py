@@ -154,7 +154,8 @@ def _pip_general_oracle() -> str:
 
 def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
     """SQL twin of geo/geometry.py's ray-cast kernel for ARBITRARY
-    rings over a points query (columns image_id, lon, lat).
+    (multi-)ring polygons over a points query (columns image_id, lon,
+    lat). Accepts ``ring`` or ``rings`` per poly (even-odd).
 
     The ring-only preprocessing (closure, longitude unwrap, winding
     classification, frame center / mean latitude) is done here in Python
@@ -169,8 +170,15 @@ def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
       half-open rule ``(y1 > lat) != (y2 > lat)`` and strict
       ``plon < x_intersect`` (geometry.py:59-74, :92-98).
     - polar caps (winding ±1): meridian-ray-to-the-enclosed-pole with
-      span shifts {0, +360, -360} OR-combined per edge, EVEN crossing
-      parity = inside (geometry.py:99-128).
+      span shifts {0, +360, -360} OR-combined per edge; inside =
+      EVEN crossings, encoded as crossings + 1 being odd
+      (geometry.py:99-128).
+
+    Multi-ring even-odd composes additively mod 2: per (point, poly),
+    inside ⇔ Σ over the poly's rings of (crossings, +1 for each cap
+    ring) is ODD — one parity sum per branch, combined in a final
+    group-by, which is exactly the single-ring formula when a poly has
+    one ring (the pre-holes oracle emitted identical rows).
 
     Parity discipline mirrors REF verify/Verifier.java:288-333 (the
     checksum re-verification pass): the operator's output is value-checked
@@ -179,35 +187,44 @@ def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
     import numpy as np
 
     from ..geo.geometry import unwrap_ring
+    from ..operators.pip_join import poly_rings
 
     def d(x: float) -> str:
         return f"cast('{float(x)!r}' as double)"
 
     norm_rows: list[str] = []
-    cap_rows: list[str] = []
+    cap_edges: list[tuple] = []  # (pid, a, ya, b, yb, lo, north)
+    cap_bias: dict[str, int] = {}
     for p in polys:
-        r_lon = np.array([v[0] for v in p["ring"]], dtype=np.float64)
-        r_lat = np.array([v[1] for v in p["ring"]], dtype=np.float64)
-        if r_lon.shape[0] < 3:
-            continue
-        if r_lon[0] != r_lon[-1] or r_lat[0] != r_lat[-1]:
-            r_lon = np.concatenate([r_lon, r_lon[:1]])
-            r_lat = np.concatenate([r_lat, r_lat[:1]])
-        u = unwrap_ring(r_lon)
-        wind = int(round((u[-1] - u[0]) / 360.0))
-        if wind == 0:
-            center = 0.5 * (u.min() + u.max())
-            for x1, y1, x2, y2 in zip(u[:-1], r_lat[:-1], u[1:], r_lat[1:]):
-                norm_rows.append(
-                    f"('{p['poly_id']}', {d(x1)}, {d(y1)}, {d(x2)}, {d(y2)}, {d(center)})"
-                )
-        else:
-            north = bool(np.mean(r_lat[:-1]) > 0.0)
-            lo = u.min()
-            for a, ya, b, yb in zip(u[:-1], r_lat[:-1], u[1:], r_lat[1:]):
-                cap_rows.append(
-                    f"('{p['poly_id']}', {d(a)}, {d(ya)}, {d(b)}, {d(yb)}, {d(lo)}, {str(north).lower()})"
-                )
+        for ring in poly_rings(p):
+            r_lon = np.array(ring[:, 0], dtype=np.float64)
+            r_lat = np.array(ring[:, 1], dtype=np.float64)
+            if r_lon.shape[0] < 3:
+                continue
+            if r_lon[0] != r_lon[-1] or r_lat[0] != r_lat[-1]:
+                r_lon = np.concatenate([r_lon, r_lon[:1]])
+                r_lat = np.concatenate([r_lat, r_lat[:1]])
+            u = unwrap_ring(r_lon)
+            wind = int(round((u[-1] - u[0]) / 360.0))
+            if wind == 0:
+                center = 0.5 * (u.min() + u.max())
+                for x1, y1, x2, y2 in zip(u[:-1], r_lat[:-1], u[1:], r_lat[1:]):
+                    norm_rows.append(
+                        f"('{p['poly_id']}', {d(x1)}, {d(y1)}, {d(x2)}, {d(y2)}, {d(center)})"
+                    )
+            else:
+                north = bool(np.mean(r_lat[:-1]) > 0.0)
+                lo = u.min()
+                cap_bias[p["poly_id"]] = cap_bias.get(p["poly_id"], 0) + 1
+                for a, ya, b, yb in zip(u[:-1], r_lat[:-1], u[1:], r_lat[1:]):
+                    cap_edges.append((p["poly_id"], a, ya, b, yb, lo, north))
+    # the cap-ring-count bias (nc) rides on every cap edge row; the
+    # parity CTE recovers it with max(nc)
+    cap_rows = [
+        f"('{pid}', {d(a)}, {d(ya)}, {d(b)}, {d(yb)}, {d(lo)}, "
+        f"{str(north).lower()}, {cap_bias[pid]})"
+        for pid, a, ya, b, yb, lo, north in cap_edges
+    ]
 
     # numpy's `%` is a - floor(a/b)*b — reproduce it literally
     def fmod360(expr: str) -> str:
@@ -240,40 +257,51 @@ def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
         f"img as ({points_sql})",
         "pt as (select distinct image_id, lon, lat from img)",
     ]
-    hit_sources = []
+    # per-branch PARITY-SUM rows (image_id, poly_id, c); a final
+    # group-by sums branches so a poly mixing normal and cap rings
+    # still gets one combined even-odd verdict
+    par_sources = []
     if norm_rows:
         ctes.append(
             f"norm_edges(poly_id, x1, y1, x2, y2, center) as (values {', '.join(norm_rows)})"
         )
-        ctes.append(f"""norm_hits as (
-      select image_id, poly_id from (
+        ctes.append(f"""norm_par as (
+      select image_id, poly_id,
+             sum(case when {crossing_norm} then 1 else 0 end) as c
+      from (
         select p.image_id, e.poly_id, p.lat,
                e.x1, e.y1, e.x2, e.y2, {plon_norm} as plon
         from pt p cross join norm_edges e
       ) t
       group by image_id, poly_id
-      having sum(case when {crossing_norm} then 1 else 0 end) % 2 = 1
     )""")
-        hit_sources.append("select image_id, poly_id from norm_hits")
+        par_sources.append("select image_id, poly_id, c from norm_par")
     if cap_rows:
         ctes.append(
-            f"cap_edges(poly_id, a, ya, b, yb, lo, north) as (values {', '.join(cap_rows)})"
+            f"cap_edges(poly_id, a, ya, b, yb, lo, north, nc) as (values {', '.join(cap_rows)})"
         )
-        ctes.append(f"""cap_hits as (
-      select image_id, poly_id from (
+        # inside a cap = EVEN crossings ⇔ crossings + 1 odd: +1 per cap
+        # ring via the nc bias column (constant per poly → max)
+        ctes.append(f"""cap_par as (
+      select image_id, poly_id,
+             sum(case when {cap_counted} then 1 else 0 end) + max(nc) as c
+      from (
         select p.image_id, e.poly_id, p.lat,
-               e.a, e.ya, e.b, e.yb, e.north, {plon_cap} as plon
+               e.a, e.ya, e.b, e.yb, e.north, e.nc, {plon_cap} as plon
         from pt p cross join cap_edges e
       ) t
       group by image_id, poly_id
-      having sum(case when {cap_counted} then 1 else 0 end) % 2 = 0
     )""")
-        hit_sources.append("select image_id, poly_id from cap_hits")
-    if not hit_sources:  # no usable rings at all → empty result
-        hit_sources.append(
-            "select image_id, cast(null as varchar) as poly_id from pt where 1 = 0"
+        par_sources.append("select image_id, poly_id, c from cap_par")
+    if not par_sources:  # no usable rings at all → empty result
+        par_sources.append(
+            "select image_id, cast(null as varchar) as poly_id, 0 as c from pt where 1 = 0"
         )
-    ctes.append("hits as (" + " union all ".join(hit_sources) + ")")
+    ctes.append(
+        "hits as (select image_id, poly_id from ("
+        + " union all ".join(par_sources)
+        + ") u group by image_id, poly_id having sum(c) % 2 = 1)"
+    )
     return f"""
     with {', '.join(ctes)}
     select i.image_id as image_id, h.poly_id as poly_id
@@ -283,6 +311,31 @@ def pip_crossing_oracle_sql(polys: list[dict], points_sql: str) -> str:
 
 
 _register_fn("pip_join_polygons", _pip_general, _pip_general_oracle())
+
+
+def _pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring PIP: polygons with holes, MultiPolygon, nested
+    island-in-lake, antimeridian hole — even-odd over the ring list,
+    through the same cover+refine operator (a cell inside a hole must
+    not classify 'full')."""
+    from .. import data
+    from ..operators.pip_join import pip_join
+
+    img = FS.load_images(spark, sf_dir)
+    return (
+        pip_join(spark, img, data.polygons_holes(), res=7)
+        .select("image_id", "poly_id")
+        .orderBy("image_id", "poly_id")
+    )
+
+
+def _pip_holes_oracle() -> str:
+    from .. import data
+
+    return pip_crossing_oracle_sql(data.polygons_holes(), FS.images_sql("lineitem"))
+
+
+_register_fn("pip_join_holes", _pip_holes, _pip_holes_oracle())
 
 _POINTS_SQL = """
     select cast(c_custkey as string) as point_id,

@@ -204,6 +204,46 @@ def test_pip_oracle_generator_matches_kernel_pointwise(ring_pts, plon, plat):
     assert got == want
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.tuples(lons, lats), min_size=3, max_size=8),
+        min_size=2,
+        max_size=3,
+    ),
+    lons,
+    lats,
+)
+def test_pip_oracle_generator_matches_kernel_multi_ring(rings_pts, plon, plat):
+    """Multi-ring (holes / MultiPolygon) even-odd: the SQL oracle's
+    parity-sum over ALL rings of a poly must equal the XOR of the
+    per-ring kernel verdicts for ANY ring set hypothesis invents."""
+    import duckdb
+    import pandas as pd
+
+    from htrc_ingester_spark.plans.catalog import pip_crossing_oracle_sql
+
+    rings = []
+    want = False
+    for ring_pts in rings_pts:
+        ring = [(float(a), float(b)) for a, b in ring_pts]
+        ring.append(ring[0])
+        rl = np.array([p[0] for p in ring])
+        rt = np.array([p[1] for p in ring])
+        want ^= bool(G.points_in_ring(np.array([plon]), np.array([plat]), rl, rt)[0])
+        rings.append(ring)
+    assert want == bool(
+        G.points_in_rings(np.array([plon]), np.array([plat]), rings)[0]
+    )
+    con = duckdb.connect()
+    con.register("pts_tbl", pd.DataFrame({"image_id": [0], "lon": [plon], "lat": [plat]}))
+    sql = pip_crossing_oracle_sql(
+        [{"poly_id": "h", "rings": rings}], "select * from pts_tbl"
+    )
+    got = len(con.sql(sql).df()) == 1
+    assert got == want
+
+
 @settings(max_examples=200, deadline=None)
 @given(lons, lats, st.integers(min_value=1, max_value=10))
 def test_geohash_roundtrip_bbox_contains_point(lon, lat, precision):

@@ -87,6 +87,109 @@ class TestPIPJoin:
         assert "SortMergeJoin" not in plan
 
 
+def oracle_point_in_rings(lon, lat, rings):
+    """Independent even-odd multi-ring oracle: XOR of per-ring verdicts."""
+    inside = False
+    for ring in rings:
+        inside ^= oracle_point_in_ring(lon, lat, ring)
+    return inside
+
+
+class TestPIPJoinHoles:
+    def test_matches_pure_python_oracle_on_multi_ring_fixture(
+        self, spark, images_df, images_pdf
+    ):
+        polys = data.polygons_holes()
+        got = (
+            pip_join(spark, images_df, polys, res=7)
+            .select("image_id", "poly_id")
+            .toPandas()
+            .sort_values(["image_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        want_rows = []
+        for p in polys:
+            for r in images_pdf.itertuples(index=False):
+                if oracle_point_in_rings(r.lon, r.lat, p["rings"]):
+                    want_rows.append((r.image_id, p["poly_id"]))
+        want = (
+            pd.DataFrame(want_rows, columns=["image_id", "poly_id"])
+            .sort_values(["image_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # every fixture leg must actually match something AND exclude
+        # something (the hot clusters put points in holes too)
+        for p in polys:
+            hits = set(want[want.poly_id == p["poly_id"]].image_id)
+            assert len(hits) > 0, p["poly_id"]
+
+    def test_hole_points_excluded_annulus_kept_island_reincluded(self, spark):
+        # dense grid over the nested island fixture: shell ⊃ hole ⊃
+        # island — in, out, in again (even-odd through 3 rings)
+        poly = [p for p in data.polygons_holes() if p["kind"] == "nested"][0]
+        clon, clat = data.HOT_CENTERS[1]
+        lon = np.linspace(clon - 0.25, clon + 0.25, 51)
+        lat = np.linspace(clat - 0.25, clat + 0.25, 51)
+        gx, gy = np.meshgrid(lon, lat)
+        pdf = pd.DataFrame(
+            {"image_id": [f"g{i}" for i in range(gx.size)], "lon": gx.ravel(), "lat": gy.ravel()}
+        )
+        got_ids = set(
+            pip_join(spark, spark.createDataFrame(pdf), [poly], res=8)
+            .toPandas().image_id
+        )
+        n_in = n_out_hole = n_in_island = 0
+        for r in pdf.itertuples(index=False):
+            want = oracle_point_in_rings(r.lon, r.lat, poly["rings"])
+            assert (r.image_id in got_ids) == want, r
+            dx, dy = abs(r.lon - clon), abs(r.lat - clat)
+            if max(dx, dy) < 0.028:
+                n_in_island += 1
+                assert want  # island core is IN again
+            elif 0.035 < max(dx, dy) < 0.095:
+                n_out_hole += 1
+                assert not want  # lake (hole minus island) is OUT
+            elif 0.105 < max(dx, dy) < 0.195:
+                n_in += 1
+                assert want  # annulus inside the shell is IN
+        assert n_in and n_out_hole and n_in_island
+
+    def test_cover_never_emits_full_cell_inside_hole(self):
+        # a cell wholly inside the hole must be dropped (neither full
+        # nor partial): the parity-corner classification at work
+        poly = [p for p in data.polygons_holes() if p["kind"] == "shell_hole"][0]
+        cover = build_cell_cover([poly], 7)
+        cells = cover.cell.to_numpy()
+        full = cover.full.to_numpy()
+        res = H.cell_res(cells)
+        clon, clat = data.HOT_CENTERS[0]
+        for cell, isfull, r in zip(cells, full, res):
+            lon0, lat0, lon1, lat1 = (
+                float(v[0]) for v in H.cell_to_boundary(np.array([cell]))
+            )
+            # cell strictly inside the hole square (±0.05 around center)?
+            if (
+                lon0 > clon - 0.05 and lon1 < clon + 0.05
+                and lat0 > clat - 0.05 and lat1 < clat + 0.05
+            ):
+                raise AssertionError(
+                    f"cover emitted cell {cell} (res {r}, full={isfull}) inside the hole"
+                )
+
+    def test_antimeridian_hole(self, spark):
+        poly = [p for p in data.polygons_holes() if p["kind"] == "anti_hole"][0]
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["in_shell_e", "in_shell_w", "in_hole_e", "in_hole_w", "outside"],
+                "lon": [160.0, -160.0, 179.0, -179.0, 100.0],
+                "lat": [-20.0, -20.0, -20.0, -20.0, -20.0],
+            }
+        )
+        got = set(pip_join(spark, spark.createDataFrame(pdf), [poly], res=7).toPandas().image_id)
+        assert got == {"in_shell_e", "in_shell_w"}
+
+
 class TestTiles:
     def test_deterministic_and_sql_parity(self, spark, images_df, images_pdf):
         got = (
