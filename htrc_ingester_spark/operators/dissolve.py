@@ -1,0 +1,256 @@
+"""Adjacent-cell dissolve (connected components) + region overlay.
+
+The raster↔vector follow-up ``tiles.vectorize`` names: merge touching
+cells of a thresholded raster into REGIONS (the spatial analog of the
+reference's Collections set-rollups, CollectionsManager.java grouping),
+then relate region sets to each other (containment / intersection —
+the polygon↔polygon overlay join).
+
+Connected components, Spark-first: hash-to-min label propagation with
+POINTER JUMPING, the standard O(log diameter) MapReduce CC scheme
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SOCC'14 — public literature, see PAPERS.md):
+
+- labels start as the cell id (int64, globally ordered);
+- each round every cell takes ``min(label, neighbors' labels)``
+  (one groupBy over the adjacency), then labels compress one pointer
+  hop (``label := label(label)`` — a self-join, sound because labels
+  are always existing cell ids);
+- Σlabel is strictly monotone decreasing while anything changes, so
+  ONE agg action per round both materializes the new persisted state
+  and tests convergence — no separate changed-count job (the same
+  single-action-per-round discipline as knn_join_many).
+
+Adjacency is pure int64 arithmetic on the packed cell id (aperture-4
+grid: E neighbor wraps longitude modulo nx, N neighbor clips at the
+pole) — no geometry, no UDF; the edge build is one self-join of the
+cell set against its shifted ids.
+
+Scale: state is one row per DISTINCT non-empty cell (≪ points);
+per-round shuffles are keyed by cell/label. Worst case (a single
+snake-like region of n cells) converges in O(log n) rounds like any
+pointer-jumping scheme.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geo import h3lite as H
+
+
+def _unpack(cell: str) -> tuple[str, str, str]:
+    c = f"cast({cell} as bigint)"
+    return (
+        f"({c} div {1 << 56})",
+        f"(({c} div {1 << 28}) % {1 << 28})",
+        f"({c} % {1 << 28})",
+    )
+
+
+def adjacency_edges(cells: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
+    """Both-direction 4-adjacency edge list (src, dst) between PRESENT
+    cells: E neighbor wraps lon (``(x+1) % nx``), N neighbor clips at
+    the pole. One semi self-join; diagonal cells do NOT touch."""
+    nxr, nyr = H.nx(res), H.ny(res)
+    _, x, y = _unpack("src")
+    base = cells.select(F.col(cell_col).cast("long").alias("src"))
+    e = base.withColumn(
+        "dst",
+        F.explode(
+            F.array(
+                F.expr(f"src - {x} * {1 << 28} + (({x} + 1) % {nxr}) * {1 << 28}"),
+                F.expr(f"case when {y} + 1 < {nyr} then src + 1 else null end"),
+            )
+        ),
+    ).where(F.col("dst").isNotNull())
+    # keep only edges whose far end exists
+    present = cells.select(F.col(cell_col).cast("long").alias("dst"))
+    fwd = e.join(present, "dst", "semi").select("src", "dst")
+    return fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _cc_driver(cells_np, res: int):
+    """numpy/union-find CC for a driver-resident cell set: returns the
+    min-cell-id component label per input cell (same contract as the
+    distributed loop; tests assert the two agree)."""
+    import numpy as np
+
+    nxr, nyr = H.nx(res), H.ny(res)
+    c = np.sort(np.unique(np.asarray(cells_np, dtype=np.int64)))
+    x = (c >> np.int64(28)) & np.int64((1 << 28) - 1)
+    y = c & np.int64((1 << 28) - 1)
+    e_nb = c - x * np.int64(1 << 28) + ((x + 1) % nxr) * np.int64(1 << 28)
+    n_nb = np.where(y + 1 < nyr, c + 1, np.int64(-1))
+    parent = np.arange(len(c), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for nb in (e_nb, n_nb):
+        idx = np.searchsorted(c, nb)
+        ok = (nb >= 0) & (idx < len(c))
+        ok[ok] &= c[idx[ok]] == nb[ok]
+        for i in np.nonzero(ok)[0]:
+            ra, rb = find(int(i)), find(int(idx[i]))
+            if ra != rb:
+                parent[rb] = ra
+    roots = np.array([find(int(i)) for i in range(len(c))], dtype=np.int64)
+    comp_min = np.full(len(c), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(comp_min, roots, c)
+    return c, comp_min[roots]
+
+
+# collect-and-union-find below this many distinct cells: the raster
+# cell set is bounded by the GRID (4^res), not the point count — at
+# res ≤ 10 the whole grid fits the driver the same way pip_join's
+# polygon index does. Above it (fine grids at planetary fill), the
+# pointer-jumping loop takes over.
+_DRIVER_MAX_CELLS = 2_000_000
+
+
+def connected_components(
+    cells: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    max_rounds: int = 64,
+    driver_max_cells: int = _DRIVER_MAX_CELLS,
+) -> DataFrame:
+    """(cell, comp) labels: ``comp`` is the MINIMUM cell id of the
+    component — deterministic across partitionings and cluster sizes.
+
+    Two regimes, same contract: a cell set that fits the driver
+    (≤ ``driver_max_cells``, ~16 bytes/cell — the common case, since
+    the distinct-cell count is grid-bounded) is collected and labeled
+    with numpy union-find in one pass; larger sets run the distributed
+    pointer-jumping loop (one action per round, O(log diameter)
+    rounds)."""
+    spark = cells.sparkSession
+    distinct = cells.select(F.col(cell_col).cast("long").alias("cell")).distinct()
+    n_cells = distinct.count()
+    if n_cells <= driver_max_cells:
+        import pandas as pd
+
+        cells_np = distinct.toPandas()["cell"].to_numpy()
+        c, comp = _cc_driver(cells_np, res)
+        out = spark.createDataFrame(
+            pd.DataFrame({"cell": c, "comp": comp})
+        ).persist()
+        out.count()
+        return out
+    edges = adjacency_edges(cells, res, cell_col).persist()
+    state = cells.select(
+        F.col(cell_col).cast("long").alias("cell"), F.col(cell_col).cast("long").alias("label")
+    ).persist()
+    prev_sum = None
+    for _ in range(max_rounds):
+        # neighbor-min fold
+        nbr = (
+            edges.join(state, edges["dst"] == state["cell"], "inner")
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        s1 = (
+            state.join(nbr, state["cell"] == nbr["src"], "left")
+            .select("cell", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        )
+        # pointer jump: label := label(label) (labels are cell ids)
+        lut = s1.select(F.col("cell").alias("_lc"), F.col("label").alias("_ll"))
+        new_state = (
+            s1.join(lut, s1["label"] == lut["_lc"], "left")
+            .select("cell", F.coalesce("_ll", "label").alias("label"))
+            .persist()
+        )
+        # single action: materializes the cache AND tests convergence
+        # (Σlabel strictly decreases iff any label changed; decimal —
+        # int64 cell ids × millions of rows overflow a long sum)
+        cur_sum = new_state.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        state.unpersist()
+        state = new_state
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+    out = state.select("cell", F.col("label").alias("comp")).persist()
+    out.count()
+    state.unpersist()
+    edges.unpersist()
+    return out
+
+
+def dissolve(
+    raster: DataFrame,
+    res: int,
+    threshold: float = 1.0,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Thresholded raster → labeled regions: one row per kept cell with
+    its component id, carrying the cell value (input to per-region
+    rollups and :func:`region_overlay`). The result is persisted and
+    materialized (internals are unpersisted before returning —
+    unpersist it when the session lives on, as with pip_join)."""
+    kept = raster.where(F.col(value_col) >= threshold).persist()
+    labels = connected_components(kept.select(cell_col), res, cell_col)
+    out = kept.join(labels, cell_col).select(cell_col, "comp", value_col).persist()
+    out.count()
+    kept.unpersist()
+    labels.unpersist()
+    return out
+
+
+def dissolve_regions(dissolved: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per-region rollup of a :func:`dissolve` result:
+    (comp, n_cells, total_value)."""
+    return dissolved.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(value_col).cast("long").alias("total_value"),
+    )
+
+
+def region_overlay(a: DataFrame, b: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """Polygon↔polygon overlay on cell-set regions: for every pair of
+    intersecting regions (one from each labeled set — e.g. two
+    :func:`dissolve` outputs, or polygon covers rasterized to cells),
+    the shared-cell count and the containment relation:
+
+    - ``equals``   — identical cell sets
+    - ``contains`` — a ⊇ b
+    - ``within``   — a ⊆ b
+    - ``overlaps`` — proper intersection
+
+    Exact on cell-aligned regions (dissolve output); resolution-
+    approximate when the inputs are polygon covers. Disjoint pairs
+    produce no row (inner-join semantics, like pip_join). One cell
+    join + one pair groupBy — both keyed shuffles, no quadratic term
+    beyond true pair intersections."""
+    aa = a.select(F.col(cell_col).alias("cell"), F.col("comp").alias("comp_a"))
+    bb = b.select(F.col(cell_col).alias("cell"), F.col("comp").alias("comp_b"))
+    na = aa.groupBy("comp_a").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = bb.groupBy("comp_b").agg(F.count(F.lit(1)).alias("n_b"))
+    pairs = (
+        aa.join(bb, "cell")
+        .groupBy("comp_a", "comp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_cells"))
+    )
+    return (
+        pairs.join(na, "comp_a")
+        .join(nb, "comp_b")
+        .withColumn(
+            "relation",
+            F.expr(
+                "case when n_shared_cells = n_a and n_shared_cells = n_b then 'equals' "
+                "when n_shared_cells = n_b then 'contains' "
+                "when n_shared_cells = n_a then 'within' "
+                "else 'overlaps' end"
+            ),
+        )
+        .select("comp_a", "comp_b", "n_shared_cells", "relation")
+    )

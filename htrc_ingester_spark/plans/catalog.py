@@ -337,6 +337,148 @@ def _pip_holes_oracle() -> str:
 
 _register_fn("pip_join_holes", _pip_holes, _pip_holes_oracle())
 
+
+# ===========================================================================
+# Raster dissolve (adjacent-cell connected components) + region overlay —
+# the raster↔vector follow-ups tiles.vectorize names. Oracle = DuckDB
+# WITH RECURSIVE reachability (min-label per component), independent of
+# the Spark pointer-jumping implementation.
+# ===========================================================================
+
+_DISSOLVE_RES = 7
+_OVERLAY_T_B = 16.0
+
+
+def _cc_oracle_ctes(prefix: str, kept_cte: str, res: int) -> str:
+    """DuckDB CTE block computing per-cell component ids (min reachable
+    cell id) for the cell set in ``kept_cte`` (columns cell, value).
+    Adjacency is the SAME int64 arithmetic as operators/dissolve.py:
+    E neighbor wraps lon mod nx, N neighbor clips at the pole."""
+    from ..geo import h3lite as HH
+
+    nxr, nyr = HH.nx(res), HH.ny(res)
+    return f"""
+    {prefix}_xy as (
+      select cell, (cell // {1 << 28}) % {1 << 28} as x, cell % {1 << 28} as y
+      from {kept_cte}),
+    {prefix}_e1 as (
+      select a.cell as src, b.cell as dst
+      from {prefix}_xy a join {prefix}_xy b
+        on (b.x = (a.x + 1) % {nxr} and b.y = a.y)
+        or (b.x = a.x and b.y = a.y + 1 and a.y + 1 < {nyr})),
+    {prefix}_edges as (
+      select src, dst from {prefix}_e1
+      union
+      select dst, src from {prefix}_e1),
+    {prefix}_walk(cell, label) as (
+      select cell, cell from {kept_cte}
+      union
+      select e.dst, w.label from {prefix}_walk w
+      join {prefix}_edges e on e.src = w.cell),
+    {prefix}_comp as (
+      select cell, min(label) as comp from {prefix}_walk group by cell)"""
+
+
+def _raster_cte() -> str:
+    from ..geo import h3lite as HH
+
+    cell = HH.h3_sql_expr("lon", "lat", _DISSOLVE_RES)
+    return (
+        f"img as ({FS.images_sql('lineitem')}), "
+        f"rast as (select {cell} as cell, count(*) as value from img group by 1)"
+    )
+
+
+def _raster_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorize→dissolve: threshold the point raster, merge touching
+    cells into regions (distributed pointer-jumping CC), roll up per
+    region. comp = min cell id of the region (deterministic)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dissolve as DV
+    from ..operators import tiles as TL
+
+    img = FS.load_images(spark, sf_dir)
+    raster = TL.rasterize(img, res=_DISSOLVE_RES)
+    d = DV.dissolve(raster, res=_DISSOLVE_RES, threshold=1.0)
+    out = (
+        DV.dissolve_regions(d)
+        .select(
+            F.col("comp").cast("long").alias("comp"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("total_value").alias("total_value"),
+        )
+        .orderBy("comp")
+    )
+    out = out.persist()
+    out.count()
+    d.unpersist()
+    return out
+
+
+def _raster_dissolve_oracle() -> str:
+    return f"""
+    with recursive {_raster_cte()},
+    rd_kept as (select cell, value from rast where value >= 1),
+    {_cc_oracle_ctes('rd', 'rd_kept', _DISSOLVE_RES)}
+    select c.comp as comp,
+           cast(count(*) as bigint) as n_cells,
+           cast(sum(k.value) as bigint) as total_value
+    from rd_comp c join rd_kept k on c.cell = k.cell
+    group by c.comp order by comp
+    """
+
+
+_register_fn("raster_dissolve", _raster_dissolve, _raster_dissolve_oracle())
+
+
+def _region_overlay_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon↔polygon overlay on two dissolved region sets: regions at
+    threshold 1 vs the denser cores at threshold {_OVERLAY_T_B} — every
+    core region must relate to exactly the base region it nests in
+    (relation computed, not assumed)."""
+    from ..operators import dissolve as DV
+    from ..operators import tiles as TL
+
+    img = FS.load_images(spark, sf_dir)
+    raster = TL.rasterize(img, res=_DISSOLVE_RES).persist()
+    a = DV.dissolve(raster, res=_DISSOLVE_RES, threshold=1.0)
+    b = DV.dissolve(raster, res=_DISSOLVE_RES, threshold=_OVERLAY_T_B)
+    out = DV.region_overlay(a, b).orderBy("comp_a", "comp_b").persist()
+    out.count()
+    for df in (raster, a, b):
+        df.unpersist()
+    return out
+
+
+def _region_overlay_oracle() -> str:
+    return f"""
+    with recursive {_raster_cte()},
+    oa_kept as (select cell, value from rast where value >= 1),
+    ob_kept as (select cell, value from rast where value >= {_OVERLAY_T_B}),
+    {_cc_oracle_ctes('oa', 'oa_kept', _DISSOLVE_RES)},
+    {_cc_oracle_ctes('ob', 'ob_kept', _DISSOLVE_RES)},
+    na as (select comp, count(*) as n from oa_comp group by 1),
+    nb as (select comp, count(*) as n from ob_comp group by 1),
+    pairs as (
+      select a.comp as comp_a, b.comp as comp_b, count(*) as n_shared
+      from oa_comp a join ob_comp b on a.cell = b.cell
+      group by 1, 2)
+    select p.comp_a, p.comp_b,
+           cast(p.n_shared as bigint) as n_shared_cells,
+           case when p.n_shared = na.n and p.n_shared = nb.n then 'equals'
+                when p.n_shared = nb.n then 'contains'
+                when p.n_shared = na.n then 'within'
+                else 'overlaps' end as relation
+    from pairs p
+    join na on na.comp = p.comp_a
+    join nb on nb.comp = p.comp_b
+    order by comp_a, comp_b
+    """
+
+
+_register_fn("region_overlay_nested", _region_overlay_nested, _region_overlay_oracle())
+
 _POINTS_SQL = """
     select cast(c_custkey as string) as point_id,
            cast((c_custkey * 7919) % 360000 as double) / 1000.0 - 180.0 as lon,

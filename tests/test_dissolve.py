@@ -1,0 +1,156 @@
+"""Raster dissolve (connected components) + region overlay tests:
+pure-python oracle parity, antimeridian/pole adjacency, distributed
+pointer-jumping loop ≡ driver union-find, overlay relations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_ingester_spark.geo import h3lite as H
+from htrc_ingester_spark.operators import dissolve as DV
+
+RES = 5  # nx=128, ny=64
+
+
+def pack(x: int, y: int, res: int = RES) -> int:
+    return res * (1 << 56) + x * (1 << 28) + y
+
+
+def cells_df(spark, xy, res: int = RES, values=None):
+    cells = [pack(x, y, res) for x, y in xy]
+    pdf = pd.DataFrame({"cell": np.array(cells, dtype=np.int64)})
+    if values is not None:
+        pdf["value"] = values
+    return spark.createDataFrame(pdf)
+
+
+class TestConnectedComponents:
+    def test_two_blobs_and_a_snake(self, spark):
+        # blob A: 2x2 at (10,10); blob B: single cell at (50,50);
+        # snake: an L of 5 cells at (30,30) — diagonals must NOT merge
+        xy = [(10, 10), (11, 10), (10, 11), (11, 11), (50, 50),
+              (30, 30), (31, 30), (32, 30), (32, 31), (32, 32),
+              (33, 33)]  # diagonal neighbor of the snake head — separate
+        got = (
+            DV.connected_components(cells_df(spark, xy), RES)
+            .toPandas().sort_values("cell").reset_index(drop=True)
+        )
+        comp_of = dict(zip(got.cell, got.comp))
+        a = {comp_of[pack(x, y)] for x, y in xy[:4]}
+        snake = {comp_of[pack(x, y)] for x, y in xy[5:10]}
+        assert len(a) == 1 and len(snake) == 1
+        assert comp_of[pack(50, 50)] not in a | snake
+        assert comp_of[pack(33, 33)] != comp_of[pack(32, 32)]  # no diagonal
+        # comp is the MIN cell id of its component
+        assert min(pack(x, y) for x, y in xy[:4]) in a
+
+    def test_antimeridian_wrap_merges_x_edges(self, spark):
+        nxr = H.nx(RES)
+        xy = [(nxr - 1, 20), (0, 20)]  # adjacent across the wrap
+        got = DV.connected_components(cells_df(spark, xy), RES).toPandas()
+        assert got.comp.nunique() == 1
+
+    def test_pole_does_not_wrap_y(self, spark):
+        nyr = H.ny(RES)
+        xy = [(5, nyr - 1), (5, 0)]  # top and bottom rows — NOT adjacent
+        got = DV.connected_components(cells_df(spark, xy), RES).toPandas()
+        assert got.comp.nunique() == 2
+
+    def test_distributed_loop_matches_driver_unionfind(self, spark):
+        rng = np.random.default_rng(7)
+        xy = {(int(x), int(y)) for x, y in zip(rng.integers(0, 64, 300), rng.integers(0, 48, 300))}
+        df = cells_df(spark, sorted(xy))
+        drv = (
+            DV.connected_components(df, RES)
+            .toPandas().sort_values("cell").reset_index(drop=True)
+        )
+        dist = (
+            DV.connected_components(df, RES, driver_max_cells=0)
+            .toPandas().sort_values("cell").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(drv, dist)
+
+    def test_matches_pure_python_bfs_oracle(self, spark):
+        rng = np.random.default_rng(11)
+        xy = sorted({(int(x), int(y)) for x, y in zip(rng.integers(0, 32, 200), rng.integers(0, 24, 200))})
+        got = (
+            DV.connected_components(cells_df(spark, xy), RES)
+            .toPandas().sort_values("cell").reset_index(drop=True)
+        )
+        # independent BFS oracle (no union-find, no label propagation)
+        nxr = H.nx(RES)
+        cells = {pack(x, y) for x, y in xy}
+        seen: dict[int, int] = {}
+        for start in sorted(cells):
+            if start in seen:
+                continue
+            comp_cells, stack = [], [start]
+            seen[start] = -1
+            while stack:
+                c = stack.pop()
+                comp_cells.append(c)
+                x = (c >> 28) & ((1 << 28) - 1)
+                y = c & ((1 << 28) - 1)
+                for nb in (
+                    c - x * (1 << 28) + ((x + 1) % nxr) * (1 << 28),
+                    c - x * (1 << 28) + ((x - 1) % nxr) * (1 << 28),
+                    c + 1, c - 1,
+                ):
+                    if nb in cells and nb not in seen:
+                        seen[nb] = -1
+                        stack.append(nb)
+            m = min(comp_cells)
+            for c in comp_cells:
+                seen[c] = m
+        want = pd.DataFrame(
+            sorted(seen.items()), columns=["cell", "comp"]
+        ).astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestRegionOverlay:
+    def test_all_four_relations(self, spark):
+        # a1 = 3-cell bar, b1 = its middle cell (within/contains)
+        # a2 = 2-cell bar  ≡ b2 (equals)
+        # a3 = 2-cell bar, b3 = 2-cell bar shifted by one (overlaps)
+        def labeled(spark, rows):
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=["cell", "comp"]).astype("int64")
+            )
+
+        a = labeled(spark, [
+            (pack(10, 10), 1), (pack(11, 10), 1), (pack(12, 10), 1),
+            (pack(20, 20), 2), (pack(21, 20), 2),
+            (pack(30, 30), 3), (pack(31, 30), 3),
+        ])
+        b = labeled(spark, [
+            (pack(11, 10), 7),
+            (pack(20, 20), 8), (pack(21, 20), 8),
+            (pack(31, 30), 9), (pack(32, 30), 9),
+        ])
+        got = DV.region_overlay(a, b).toPandas().set_index(["comp_a", "comp_b"])
+        assert got.loc[(1, 7)].relation == "contains"
+        assert got.loc[(2, 8)].relation == "equals"
+        assert got.loc[(3, 9)].relation == "overlaps"
+        assert got.loc[(3, 9)].n_shared_cells == 1
+        inv = DV.region_overlay(b, a).toPandas().set_index(["comp_a", "comp_b"])
+        assert inv.loc[(7, 1)].relation == "within"
+
+    def test_disjoint_pairs_absent(self, spark):
+        a = spark.createDataFrame(pd.DataFrame({"cell": [pack(1, 1)], "comp": [1]}).astype("int64"))
+        b = spark.createDataFrame(pd.DataFrame({"cell": [pack(5, 5)], "comp": [2]}).astype("int64"))
+        assert DV.region_overlay(a, b).count() == 0
+
+
+class TestDissolveRollup:
+    def test_threshold_and_value_rollup(self, spark):
+        xy = [(10, 10), (11, 10), (50, 50)]
+        df = cells_df(spark, xy, values=[5.0, 3.0, 1.0])
+        d = DV.dissolve(df, RES, threshold=2.0)  # drops the lone (50,50)
+        out = DV.dissolve_regions(d).toPandas()
+        assert len(out) == 1
+        assert out.n_cells[0] == 2 and out.total_value[0] == 8
+        d.unpersist()
