@@ -93,6 +93,24 @@ def with_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> Dat
     return df.withColumn("bucket", F.expr(bucket_sql(vec_col, dim, "spark")).cast("int"))
 
 
+def _maybe_broadcast(q: DataFrame, broadcast_queries: bool | None) -> DataFrame:
+    """Query-side join hint guard (VERDICT r2): pin the broadcast only
+    when Catalyst's size estimate says the query frame fits the
+    broadcast threshold — an unconditional ``F.broadcast`` OOMs on a
+    10^8-query batch. ``None`` auto-decides; ``True``/``False``
+    force. Un-hinted joins are left to AQE (which can still pick a
+    runtime broadcast from actual sizes)."""
+    if broadcast_queries is None:
+        from .knn_join import _plan_size_bytes, _size_conf
+
+        est = _plan_size_bytes(q)
+        thresh = _size_conf(
+            q.sparkSession, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+        )
+        broadcast_queries = 0 <= est <= thresh > 0
+    return F.broadcast(q) if broadcast_queries else q
+
+
 def ann_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -101,6 +119,7 @@ def ann_topk(
     id_col: str = "vec_id",
     dim: int = 64,
     multi_probe: bool = False,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Bucketed approximate top-k: each query scans only its bucket.
     query_df: (query_id, embedding). Returns (query_id, vec_id, cos,
@@ -129,9 +148,9 @@ def ann_topk(
         q = q.withColumn("_qb", F.explode(probes)).drop("bucket")
     else:
         q = q.withColumnRenamed("bucket", "_qb")
-    cand = data.join(F.broadcast(q), F.col("bucket") == F.col("_qb"), "inner").withColumn(
-        "cos", F.expr(f"round({cosine_sql(vec_col, '_qv', 'spark')}, 5)")
-    )
+    cand = data.join(
+        _maybe_broadcast(q, broadcast_queries), F.col("bucket") == F.col("_qb"), "inner"
+    ).withColumn("cos", F.expr(f"round({cosine_sql(vec_col, '_qv', 'spark')}, 5)"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -270,6 +289,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     dim: int = 64,
     nlist: int = N_LIST,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign rows to inverted lists, probe the
     query's ``nprobe`` nearest lists, exact-cosine re-rank. Returns
@@ -289,7 +309,7 @@ def ivf_topk(
         )
         .withColumn("ivf_cell", F.col("ivf_cell").cast("int"))
     )
-    cand = data.join(F.broadcast(q), "ivf_cell").withColumn(
+    cand = data.join(_maybe_broadcast(q, broadcast_queries), "ivf_cell").withColumn(
         "cos", F.expr(f"round({cosine_sql(vec_col, '_qv', 'spark')}, 5)")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())

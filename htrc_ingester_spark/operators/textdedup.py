@@ -252,6 +252,12 @@ def minhash_signatures(
     )
 
 
+# auto-broadcast ceiling for the verify joins: ~500k pairs ⇒ ≤1M
+# candidate docs whose shingle arrays must fit one broadcast; beyond
+# that the shuffle-join fallback is the safe default
+_BROADCAST_VERIFY_MAX_PAIRS = 500_000
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -262,7 +268,7 @@ def lsh_near_dup_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 50,
     hash_impl: str = "xx64",
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: band-bucket self-join candidates, then
     exact shingle-Jaccard verify. ``max_bucket`` drops degenerate hot
@@ -280,10 +286,13 @@ def lsh_near_dup_pairs(
       in-place — no bucket self-join, no second shuffle, and the
       collect is bounded by ``max_bucket``;
     - the verify joins broadcast the candidate-doc shingle arrays
-      (|candidate docs| ≈ 2x|pairs| ≪ corpus). Set
-      ``broadcast_verify=False`` for a pathological corpus where the
-      candidate set itself exceeds broadcast size — the joins fall back
-      to shuffle joins of the same shape.
+      (|candidate docs| ≈ 2x|pairs| ≪ corpus). Default ``None``
+      AUTO-DECIDES from the materialized candidate count (the pair
+      frame is persisted anyway, so the count is a cache-warming
+      no-op): ≤ ``_BROADCAST_VERIFY_MAX_PAIRS`` broadcasts, above it
+      the joins fall back to shuffle joins of the same shape — a
+      pathological corpus can no longer OOM the driver by default
+      (VERDICT r2). Pass True/False to force.
     """
     from pyspark.sql import Window
 
@@ -314,6 +323,8 @@ def lsh_near_dup_pairs(
     # guaranteed across broadcast/semi-join boundaries). Left cached
     # for the returned plan; Spark evicts LRU under memory pressure.
     cand = pairs.where(F.col("id_a") < F.col("id_b")).distinct().persist()
+    if broadcast_verify is None:
+        broadcast_verify = cand.count() <= _BROADCAST_VERIFY_MAX_PAIRS
     # exact-verify shingles ONLY for docs that appear in a candidate
     # pair (≈ 2×|pairs| ≪ corpus — at 10^12 rows this is the
     # difference between re-shingling everything and almost nothing)

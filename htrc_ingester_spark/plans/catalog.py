@@ -534,7 +534,7 @@ def _radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
     qdf = spark.sql(_QUERIES_SQL).where("cast(query_id as int) % 20 = 0").drop("k")
     return (
-        radius_join(spark, points, qdf, radius_m=750_000.0, res=5)
+        radius_join(spark, points, qdf, radius_m=750_000.0)  # res auto-derived
         .withColumn("dist_m", F.round("dist_m", 3))
         .orderBy("query_id", "image_id")
     )

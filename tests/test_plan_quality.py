@@ -202,3 +202,58 @@ class TestRound2PlanShapes:
         plan = plan_of(ivf_topk(data_df, q, k=3))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_ann_broadcast_guard_both_shapes(self, spark):
+        # VERDICT r2: the query-side broadcast must be a GUARDED hint —
+        # pinned when the query frame is estimably small, absent when
+        # forced off (the 10^8-query regime where the hint would OOM)
+        from htrc_ingester_spark.operators.embedding import ann_topk, ivf_topk
+
+        rng = __import__("numpy").random.default_rng(2)
+        data_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(60),
+                    "embedding": [rng.normal(size=64).tolist() for _ in range(60)],
+                }
+            )
+        )
+        q = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": ["q0", "q1"], "embedding": [rng.normal(size=64).tolist() for _ in range(2)]}
+            )
+        )
+        for fn in (ann_topk, ivf_topk):
+            # optimized logical plan carries the hint before AQE runs
+            hinted = fn(data_df, q, k=3, broadcast_queries=None)
+            logical = hinted._jdf.queryExecution().optimizedPlan().toString()
+            assert "broadcast" in logical.lower(), fn.__name__
+            off = fn(data_df, q, k=3, broadcast_queries=False)
+            logical_off = off._jdf.queryExecution().optimizedPlan().toString()
+            assert "broadcast" not in logical_off.lower(), fn.__name__
+            # MATCH unchanged between the two shapes
+            a = hinted.toPandas().reset_index(drop=True)
+            b = off.toPandas().reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_lsh_verify_autodecide_shapes(self, spark):
+        from htrc_ingester_spark.operators import textdedup as TD
+        from htrc_ingester_spark.operators.textdedup import lsh_near_dup_pairs
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(8)),
+                    "text": ["the quick brown fox jumps over the lazy dog"] * 4
+                    + [f"totally different text number {i} with words" for i in range(4)],
+                }
+            )
+        )
+        auto = lsh_near_dup_pairs(docs, max_bucket=50).toPandas()
+        forced_off = lsh_near_dup_pairs(docs, max_bucket=50, broadcast_verify=False).toPandas()
+        pd.testing.assert_frame_equal(
+            auto.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+            forced_off.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        )
+        # tiny candidate set → the auto decision must be 'broadcast'
+        assert TD._BROADCAST_VERIFY_MAX_PAIRS > 10
