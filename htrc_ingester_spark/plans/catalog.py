@@ -479,6 +479,88 @@ def _region_overlay_oracle() -> str:
 
 _register_fn("region_overlay_nested", _region_overlay_nested, _region_overlay_oracle())
 
+
+def _ingest_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper → detect → extract → repair → verify-green as ONE
+    pipeline (the reference's Verifier → ExtractVIDFromErrorLogs →
+    Reingester loop, wired end-to-end): write a resumable store,
+    corrupt one partition's phashes in place (same row count — only
+    the digest can catch it), let verify_manifests name the failed
+    partitions, repair exactly those from source, re-verify. The
+    summary is deterministic for a given sf_dir → full value oracle."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .. import manifest as M
+
+    out = tempfile.mkdtemp(prefix="repair_rt_")
+    try:
+        img = (
+            FS.load_images(spark, sf_dir)
+            .withColumn("_ids", F.col("image_id").cast("string"))
+            .withColumn("bucket", F.pmod(F.xxhash64("_ids"), F.lit(8)))
+            .withColumn("tile_id", F.pmod(F.xxhash64("_ids", "_ids"), F.lit(64)).cast("int"))
+            .withColumn("phash", F.xxhash64("_ids"))
+            .drop("_ids")
+        )
+        stats = M.write_resumable(spark, img, out, "bucket", commit_seq=1)
+        # tamper: value drift in bucket 3, row count unchanged
+        (
+            img.where("bucket = 3")
+            .withColumn("phash", F.col("phash") + 1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{out}/data")
+        )
+        failed = [
+            r[0]
+            for r in M.verify_manifests(spark, out, "bucket")
+            .select("partition_id")
+            .collect()
+        ]
+        res = M.repair_partitions(spark, img, out, "bucket", failed, commit_seq=2)
+        post = M.verify_manifests(spark, out, "bucket").count()
+        rows_final = spark.read.parquet(f"{out}/data").count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    summary = pd.DataFrame(
+        {
+            "stage": [
+                "written_partitions", "tampered_partitions", "detected_failures",
+                "repaired_partitions", "repair_verify_failures",
+                "post_repair_failures", "rows_final",
+            ],
+            "n": [
+                stats["written"], 1, len(failed),
+                res["repaired"], res["verify_failures"], post, rows_final,
+            ],
+        }
+    )
+    summary["n"] = summary["n"].astype("int64")
+    return spark.createDataFrame(summary).orderBy("stage")
+
+
+def _ingest_repair_oracle() -> str:
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select stage, n from (values
+      ('written_partitions', cast(8 as bigint)),
+      ('tampered_partitions', cast(1 as bigint)),
+      ('detected_failures', cast(1 as bigint)),
+      ('repaired_partitions', cast(1 as bigint)),
+      ('repair_verify_failures', cast(0 as bigint)),
+      ('post_repair_failures', cast(0 as bigint)),
+      ('rows_final', (select cast(count(*) as bigint) from img))
+    ) t(stage, n) order by stage
+    """
+
+
+_register_fn("ingest_repair_roundtrip", _ingest_repair_roundtrip, _ingest_repair_oracle())
+
 _POINTS_SQL = """
     select cast(c_custkey as string) as point_id,
            cast((c_custkey * 7919) % 360000 as double) / 1000.0 - 180.0 as lon,

@@ -123,3 +123,21 @@ def test_extract_failed_ids_feeds_point_repair(spark):
     )
     got = sorted(r.volume_id for r in I.extract_failed_ids(df).collect())
     assert got == ["b"]
+
+
+def test_repair_roundtrip_pipeline_entry(spark):
+    """VERDICT r2 #7: tamper → detect → extract → repair → verify-green
+    as ONE pipeline — the catalog entry run end-to-end at sf0.001."""
+    from htrc_ingester_spark.plans import catalog
+
+    df = (
+        catalog.queries()["ingest_repair_roundtrip"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("stage")["n"]
+    )
+    assert df["written_partitions"] == 8
+    assert df["detected_failures"] == 1  # exactly the tampered bucket
+    assert df["repaired_partitions"] == 1
+    assert df["repair_verify_failures"] == 0
+    assert df["post_repair_failures"] == 0
+    assert df["rows_final"] > 0
