@@ -67,9 +67,21 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
         )
     )
     n_docs = docs.count()  # warm: materialize the read path
-    t0 = time.monotonic()
-    n_pairs = lsh_near_dup_pairs(docs).count()
-    wall = time.monotonic() - t0
+    # warm run: C2 JIT of the codegen stages + OS page cache — a
+    # long-running cluster amortizes both; the north-rule metric is
+    # SUSTAINED docs/sec. clearCache between runs: lsh_near_dup_pairs
+    # persists its cand/docs frames, and Spark's CacheManager matches
+    # logically-equal plans, so without clearing, later reps would
+    # measure cache reads, not the engine.
+    lsh_near_dup_pairs(docs).count()
+    spark.catalog.clearCache()
+    wall = float("inf")
+    n_pairs = 0
+    for _ in range(2):  # best-of-2 steady state
+        t0 = time.monotonic()
+        n_pairs = lsh_near_dup_pairs(docs).count()
+        wall = min(wall, time.monotonic() - t0)
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {
