@@ -215,6 +215,43 @@ def dissolve_regions(dissolved: DataFrame, value_col: str = "value") -> DataFram
     )
 
 
+def region_boundary_stats(
+    dissolved: DataFrame, res: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Per-region boundary extraction: (comp, n_cells, perimeter_edges)
+    where ``perimeter_edges`` counts cell edges whose across-neighbor
+    is absent or belongs to a different component — the vector outline
+    of a dissolved region in cell-edge units (cells at the top/bottom
+    grid row count their pole-side edge as boundary). One explode + one
+    self-join on the cell key; no geometry, no UDF."""
+    nxr, nyr = H.nx(res), H.ny(res)
+    _, x, y = _unpack("cell")
+    lab = dissolved.select(F.col(cell_col).cast("long").alias("cell"), "comp")
+    # -1 sentinel for off-grid (pole-side) neighbors: matches no cell,
+    # so the left join marks the edge boundary — same convention as
+    # the DuckDB oracle (null-free on purpose)
+    probes = lab.withColumn(
+        "nb",
+        F.explode(
+            F.array(
+                F.expr(f"cell - {x} * {1 << 28} + (({x} + 1) % {nxr}) * {1 << 28}"),
+                F.expr(f"cell - {x} * {1 << 28} + (({x} - 1 + {nxr}) % {nxr}) * {1 << 28}"),
+                F.expr(f"case when {y} + 1 < {nyr} then cell + 1 else -1 end"),
+                F.expr(f"case when {y} > 0 then cell - 1 else -1 end"),
+            )
+        ),
+    )
+    other = lab.select(F.col("cell").alias("nb"), F.col("comp").alias("nb_comp"))
+    perim = (
+        probes.join(other, "nb", "left")
+        .where(F.col("nb_comp").isNull() | (F.col("nb_comp") != F.col("comp")))
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("perimeter_edges"))
+    )
+    sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("n_cells"))
+    return sizes.join(perim, "comp").select("comp", "n_cells", "perimeter_edges")
+
+
 def region_overlay(a: DataFrame, b: DataFrame, cell_col: str = "cell") -> DataFrame:
     """Polygon↔polygon overlay on cell-set regions: for every pair of
     intersecting regions (one from each labeled set — e.g. two

@@ -145,6 +145,39 @@ class TestRegionOverlay:
         assert DV.region_overlay(a, b).count() == 0
 
 
+class TestRegionBoundary:
+    def test_known_shapes(self, spark):
+        # single cell → 4 edges; 2x2 blob → 8; 1x3 bar → 8
+        xy = [(5, 5),
+              (10, 10), (11, 10), (10, 11), (11, 11),
+              (20, 20), (21, 20), (22, 20)]
+        df = cells_df(spark, xy)
+        lab = DV.connected_components(df, RES)
+        got = (
+            DV.region_boundary_stats(lab.withColumn("value", F.lit(1.0)), RES)
+            .toPandas().set_index("comp")
+        )
+        single, blob, bar = pack(5, 5), pack(10, 10), pack(20, 20)
+        assert got.loc[single].perimeter_edges == 4
+        assert got.loc[blob].perimeter_edges == 8 and got.loc[blob].n_cells == 4
+        assert got.loc[bar].perimeter_edges == 8 and got.loc[bar].n_cells == 3
+
+    def test_full_longitude_ring_has_no_ew_boundary(self, spark):
+        nxr = H.nx(RES)
+        xy = [(x, 30) for x in range(nxr)]
+        lab = DV.connected_components(cells_df(spark, xy), RES)
+        got = DV.region_boundary_stats(lab, RES).toPandas()
+        assert len(got) == 1
+        # a full ring: only the N and S edges remain → 2·nx
+        assert got.perimeter_edges[0] == 2 * nxr
+
+    def test_pole_row_counts_pole_edge(self, spark):
+        got = DV.region_boundary_stats(
+            DV.connected_components(cells_df(spark, [(3, 0)]), RES), RES
+        ).toPandas()
+        assert got.perimeter_edges[0] == 4  # the lat=-90 side is boundary
+
+
 class TestDissolveRollup:
     def test_threshold_and_value_rollup(self, spark):
         xy = [(10, 10), (11, 10), (50, 50)]
