@@ -143,45 +143,129 @@ def connected_components(
         out.count()
         return out
     edges = adjacency_edges(cells, res, cell_col).persist()
-    state = cells.select(
-        F.col(cell_col).cast("long").alias("cell"), F.col(cell_col).cast("long").alias("label")
-    ).persist()
-    prev_sum = None
+    nodes = cells.select(
+        F.col(cell_col).cast("long").alias("node"),
+        F.col(cell_col).cast("long").alias("label"),
+    )
+    raw = _cc_loop(nodes, edges, max_rounds)
+    out = raw.select(F.col("node").alias("cell"), F.col("label").alias("comp")).persist()
+    out.count()
+    raw.unpersist()
+    edges.unpersist()
+    return out
+
+
+def _cc_loop(nodes: DataFrame, edges: DataFrame, max_rounds: int) -> DataFrame:
+    """The distributed pointer-jumping CC loop over an ARBITRARY
+    both-direction edge list — shared by the grid dissolve and the
+    dedup-cluster op. ``nodes``: (node, label) with label initialized
+    to node; ``edges``: (src, dst), both directions present. Works for
+    any orderable id type (labels converge to the component MINIMUM);
+    convergence is a changed-label count over each round's
+    materialized state.
+
+    Each round ends in ``localCheckpoint(eager=True)``, NOT persist():
+    the round plan references the previous state twice (neighbor fold
+    + pointer-jump LUT), so without truncation the ANALYZED plan
+    doubles per round and Catalyst itself OOMs around round 5 —
+    caching stores data but not the plan. Checkpoint blocks are freed
+    by the ContextCleaner when the previous round's DataFrame drops
+    out of scope. On a cluster where executor loss must be survivable
+    mid-loop, set a checkpoint dir and swap in ``.checkpoint()``."""
+    state = nodes.localCheckpoint(True)
     for _ in range(max_rounds):
-        # neighbor-min fold
         nbr = (
-            edges.join(state, edges["dst"] == state["cell"], "inner")
+            edges.join(state, edges["dst"] == state["node"], "inner")
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        s1 = (
-            state.join(nbr, state["cell"] == nbr["src"], "left")
-            .select("cell", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        s1 = state.join(nbr, state["node"] == nbr["src"], "left").select(
+            "node",
+            F.col("label").alias("_prev"),
+            F.least("label", F.coalesce("nmin", "label")).alias("_l1"),
         )
-        # pointer jump: label := label(label) (labels are cell ids)
-        lut = s1.select(F.col("cell").alias("_lc"), F.col("label").alias("_ll"))
+        # pointer jump: label := label(label) (labels are node ids)
+        lut = s1.select(F.col("node").alias("_lc"), F.col("_l1").alias("_ll"))
         new_state = (
-            s1.join(lut, s1["label"] == lut["_lc"], "left")
-            .select("cell", F.coalesce("_ll", "label").alias("label"))
-            .persist()
+            s1.join(lut, s1["_l1"] == lut["_lc"], "left")
+            .select(
+                "node",
+                F.coalesce("_ll", "_l1").alias("label"),
+                (F.coalesce("_ll", "_l1") != F.col("_prev")).alias("_chg"),
+            )
+            .localCheckpoint(True)  # the round's materializing action
         )
-        # single action: materializes the cache AND tests convergence
-        # (Σlabel strictly decreases iff any label changed; decimal —
-        # int64 cell ids × millions of rows overflow a long sum)
-        cur_sum = new_state.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        state.unpersist()
+        n_changed = new_state.where("_chg").count()
         state = new_state
-        if cur_sum == prev_sum:
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     else:
-        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
-    out = state.select("cell", F.col("label").alias("comp")).persist()
+        raise RuntimeError(f"_cc_loop: no convergence in {max_rounds} rounds")
+    # checkpoint-backed and materialized (carries the internal _chg
+    # column); callers project/rename and persist their view
+    return state
+
+
+def connected_components_edges(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 64,
+    driver_max_edges: int = 2_000_000,
+) -> DataFrame:
+    """(node, cluster) for every node of an arbitrary undirected edge
+    list — ``cluster`` is the MINIMUM node id of the component. The
+    general-graph sibling of :func:`connected_components` (dedup pair
+    graphs, not grids): small edge lists (≤ ``driver_max_edges``, e.g.
+    a near-dup pair set, which is ≪ corpus by construction) collect to
+    a driver union-find; larger ones run the distributed
+    pointer-jumping loop."""
+    spark = edges.sparkSession
+    e2 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    n_edges = e2.count()
+    if n_edges <= driver_max_edges:
+        import pandas as pd
+
+        pdf = e2.toPandas()
+        e2.unpersist()
+        parent: dict = {}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = comp_min.get(r)
+            if m is None or n < m:
+                comp_min[r] = n
+        rows = pd.DataFrame(
+            {"node": list(parent), "cluster": [comp_min[find(n)] for n in parent]}
+        )
+        out = spark.createDataFrame(rows).persist()
+        out.count()
+        return out
+    both = e2.unionByName(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    nodes = both.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    raw = _cc_loop(nodes, both, max_rounds)
+    out = raw.select("node", F.col("label").alias("cluster")).persist()
     out.count()
-    state.unpersist()
-    edges.unpersist()
+    raw.unpersist()
+    both.unpersist()
+    e2.unpersist()
     return out
 
 

@@ -495,15 +495,21 @@ def knn_join_many(
         .withColumn("pr", F.lit(-1))
         .withColumn("done", F.lit(False))
         .withColumn("topk", F.expr(empty_topk))
+        # lazy persist (round 1 consumes it twice); round outputs are
+        # eager localCheckpoints, so this is dropped after round 1
         .persist()
     )
+    init_state: DataFrame | None = state
 
-    # ONE Spark action per round: the new state's filtered count
-    # materializes the whole persisted state (cache writes are
-    # partition-granular) and doubles as the active-query check. No
-    # up-front count: round 1's frontier is every query by
-    # construction, so the loop enters directly (an empty query set
-    # just runs one empty round).
+    # Each round materializes via localCheckpoint(eager=True), which
+    # also TRUNCATES the plan: the round plan references the previous
+    # state twice (grow + merge join), so a persist-only loop doubles
+    # the analyzed plan per round and Catalyst itself OOMs/stalls at
+    # high round counts (found via dissolve._cc_loop; same shape
+    # here). The filtered count after it is a block-cached scan that
+    # doubles as the active-query check. No up-front count: round 1's
+    # frontier is every query by construction, so the loop enters
+    # directly (an empty query set just runs one empty round).
     n_active: int | None = None
     for _ in range(max_rounds):
         if n_active == 0:
@@ -581,11 +587,13 @@ def knn_join_many(
                 F.col("done2").alias("done"),
                 F.col("topk2").alias("topk"),
             )
-            .persist()
+            .localCheckpoint(True)
         )
         n_active = new_state.where("not done").count()
-        state.unpersist()
         state = new_state
+        if init_state is not None:
+            init_state.unpersist()
+            init_state = None
 
     out = (
         state.select("query_id", F.posexplode("topk").alias("pos", "nb"))
@@ -598,7 +606,6 @@ def knn_join_many(
     )
     out = out.persist()
     out.count()
-    state.unpersist()
     skel.unpersist()
     return out
 

@@ -361,6 +361,43 @@ def lsh_near_dup_pairs(
     return verified
 
 
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, cluster) for EVERY row of ``df``: docs appearing in a
+    near-dup ``pairs`` frame (id_a, id_b — any pair finder in this
+    module or embedding.py) get their connected component's MINIMUM id
+    as the cluster; unpaired docs are their own cluster. Near-dup is
+    not transitive, but dedup treats the pair graph's components as
+    the duplicate groups (the standard cluster-then-keep-one
+    discipline); the pair set is ≪ corpus by construction, so the
+    component step runs on the driver below 2M pairs and as the
+    distributed pointer-jumping loop above (dissolve._cc_loop)."""
+    from .dissolve import connected_components_edges
+
+    lab = connected_components_edges(pairs, "id_a", "id_b")
+    return (
+        df.select(id_col)
+        .join(lab, df[id_col] == lab["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+        )
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly ONE row per near-dup cluster — the minimum id
+    (deterministic across partitionings) — plus every unpaired row:
+    the survivor set of the pairs→clusters→keep-one dedup pipeline.
+    Returns ``df``'s full rows (semi join on the survivor ids)."""
+    cl = dedup_clusters(df, pairs, id_col)
+    keep = cl.where(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, id_col, "semi")
+
+
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash:int64) via exploded-word per-bit majority vote."""
     words = df.select(

@@ -1687,6 +1687,89 @@ def _minhash_lsh_oracle() -> str:
 _register_fn("dedup_minhash_lsh", _minhash_lsh, _minhash_lsh_oracle())
 
 
+def _dedup_pairs_oracle_ctes() -> str:
+    """DuckDB CTE block: exact-Jaccard near-dup pairs (the
+    dedup_minhash_lsh oracle's pair set) → per-doc cluster labels via
+    recursive reachability (min reachable id)."""
+    from ..operators import textdedup as TD
+
+    sh = TD.shingles_sql("text", 3, "duckdb")
+    return f"""
+    docs as ({_dup_docs_sql('duckdb')}),
+    shx as (
+      select doc_id, list_distinct({sh}) as shd
+      from docs where len({sh}) > 0),
+    vpairs as (
+      select a.doc_id as id_a, b.doc_id as id_b
+      from shx a join shx b on a.doc_id < b.doc_id
+      where cast(len(list_intersect(a.shd, b.shd)) as double) /
+            len(list_distinct(list_concat(a.shd, b.shd))) >= 0.5),
+    vedges as (
+      select id_a as src, id_b as dst from vpairs
+      union
+      select id_b, id_a from vpairs),
+    vwalk(node, label) as (
+      select distinct src, src from vedges
+      union
+      select e.dst, w.label from vwalk w join vedges e on e.src = w.node),
+    vlab as (select node, min(label) as cluster from vwalk group by node)"""
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairs → connected components → per-doc cluster label (the
+    canonical-min-id discipline); unpaired docs are their own
+    cluster."""
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    uni = spark.sql(_dup_docs_sql("spark"))
+    pairs = TD.lsh_near_dup_pairs(uni)
+    return TD.dedup_clusters(uni, pairs).orderBy("doc_id")
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    with recursive {_dedup_pairs_oracle_ctes()}
+    select d.doc_id, coalesce(l.cluster, d.doc_id) as cluster
+    from docs d left join vlab l on l.node = d.doc_id
+    order by d.doc_id
+    """
+
+
+_register_fn("dedup_clusters", _dedup_clusters, _dedup_clusters_oracle())
+
+
+def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor set: one canonical row (minimum id) per near-dup
+    cluster + every unpaired doc — the end of the pairs→clusters→
+    keep-one dedup pipeline."""
+    from pyspark.sql import functions as F
+
+    from ..operators import textdedup as TD
+
+    _load(spark, sf_dir, "documents")
+    uni = spark.sql(_dup_docs_sql("spark"))
+    pairs = TD.lsh_near_dup_pairs(uni)
+    return (
+        TD.dedup_keep_canonical(uni, pairs)
+        .select("doc_id", F.length("text").alias("text_len"))
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_survivors_oracle() -> str:
+    return f"""
+    with recursive {_dedup_pairs_oracle_ctes()}
+    select d.doc_id, cast(length(d.text) as int) as text_len
+    from docs d left join vlab l on l.node = d.doc_id
+    where coalesce(l.cluster, d.doc_id) = d.doc_id
+    order by d.doc_id
+    """
+
+
+_register_fn("dedup_survivors", _dedup_survivors, _dedup_survivors_oracle())
+
+
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textdedup as TD
 

@@ -111,6 +111,39 @@ class TestConnectedComponents:
         pd.testing.assert_frame_equal(got, want)
 
 
+class TestEdgeComponents:
+    def test_arbitrary_edges_chain_and_string_ids(self, spark):
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": ["a", "b", "x"], "id_b": ["b", "c", "y"]})
+        )
+        got = (
+            DV.connected_components_edges(pairs)
+            .toPandas().sort_values("node").reset_index(drop=True)
+        )
+        m = dict(zip(got.node, got.cluster))
+        assert m["a"] == m["b"] == m["c"] == "a"  # chain is transitive
+        assert m["x"] == m["y"] == "x"
+
+    def test_distributed_loop_matches_driver_on_edges(self, spark):
+        rng = np.random.default_rng(3)
+        pairs = pd.DataFrame(
+            {"id_a": rng.integers(0, 200, 300), "id_b": rng.integers(0, 200, 300)}
+        ).query("id_a != id_b")
+        df = spark.createDataFrame(pairs)
+        drv = (
+            DV.connected_components_edges(df)
+            .toPandas().sort_values("node").reset_index(drop=True)
+        )
+        dist = (
+            DV.connected_components_edges(df, driver_max_edges=0)
+            .toPandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            drv.astype({"node": "int64", "cluster": "int64"}),
+            dist.astype({"node": "int64", "cluster": "int64"}),
+        )
+
+
 class TestRegionOverlay:
     def test_all_four_relations(self, spark):
         # a1 = 3-cell bar, b1 = its middle cell (within/contains)

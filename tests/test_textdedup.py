@@ -333,3 +333,26 @@ def test_multiprobe_ann_recall_dominates_single_probe(spark):
         assert r2 >= r1, q
         gain += r2 - r1
     assert gain > 0  # boundary neighbors exist at this density
+
+
+class TestDedupClusters:
+    def test_chain_collapses_and_unpaired_survive(self, spark):
+        import pandas as pd
+
+        from htrc_ingester_spark.operators import textdedup as TD
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 9], "text": ["a"] * 4})
+        )
+        # pair graph 1-2, 2-3 (a chain: near-dup is not transitive, the
+        # component is the dedup group); 9 unpaired
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+        )
+        cl = TD.dedup_clusters(docs, pairs).toPandas().set_index("doc_id").cluster
+        assert cl[1] == cl[2] == cl[3] == 1
+        assert cl[9] == 9
+        keep = sorted(
+            r.doc_id for r in TD.dedup_keep_canonical(docs, pairs).collect()
+        )
+        assert keep == [1, 9]
