@@ -135,6 +135,76 @@ def vectorize(
     )
 
 
+def mosaic_best(
+    points: DataFrame,
+    score_col: str,
+    id_col: str = "image_id",
+    zoom_res: int = 5,
+    n_tiles: int = 4096,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_col: str | None = None,
+    tile_col: str = "tile_id",
+) -> DataFrame:
+    """One representative row per raster tile: the DETERMINISTIC argmax
+    of ``score_col`` (ties broken by minimum ``id_col``) — the
+    pick-a-thumbnail-per-map-tile step of a tile-rendering pipeline,
+    and the spatial form of the dedup keep-one-canonical discipline.
+
+    Scale shape: for numeric ids the argmax is ``max(struct(score,
+    -id, payload…))`` — an ordinary aggregate, so Catalyst runs
+    map-side partial aggregation and the single exchange carries one
+    row per (tile, task), never the input rows, and nothing is sorted.
+    A ``row_number`` window would instead shuffle EVERY row and sort
+    each tile's partition — at 10^12 images with hot-spot tiles that
+    is both the bigger shuffle and a skew hazard (one reducer owns the
+    hottest tile's full row set). Struct comparison is field-order
+    lexicographic, so (score, -id) is total and unique per row; the
+    payload fields after it never decide the max but ride along, which
+    is what makes this argmax rather than plain max. Non-numeric ids
+    fall back to the window plan (same result, tested equal).
+
+    Returns one row per tile: ``tile_col``, ``id_col``, ``score_col``
+    + the remaining point columns.
+    """
+    from pyspark.sql.types import NumericType
+
+    tiled = assign_tiles(
+        points,
+        zoom_res=zoom_res,
+        n_tiles=n_tiles,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        cell_col=cell_col,
+        out_col=tile_col,
+    )
+    payload = [c for c in points.columns if c not in (score_col, id_col)]
+    id_numeric = isinstance(points.schema[id_col].dataType, NumericType)
+    if id_numeric:
+        packed = F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("neg_id"),
+            *[F.col(c).alias(c) for c in payload],
+        )
+        best = tiled.groupBy(tile_col).agg(F.max(packed).alias("b"))
+        return best.select(
+            tile_col,
+            (-F.col("b.neg_id")).cast(points.schema[id_col].dataType).alias(id_col),
+            F.col("b.s").alias(score_col),
+            *[F.col(f"b.{c}").alias(c) for c in payload],
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(tile_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        tiled.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(tile_col, id_col, score_col, *payload)
+    )
+
+
 def raster_patch(raster: DataFrame, lon0: float, lat0: float, lon1: float, lat1: float, res: int):
     """Materialize a BOUNDED bbox of the sparse raster as a dense 2-D
     numpy array (driver-side; the bbox caps the size — this is the

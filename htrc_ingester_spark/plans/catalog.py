@@ -541,6 +541,102 @@ def _region_boundary_oracle() -> str:
 _register_fn("region_boundary_stats", _region_boundary, _region_boundary_oracle())
 
 
+# deterministic per-image value for the zonal/mosaic entries — pure
+# integer arithmetic, identical in Spark SQL and DuckDB, overflow-safe
+# to 10^14 image ids
+_ZONAL_VAL = "cast(image_id % 97 as bigint)"
+_MOSAIC_SCORE = "cast((image_id * 7919 + 104729) % 1000 as double)"
+
+
+def _zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (count/sum/avg/min/max of a per-image value)
+    per polygon of the full A2 fixture set, through the real
+    cover+refine PIP operator + map-side-combined groupBy."""
+    from pyspark.sql import functions as F
+
+    from .. import data
+    from ..operators.zonal import zonal_stats
+
+    img = FS.load_images(spark, sf_dir).withColumn("val", F.expr(_ZONAL_VAL))
+    return (
+        zonal_stats(spark, img, data.polygons(), "val", res=7)
+        .select(
+            "poly_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_val").cast("long").alias("sum_val"),
+            F.col("avg_val").cast("double").alias("avg_val"),
+            F.col("min_val").cast("long").alias("min_val"),
+            F.col("max_val").cast("long").alias("max_val"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+def _zonal_stats_oracle() -> str:
+    """Aggregate the crossing-count PIP oracle — the value column is a
+    pure function of image_id, so no re-join against img is needed
+    (the oracle's hit set is already one row per img ROW, duplicates
+    included, matching the operator)."""
+    from .. import data
+
+    pip = pip_crossing_oracle_sql(data.polygons(), FS.images_sql("lineitem"))
+    return f"""
+    select poly_id,
+           cast(count(*) as bigint) as n,
+           cast(sum({_ZONAL_VAL}) as bigint) as sum_val,
+           cast(avg({_ZONAL_VAL}) as double) as avg_val,
+           cast(min({_ZONAL_VAL}) as bigint) as min_val,
+           cast(max({_ZONAL_VAL}) as bigint) as max_val
+    from ({pip}) hits
+    group by poly_id order by poly_id
+    """
+
+
+_register_fn("zonal_stats_polygons", _zonal_stats, _zonal_stats_oracle())
+
+
+def _tile_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative image per raster tile (deterministic argmax by
+    (score desc, image_id asc)) — the thumbnail-pick step of a
+    tile-render pipeline, via the struct-max aggregate (no window
+    sort, one partial-agg exchange)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import mosaic_best
+
+    img = FS.load_images(spark, sf_dir).withColumn("score", F.expr(_MOSAIC_SCORE))
+    return (
+        mosaic_best(
+            img, "score", id_col="image_id", zoom_res=FS.ZOOM_RES, n_tiles=FS.N_TILES
+        )
+        .select("tile_id", "image_id", "score", "lon", "lat")
+        .orderBy("tile_id")
+    )
+
+
+def _tile_mosaic_oracle() -> str:
+    from ..functions import tile_sql_expr
+    from ..geo import h3lite as H
+
+    zoom = H.h3_sql_expr("lon", "lat", FS.ZOOM_RES)
+    tile = tile_sql_expr(zoom, FS.N_TILES, dialect="duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    scored as (
+      select image_id, lon, lat, {tile} as tile_id, {_MOSAIC_SCORE} as score
+      from img),
+    rk as (
+      select *, row_number() over (
+        partition by tile_id order by score desc, image_id asc) as rn
+      from scored)
+    select tile_id, image_id, score, lon, lat from rk where rn = 1
+    order by tile_id
+    """
+
+
+_register_fn("tile_mosaic_best", _tile_mosaic, _tile_mosaic_oracle())
+
+
 def _ingest_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tamper → detect → extract → repair → verify-green as ONE
     pipeline (the reference's Verifier → ExtractVIDFromErrorLogs →

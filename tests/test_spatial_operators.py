@@ -520,3 +520,123 @@ class TestRadiusJoin:
             .toPandas().sort_values(["query_id", "image_id"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[["query_id", "image_id"]], want[["query_id", "image_id"]])
+
+
+class TestZonalStats:
+    def test_matches_per_point_bruteforce(self, spark, images_df, images_pdf):
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.operators.zonal import zonal_stats
+
+        polys = data.polygons()
+        # fixture ids are strings 'imgNNN...' — derive a numeric value
+        num = F.substring("image_id", 4, 12).cast("long")
+        img = images_df.withColumn("val", (num % 13).cast("long"))
+        got = (
+            zonal_stats(spark, img, polys, "val", res=7)
+            .toPandas()
+            .sort_values("poly_id")
+            .reset_index(drop=True)
+        )
+        # brute force from the pure-python PIP oracle
+        ids_num = images_pdf["image_id"].str[3:].astype(np.int64)
+        rows = []
+        for p in polys:
+            mask = np.array(
+                [
+                    oracle_point_in_ring(lo, la, p["ring"])
+                    for lo, la in zip(images_pdf["lon"], images_pdf["lat"])
+                ]
+            )
+            if not mask.any():
+                continue
+            vals = (ids_num.to_numpy()[mask] % 13).astype(np.int64)
+            rows.append(
+                {
+                    "poly_id": p["poly_id"],
+                    "n": int(mask.sum()),
+                    "sum_val": int(vals.sum()),
+                    "avg_val": float(vals.mean()),
+                    "min_val": int(vals.min()),
+                    "max_val": int(vals.max()),
+                }
+            )
+        want = pd.DataFrame(rows).sort_values("poly_id").reset_index(drop=True)
+        assert list(got["poly_id"]) == list(want["poly_id"])
+        for c in ["n", "sum_val", "min_val", "max_val"]:
+            assert list(got[c].astype(int)) == list(want[c].astype(int)), c
+        assert np.allclose(got["avg_val"], want["avg_val"])
+
+    def test_hole_excludes_values(self, spark):
+        """A point inside a polygon's hole contributes to no zone."""
+        from htrc_ingester_spark.operators.zonal import zonal_stats
+
+        shell = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        hole = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+        polys = [{"poly_id": "donut", "rings": [shell, hole]}]
+        pts = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [1, 2, 3],
+                    "lon": [0.5, 2.0, 3.5],  # in-shell, in-hole, in-shell
+                    "lat": [0.5, 2.0, 3.5],
+                    "val": [10, 100, 1],
+                }
+            )
+        )
+        got = zonal_stats(spark, pts, polys, "val", res=7).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["poly_id"], r["n"], r["sum_val"], r["min_val"], r["max_val"]) == (
+            "donut", 2, 11, 1, 10,
+        )
+
+
+class TestMosaicBest:
+    def test_struct_max_equals_window_path(self, spark, images_df):
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.operators.tiles import assign_tiles, mosaic_best
+
+        num = F.substring("image_id", 4, 12).cast("long")
+        img = (
+            images_df.select("image_id", "lon", "lat")
+            .withColumn("nid", num)
+            .withColumn("score", ((num * 7919 + 104729) % 50).cast("double"))
+        )
+        # numeric-id fast path
+        fast = (
+            mosaic_best(img.drop("image_id"), "score", id_col="nid", zoom_res=4, n_tiles=64)
+            .toPandas().sort_values("tile_id").reset_index(drop=True)
+        )
+        # string id forces the window fallback; same ordering (zero-padded)
+        slow = (
+            mosaic_best(img.drop("nid"), "score", id_col="image_id", zoom_res=4, n_tiles=64)
+            .toPandas().sort_values("tile_id").reset_index(drop=True)
+        )
+        assert list(fast["tile_id"]) == list(slow["tile_id"])
+        assert [int(x[3:]) for x in slow["image_id"]] == list(fast["nid"])
+        assert list(fast["score"]) == list(slow["score"])
+        # argmax really is the max score per tile, min id among ties
+        tiles_pdf = assign_tiles(img, zoom_res=4, n_tiles=64).toPandas()
+        for tid, grp in tiles_pdf.groupby("tile_id"):
+            best = grp[grp["score"] == grp["score"].max()]
+            want_id = best["nid"].min()
+            got_row = fast[fast["tile_id"] == tid]
+            assert int(got_row["nid"].iloc[0]) == int(want_id)
+
+    def test_no_sort_exchange_in_struct_max_plan(self, spark, images_df):
+        """The numeric-id plan must be agg(+partial) — no window sort."""
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.operators.tiles import mosaic_best
+
+        img = images_df.select("lon", "lat").withColumn(
+            "nid", F.xxhash64("lon", "lat")
+        ).withColumn("score", (F.col("nid") % 7).cast("double"))
+        plan = (
+            mosaic_best(img, "score", id_col="nid", zoom_res=4, n_tiles=64)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan
