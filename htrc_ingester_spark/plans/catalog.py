@@ -637,6 +637,62 @@ def _tile_mosaic_oracle() -> str:
 _register_fn("tile_mosaic_best", _tile_mosaic, _tile_mosaic_oracle())
 
 
+def _stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING windowed per-tile arrival-count operator
+    (streaming/incremental.windowed_tile_counts) run in batch mode —
+    same plan minus the state store, so the DuckDB oracle value-checks
+    the window+tile semantics the live stream executes (the streaming
+    runtime itself — availableNow drain, watermark eviction across
+    checkpointed restarts — is pinned by
+    tests/test_streaming.py::test_windowed_tile_counts_*). Event time
+    is a deterministic function of image_id (2h spread, 1-minute
+    tumbling windows)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.incremental import windowed_tile_counts
+
+    img = FS.load_images(spark, sf_dir).withColumn(
+        "ts",
+        F.expr(
+            "cast('2024-01-01 00:00:00' as timestamp)"
+            " + make_interval(0, 0, 0, 0, 0, 0, cast(image_id % 7200 as int))"
+        ),
+    )
+    return (
+        windowed_tile_counts(
+            img, window="1 minute", watermark="2 minutes",
+            zoom_res=FS.ZOOM_RES, n_tiles=FS.N_TILES,
+        )
+        .select("window_start", "tile_id", F.col("n").cast("long").alias("n"))
+        .orderBy("window_start", "tile_id")
+    )
+
+
+def _stream_tile_counts_oracle() -> str:
+    from ..functions import tile_sql_expr
+    from ..geo import h3lite as H
+
+    zoom = H.h3_sql_expr("lon", "lat", FS.ZOOM_RES)
+    tile = tile_sql_expr(zoom, FS.N_TILES, dialect="duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    pts as (
+      select lon, lat,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (cast(image_id % 7200 as int)) SECOND as ts
+      from img)
+    select date_trunc('minute', ts) as window_start,
+           {tile} as tile_id,
+           cast(count(*) as bigint) as n
+    from pts
+    group by 1, 2
+    order by 1, 2
+    """
+
+
+_register_fn("stream_tile_counts_batch", _stream_tile_counts, _stream_tile_counts_oracle())
+
+
 def _ingest_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tamper → detect → extract → repair → verify-green as ONE
     pipeline (the reference's Verifier → ExtractVIDFromErrorLogs →

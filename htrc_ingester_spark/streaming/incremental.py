@@ -154,6 +154,42 @@ def windowed_change_rates(
     )
 
 
+def windowed_tile_counts(
+    point_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    zoom_res: int = 5,
+    n_tiles: int = 4096,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed per-tile arrival counts over a stream of
+    geotagged points (image ingest events) — the streaming leg of the
+    north-rule tile pipeline: live per-map-tile ingest rates.
+
+    The tile assignment (``assign_tiles``) is a pure Catalyst column
+    expression, so it runs inside the streaming micro-batch with no
+    UDF and no extra state; the only stateful operator is the windowed
+    count, whose state is (windows-in-flight × active tiles) rows —
+    bounded, because the watermark evicts closed windows and
+    ``n_tiles`` caps the tile axis. Late rows beyond ``watermark`` are
+    dropped (ST4 discipline). Works identically on a batch frame
+    (same plan minus state) — tested both ways.
+    """
+    from ..operators.tiles import assign_tiles
+
+    tiled = assign_tiles(
+        point_stream, zoom_res=zoom_res, n_tiles=n_tiles, lon_col=lon_col, lat_col=lat_col
+    )
+    return (
+        tiled.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("tile_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "tile_id", "n")
+    )
+
+
 def collapse_stream_stateful(raw_stream: DataFrame) -> DataFrame:
     """ST4 as a CUSTOM STATEFUL streaming operator
     (``applyInPandasWithState``): per-volume last-writer-wins ACROSS

@@ -204,3 +204,121 @@ def test_stateful_collapse_emits_only_advancing_changes(spark, dirs, tmp_path):
     emitted = {(v, o) for v, o, _ in got2}
     assert ("uc2.ark:/13960/ta", "delete") in emitted
     assert ("uc2.ark:/13960/tb", "upsert") not in emitted
+
+
+def test_windowed_tile_counts_stream_equals_batch(spark, tmp_path):
+    """Real streaming runtime: file-source availableNow drain of a
+    geotagged point stream == the same aggregation run in batch."""
+    import pandas as pd
+
+    src = tmp_path / "points"
+    src.mkdir()
+    rows = []
+    for i in range(200):
+        rows.append(
+            {
+                "image_id": i,
+                "lon": -122.42 + (i % 40) * 0.01,
+                "lat": 37.77 + (i % 25) * 0.01,
+                "ts_s": f"2026-01-01 00:{i % 3:02d}:{i % 50:02d}",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).withColumn("ts", F.to_timestamp("ts_s")).drop(
+        "ts_s"
+    ).coalesce(2).write.parquet(str(src / "batch1"))
+
+    batch_df = spark.read.parquet(str(src / "batch1"))
+    want = (
+        S.windowed_tile_counts(batch_df, zoom_res=4, n_tiles=64)
+        .toPandas()
+        .sort_values(["window_start", "tile_id"])
+        .reset_index(drop=True)
+    )
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch1"))
+    )
+    q = (
+        S.windowed_tile_counts(stream, zoom_res=4, n_tiles=64)
+        .writeStream.format("memory")
+        .queryName("tile_counts_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tiles"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("tile_counts_t")
+        .toPandas()
+        .sort_values(["window_start", "tile_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.groupby("tile_id")["n"].sum() > 0).all()
+
+
+def test_windowed_tile_counts_drops_late_rows_across_drains(spark, tmp_path):
+    """Watermark eviction across two availableNow drains of the SAME
+    checkpoint: a row arriving in drain 2 with an event time far
+    behind the watermark set by drain 1 must not resurrect its window
+    (append mode emits each finalized window exactly once). The sink
+    is foreachBatch (memory sinks cannot resume a checkpoint)."""
+    import pandas as pd
+
+    src = tmp_path / "pts2"
+    src.mkdir()
+    schema = None
+
+    def write(name, ts_list):
+        nonlocal schema
+        pdf = pd.DataFrame(
+            {
+                "image_id": list(range(len(ts_list))),
+                "lon": [2.35] * len(ts_list),
+                "lat": [48.86] * len(ts_list),
+                "ts_s": ts_list,
+            }
+        )
+        df = spark.createDataFrame(pdf).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        schema = df.schema
+        df.coalesce(1).write.parquet(str(src / name))
+
+    emitted: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            S.windowed_tile_counts(stream, window="1 minute", watermark="2 minutes",
+                                   zoom_res=4, n_tiles=64)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # drain 1: events at 00:00 and 00:30 → watermark lands at 00:28,
+    # finalizing (emitting) every window that ends ≤ 00:28
+    write("f1", ["2026-01-01 00:00:10", "2026-01-01 00:00:20", "2026-01-01 00:30:00"])
+    drain()
+    w00 = pd.Timestamp("2026-01-01 00:00:00")
+    rows_00 = [r for r in emitted if pd.Timestamp(r["window_start"]) == w00]
+    assert len(rows_00) == 1 and rows_00[0]["n"] == 2
+
+    # drain 2: one row way behind the watermark (same 00:00 window) —
+    # dropped, so append emits nothing new for that window
+    n_before = len(emitted)
+    write("f2", ["2026-01-01 00:00:40"])
+    drain()
+    rows_00_after = [r for r in emitted if pd.Timestamp(r["window_start"]) == w00]
+    assert len(rows_00_after) == 1 and rows_00_after[0]["n"] == 2
+    # and nothing else from the dropped row either (the 00:30 window
+    # may finalize later; only the 00:00 window is the point here)
+    assert all(pd.Timestamp(r["window_start"]) != w00 for r in emitted[n_before:])
