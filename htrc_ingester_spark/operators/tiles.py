@@ -135,6 +135,136 @@ def vectorize(
     )
 
 
+def neighbor_sql_expr(cell: str, dx: str, dy: str, dialect: str = "spark") -> str:
+    """Neighbor-cell id at offset (dx, dy) as SQL valid in Spark AND
+    DuckDB: unpack res/x/y, wrap x around the antimeridian (longitude
+    is cyclic), shift y; repack. The y edge is NOT wrapped — crossing a
+    pole is not adjacency — callers must filter with
+    :func:`neighbor_valid_sql`."""
+    from ..functions import _IDIV
+
+    idiv = _IDIV[dialect]
+    c = f"cast({cell} as bigint)"
+    res = f"({c} {idiv} {1 << 56})"
+    x = f"(({c} {idiv} {1 << 28}) % {1 << 28})"
+    y = f"({c} % {1 << 28})"
+    nx = f"cast(pow(cast(2 as double), cast({res} + 2 as double)) as bigint)"
+    xn = f"(({x} + cast({dx} as bigint) + {nx}) % {nx})"
+    yn = f"({y} + cast({dy} as bigint))"
+    return f"({res} * {1 << 56} + {xn} * {1 << 28} + {yn})"
+
+
+def neighbor_valid_sql(cell: str, dy: str, dialect: str = "spark") -> str:
+    """Predicate: the (·, dy) offset stays on the grid (y within
+    [0, 2^(res+1)) — rows beyond a pole do not exist)."""
+    from ..functions import _IDIV
+
+    idiv = _IDIV[dialect]
+    c = f"cast({cell} as bigint)"
+    res = f"({c} {idiv} {1 << 56})"
+    y = f"({c} % {1 << 28})"
+    ny = f"cast(pow(cast(2 as double), cast({res} + 1 as double)) as bigint)"
+    yn = f"({y} + cast({dy} as bigint))"
+    return f"({yn} >= 0 and {yn} < {ny})"
+
+
+def focal_stats(
+    raster: DataFrame,
+    radius: int = 1,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Focal (neighborhood) map algebra over the sparse raster: for
+    every input cell, aggregate ``value_col`` over the (2r+1)² window
+    centred on it — focal sum / count / mean / min / max. Missing
+    (sparse) neighbors are nodata: they contribute nothing and
+    ``focal_n`` counts only present cells, the standard GIS focal-stats
+    convention. Longitude wraps at the antimeridian; rows beyond a
+    pole simply don't exist (no wrap).
+
+    Scale shape — SCATTER form, one shuffle, no join: each input row
+    fans out to the (2r+1)² windows it contributes to (a pure Catalyst
+    explode over a literal offset array), then ONE ``groupBy(target)``
+    with map-side partial aggregation combines contributions. Output
+    is restricted to cells present in the input not by a join-back but
+    by a ``max(is_center)`` flag folded into the same aggregate — so a
+    10^9-cell raster convolves with a single exchange whose rows are
+    ≤ (2r+1)² × cells before the map-side combine collapses them.
+    The GATHER form (generate 9 neighbor keys, equi-join the raster)
+    costs the same explode plus a second shuffle for the join — always
+    worse here.
+    """
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+        ]
+    )
+    center = (F.col("o.dx") == 0) & (F.col("o.dy") == 0)
+    scattered = (
+        raster.select(
+            F.col(cell_col).alias("__src"),
+            F.col(value_col).alias("__v"),
+            F.explode(offs).alias("o"),
+        )
+        .where(F.expr(neighbor_valid_sql("__src", "o.dy", "spark")))
+        .withColumn("__tgt", F.expr(neighbor_sql_expr("__src", "o.dx", "o.dy", "spark")))
+    )
+    return (
+        scattered.groupBy(F.col("__tgt").alias(cell_col))
+        .agg(
+            F.max(F.when(center, F.col("__v"))).alias(value_col),
+            F.sum("__v").alias("focal_sum"),
+            F.count(F.lit(1)).alias("focal_n"),
+            F.min("__v").alias("focal_min"),
+            F.max("__v").alias("focal_max"),
+            F.max(F.when(center, 1).otherwise(0)).alias("__is_center"),
+        )
+        .where(F.col("__is_center") == 1)
+        .drop("__is_center")
+        .withColumn("focal_mean", F.col("focal_sum") / F.col("focal_n"))
+    )
+
+
+def local_op(
+    a: DataFrame,
+    b: DataFrame,
+    op,
+    cell_col: str = "cell",
+    value_col: str = "value",
+    fill=None,
+) -> DataFrame:
+    """Local (cell-wise) map algebra between two sparse rasters:
+    ``value = op(value_a, value_b)`` per cell. With ``fill=None``
+    (default) the result covers only cells present in BOTH rasters
+    (inner join — strict nodata propagation); with a fill value it
+    covers cells present in EITHER, absent sides replaced by ``fill``
+    (full outer join). ``op`` is a two-argument callable over Columns
+    (e.g. ``lambda a, b: a - b``).
+
+    Scale shape: a single cell-keyed equi join — both sides are
+    already one row per cell (raster invariant), so AQE picks
+    broadcast or shuffle by size, and the op itself is a codegen
+    projection."""
+    va = a.select(F.col(cell_col), F.col(value_col).alias("__va"))
+    vb = b.select(F.col(cell_col), F.col(value_col).alias("__vb"))
+    if fill is None:
+        j = va.join(vb, cell_col, "inner")
+    else:
+        j = (
+            va.join(vb, cell_col, "full_outer")
+            .withColumn("__va", F.coalesce("__va", F.lit(fill)))
+            .withColumn("__vb", F.coalesce("__vb", F.lit(fill)))
+        )
+    return j.select(
+        cell_col,
+        F.col("__va").alias("value_a"),
+        F.col("__vb").alias("value_b"),
+        op(F.col("__va"), F.col("__vb")).alias(value_col),
+    )
+
+
 def mosaic_best(
     points: DataFrame,
     score_col: str,

@@ -693,6 +693,113 @@ def _stream_tile_counts_oracle() -> str:
 _register_fn("stream_tile_counts_batch", _stream_tile_counts, _stream_tile_counts_oracle())
 
 
+_FOCAL_RES = 6
+
+
+def _raster_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3×3 neighborhood) map algebra over the image-count
+    raster — scatter form: explode 9 offsets, ONE groupBy(target) with
+    map-side combine, center-flag filter instead of a join-back
+    (operators/tiles.focal_stats)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import focal_stats, rasterize
+
+    r = rasterize(FS.load_images(spark, sf_dir), res=_FOCAL_RES)
+    return (
+        focal_stats(r)
+        .select(
+            "cell",
+            F.col("value").cast("long").alias("value"),
+            F.col("focal_sum").cast("long").alias("focal_sum"),
+            F.col("focal_n").cast("long").alias("focal_n"),
+            F.col("focal_min").cast("long").alias("focal_min"),
+            F.col("focal_max").cast("long").alias("focal_max"),
+            F.col("focal_mean").cast("double").alias("focal_mean"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _raster_focal_oracle() -> str:
+    from ..geo import h3lite as H
+    from ..operators.tiles import neighbor_sql_expr, neighbor_valid_sql
+
+    cell = H.h3_sql_expr("lon", "lat", _FOCAL_RES)
+    tgt = neighbor_sql_expr("cell", "dx", "dy", "duckdb")
+    valid = neighbor_valid_sql("cell", "dy", "duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    r as (select {cell} as cell, cast(count(*) as bigint) as value
+          from img group by 1),
+    sc as (
+      select {tgt} as tgt, value, dx, dy
+      from r
+      cross join (select unnest([-1, 0, 1]) as dx) dxs
+      cross join (select unnest([-1, 0, 1]) as dy) dys
+      where {valid})
+    select tgt as cell,
+           cast(max(case when dx = 0 and dy = 0 then value end) as bigint) as value,
+           cast(sum(value) as bigint) as focal_sum,
+           cast(count(*) as bigint) as focal_n,
+           cast(min(value) as bigint) as focal_min,
+           cast(max(value) as bigint) as focal_max,
+           cast(sum(value) as double) / cast(count(*) as double) as focal_mean
+    from sc
+    group by tgt
+    having max(case when dx = 0 and dy = 0 then 1 else 0 end) = 1
+    order by cell
+    """
+
+
+_register_fn("raster_focal_mean", _raster_focal, _raster_focal_oracle())
+
+
+def _raster_local_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local (cell-wise) two-raster algebra: all-images count raster
+    minus the count raster of the ``image_id % 3 = 0`` subset, full
+    outer with nodata→0 fill (operators/tiles.local_op)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import local_op, rasterize
+
+    img = FS.load_images(spark, sf_dir)
+    ra = rasterize(img, res=_FOCAL_RES)
+    rb = rasterize(img.where(F.col("image_id") % 3 == 0), res=_FOCAL_RES)
+    return (
+        local_op(ra, rb, lambda a, b: a - b, fill=0)
+        .select(
+            "cell",
+            F.col("value_a").cast("long").alias("value_a"),
+            F.col("value_b").cast("long").alias("value_b"),
+            F.col("value").cast("long").alias("value"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _raster_local_diff_oracle() -> str:
+    from ..geo import h3lite as H
+
+    cell = H.h3_sql_expr("lon", "lat", _FOCAL_RES)
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    ra as (select {cell} as cell, cast(count(*) as bigint) as value
+           from img group by 1),
+    rb as (select {cell} as cell, cast(count(*) as bigint) as value
+           from img where image_id % 3 = 0 group by 1)
+    select coalesce(ra.cell, rb.cell) as cell,
+           cast(coalesce(ra.value, 0) as bigint) as value_a,
+           cast(coalesce(rb.value, 0) as bigint) as value_b,
+           cast(coalesce(ra.value, 0) - coalesce(rb.value, 0) as bigint) as value
+    from ra full outer join rb on ra.cell = rb.cell
+    order by cell
+    """
+
+
+_register_fn("raster_local_diff", _raster_local_diff, _raster_local_diff_oracle())
+
+
 def _ingest_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tamper → detect → extract → repair → verify-green as ONE
     pipeline (the reference's Verifier → ExtractVIDFromErrorLogs →

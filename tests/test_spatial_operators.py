@@ -640,3 +640,123 @@ class TestMosaicBest:
         )
         assert "Window" not in plan
         assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+class TestFocalStats:
+    def _brute(self, cells, vals, radius=1):
+        """Independent dict-based focal oracle: wrap x, clamp-drop y."""
+        res = int(H.cell_res(cells[0]))
+        nx_, ny_ = H.nx(res), H.ny(res)
+        grid = {}
+        for c, v in zip(cells, vals):
+            x, y = H.cell_xy(np.int64(c))
+            grid[(int(x), int(y))] = int(v)
+        rows = []
+        for (x, y), v in grid.items():
+            neigh = []
+            for dx in range(-radius, radius + 1):
+                for dy in range(-radius, radius + 1):
+                    yn = y + dy
+                    if yn < 0 or yn >= ny_:
+                        continue
+                    xn = (x + dx) % nx_
+                    if (xn, yn) in grid:
+                        neigh.append(grid[(xn, yn)])
+            rows.append(
+                {
+                    "cell": int(H.pack_xy(x, y, res)),
+                    "value": v,
+                    "focal_sum": sum(neigh),
+                    "focal_n": len(neigh),
+                    "focal_min": min(neigh),
+                    "focal_max": max(neigh),
+                    "focal_mean": sum(neigh) / len(neigh),
+                }
+            )
+        return pd.DataFrame(rows).sort_values("cell").reset_index(drop=True)
+
+    def test_matches_dict_bruteforce(self, spark, images_df):
+        from htrc_ingester_spark.operators.tiles import focal_stats, rasterize
+
+        r = rasterize(images_df, res=5)
+        got = (
+            focal_stats(r)
+            .toPandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        base = r.toPandas()
+        want = self._brute(
+            base["cell"].to_numpy(np.int64), base["value"].to_numpy(np.int64)
+        )
+        assert list(got["cell"]) == list(want["cell"])
+        for c in ["value", "focal_sum", "focal_n", "focal_min", "focal_max"]:
+            assert list(got[c].astype(int)) == list(want[c].astype(int)), c
+        assert np.allclose(got["focal_mean"], want["focal_mean"])
+
+    def test_antimeridian_wrap_and_pole_clamp(self, spark):
+        from htrc_ingester_spark.operators.tiles import focal_stats
+
+        res = 4
+        nx_, ny_ = H.nx(res), H.ny(res)
+        # two cells adjacent ACROSS the antimeridian (x=0 and x=nx-1),
+        # one cell on the top (pole) row with a single diagonal friend
+        cells = [
+            int(H.pack_xy(0, 10, res)),
+            int(H.pack_xy(nx_ - 1, 10, res)),
+            int(H.pack_xy(5, ny_ - 1, res)),
+            int(H.pack_xy(6, ny_ - 2, res)),
+        ]
+        pdf = pd.DataFrame({"cell": cells, "value": [1, 10, 100, 1000]})
+        got = {
+            r["cell"]: r
+            for r in focal_stats(spark.createDataFrame(pdf)).collect()
+        }
+        assert got[cells[0]]["focal_sum"] == 11  # sees x=nx-1 via wrap
+        assert got[cells[1]]["focal_sum"] == 11
+        # pole-row cell: no wrap past the pole, sees itself + diagonal
+        assert got[cells[2]]["focal_sum"] == 1100
+        assert got[cells[2]]["focal_n"] == 2
+
+    def test_radius_two_window(self, spark):
+        from htrc_ingester_spark.operators.tiles import focal_stats
+
+        res = 4
+        cells = [int(H.pack_xy(10 + dx, 10, res)) for dx in range(-2, 3)]
+        pdf = pd.DataFrame({"cell": cells, "value": [1, 2, 4, 8, 16]})
+        got = {
+            r["cell"]: r
+            for r in focal_stats(spark.createDataFrame(pdf), radius=2).collect()
+        }
+        assert got[int(H.pack_xy(10, 10, res))]["focal_sum"] == 31
+        assert got[int(H.pack_xy(8, 10, res))]["focal_sum"] == 7  # 1+2+4
+
+    def test_plan_single_shuffle_no_join(self, spark, images_df):
+        """Scatter form: exactly one exchange (the groupBy), no join."""
+        from htrc_ingester_spark.operators.tiles import focal_stats, rasterize
+
+        plan = (
+            focal_stats(rasterize(images_df, res=5))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Join" not in plan
+        # rasterize contributes one exchange, focal exactly one more
+        assert plan.count("Exchange") == 2
+
+
+class TestLocalOp:
+    def test_inner_and_filled_outer(self, spark):
+        from htrc_ingester_spark.operators.tiles import local_op
+
+        a = spark.createDataFrame(pd.DataFrame({"cell": [1, 2, 3], "value": [10, 20, 30]}))
+        b = spark.createDataFrame(pd.DataFrame({"cell": [2, 3, 4], "value": [1, 2, 3]}))
+        inner = {
+            r["cell"]: (r["value_a"], r["value_b"], r["value"])
+            for r in local_op(a, b, lambda x, y: x - y).collect()
+        }
+        assert inner == {2: (20, 1, 19), 3: (30, 2, 28)}
+        outer = {
+            r["cell"]: (r["value_a"], r["value_b"], r["value"])
+            for r in local_op(a, b, lambda x, y: x - y, fill=0).collect()
+        }
+        assert outer == {1: (10, 0, 10), 2: (20, 1, 19), 3: (30, 2, 28), 4: (0, 3, -3)}
