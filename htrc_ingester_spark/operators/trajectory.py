@@ -1,0 +1,100 @@
+"""Trajectory analytics over geotagged point sequences (GPS tracks,
+camera-trap uploads, per-device image streams): time-gap segmentation
+and per-track movement statistics.
+
+The standard moving-objects toolkit (leg distance / speed via
+consecutive-point pairing, gap-based track splitting, per-track
+rollups) expressed Spark-first: consecutive pairing is ``lag`` over ONE
+entity-keyed window, segmentation is a running sum of gap flags over
+the SAME window, and the rollup is a ``groupBy`` on the same key — so
+Catalyst plans a single exchange for the whole operator (the window's
+hash partitioning satisfies the aggregate's distribution; pinned by
+test_trajectory.test_plan_single_exchange). At 10^12 points the only
+shuffle is one hash exchange on the entity key; per-entity skew is
+bounded because window state is a running scan, not a materialized
+buffer.
+
+Everything is built-in expression work (lag / sum-over-window /
+haversine as sin-cos SQL) — no UDFs — and the same formulas are valid
+DuckDB SQL, which is what the ``trajectory_stats_entities`` catalog
+oracle runs.
+
+Reference analog: the per-volume ordered page-sequence analytics
+(SURVEY.md §2.5 W1-W3 — rank within volume, ordered lists, sequence
+gap checks) applied to the north-rule geospatial axis: the "volume" is
+the moving entity, the "page order" is event time, and the gap check
+becomes time-gap track segmentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import haversine_m
+
+
+def trajectory_stats(
+    points: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    gap_s: float | None = None,
+) -> DataFrame:
+    """Per-track movement statistics.
+
+    Orders each entity's points by ``ts_col`` (numeric seconds or
+    timestamp — cast to double epoch internally; ties broken by the
+    pair (ts, lon, lat) being unique is the caller's contract for
+    deterministic output), pairs consecutive points with ``lag``, and
+    aggregates:
+
+    - ``n_points`` — points in the track (segment)
+    - ``duration_s`` — last ts − first ts
+    - ``total_m`` — summed haversine leg length
+    - ``max_leg_m`` — longest single leg
+    - ``avg_speed_mps`` — total_m / duration_s (null for single-point
+      or zero-duration tracks)
+
+    With ``gap_s`` set, a leg longer than ``gap_s`` seconds SPLITS the
+    track: output gains a ``segment`` column (0-based per entity) and
+    one row per (entity, segment); the bridging leg contributes to
+    neither segment — the same semantics as sessionization's gap rule,
+    applied to movement data.
+    """
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    t = F.col(ts_col).cast("double")
+    legs = (
+        points.select(id_col, ts_col, lon_col, lat_col)
+        .withColumn("__t", t)
+        .withColumn("__dt", t - F.lag(t).over(w))
+        .withColumn("__plat", F.lag(lat_col).over(w))
+        .withColumn("__plon", F.lag(lon_col).over(w))
+    )
+    leg_m = F.when(
+        F.col("__plat").isNotNull(), haversine_m("__plat", "__plon", lat_col, lon_col)
+    )
+    keys = [id_col]
+    if gap_s is not None:
+        # a leg spanning more than gap_s breaks the track; the running
+        # count of breaks IS the segment index (same window — no
+        # second exchange)
+        brk = F.when(F.col("__dt") > float(gap_s), 1).otherwise(0)
+        legs = legs.withColumn("__brk", brk).withColumn(
+            "segment", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        leg_m = F.when(F.col("__brk") == 0, leg_m)
+        keys.append("segment")
+    legs = legs.withColumn("__leg_m", leg_m)
+    out = legs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.max("__t") - F.min("__t")).alias("duration_s"),
+        F.coalesce(F.sum("__leg_m"), F.lit(0.0)).alias("total_m"),
+        F.max("__leg_m").alias("max_leg_m"),
+    )
+    return out.withColumn(
+        "avg_speed_mps",
+        F.when(F.col("duration_s") > 0, F.col("total_m") / F.col("duration_s")),
+    )

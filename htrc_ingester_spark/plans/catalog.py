@@ -800,6 +800,85 @@ def _raster_local_diff_oracle() -> str:
 _register_fn("raster_local_diff", _raster_local_diff, _raster_local_diff_oracle())
 
 
+_TRAJ_ENTITIES = 97  # entities = image_id % N — deterministic synthetic tracks
+_TRAJ_GAP_S = 1000.0
+
+
+def _trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trajectory segmentation + movement stats
+    (operators/trajectory.trajectory_stats): event time = image_id
+    seconds (unique within entity → deterministic ordering), tracks
+    split at gaps > _TRAJ_GAP_S. total_m rounds to whole meters so the
+    float-sum never straddles the DuckDB comparison at 6 decimals."""
+    from pyspark.sql import functions as F
+
+    from ..operators.trajectory import trajectory_stats
+
+    pts = FS.load_images(spark, sf_dir).select(
+        (F.col("image_id") % _TRAJ_ENTITIES).alias("entity_id"),
+        F.col("image_id").cast("double").alias("t"),
+        "lon",
+        "lat",
+    )
+    return (
+        trajectory_stats(pts, id_col="entity_id", ts_col="t", gap_s=_TRAJ_GAP_S)
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            F.col("segment").cast("long").alias("segment"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("duration_s").cast("long").alias("duration_s"),
+            F.round("total_m", 0).cast("long").alias("total_m"),
+            # single-point segments have no leg: 0.0, not null — the
+            # driver's value-hash canonicalizer must never see NaN
+            F.coalesce(F.round("max_leg_m", 3), F.lit(0.0)).alias("max_leg_m"),
+        )
+        .orderBy("entity_id", "segment")
+    )
+
+
+def _trajectory_stats_oracle() -> str:
+    from ..functions import haversine_sql_expr
+
+    hav = haversine_sql_expr("plat", "plon", "lat", "lon")
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    pts as (
+      select image_id % {_TRAJ_ENTITIES} as entity_id,
+             cast(image_id as double) as t, lon, lat
+      from img),
+    legs as (
+      select entity_id, t, lon, lat,
+             t - lag(t) over w as dt,
+             lag(lat) over w as plat,
+             lag(lon) over w as plon
+      from pts
+      window w as (partition by entity_id order by t)),
+    seg as (
+      select *,
+             case when dt > {_TRAJ_GAP_S} then 1 else 0 end as brk,
+             sum(case when dt > {_TRAJ_GAP_S} then 1 else 0 end) over (
+               partition by entity_id order by t
+               rows between unbounded preceding and current row) as segment
+      from legs),
+    lm as (
+      select *,
+             case when plat is not null and brk = 0 then {hav} end as leg_m
+      from seg)
+    select cast(entity_id as bigint) as entity_id,
+           cast(segment as bigint) as segment,
+           cast(count(*) as bigint) as n_points,
+           cast(max(t) - min(t) as bigint) as duration_s,
+           cast(round(coalesce(sum(leg_m), 0.0), 0) as bigint) as total_m,
+           coalesce(round(max(leg_m), 3), 0.0) as max_leg_m
+    from lm
+    group by entity_id, segment
+    order by entity_id, segment
+    """
+
+
+_register_fn("trajectory_stats_entities", _trajectory_stats, _trajectory_stats_oracle())
+
+
 def _ingest_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tamper → detect → extract → repair → verify-green as ONE
     pipeline (the reference's Verifier → ExtractVIDFromErrorLogs →

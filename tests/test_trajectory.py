@@ -1,0 +1,147 @@
+"""Trajectory segmentation + stats vs a pure-Python oracle."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from htrc_ingester_spark.operators.trajectory import trajectory_stats
+
+
+def hav_m(lat1, lon1, lat2, lon2):
+    r = math.radians
+    return (
+        2.0
+        * 6371008.8
+        * math.asin(
+            math.sqrt(
+                math.sin((r(lat2) - r(lat1)) / 2) ** 2
+                + math.cos(r(lat1)) * math.cos(r(lat2)) * math.sin((r(lon2) - r(lon1)) / 2) ** 2
+            )
+        )
+    )
+
+
+def brute(pdf, gap_s=None):
+    rows = []
+    for eid, g in pdf.groupby("entity_id"):
+        g = g.sort_values("t")
+        seg, prev = 0, None
+        tracks = {}
+        for r in g.itertuples(index=False):
+            if prev is not None and gap_s is not None and r.t - prev.t > gap_s:
+                seg += 1
+                leg = None
+            elif prev is not None:
+                leg = hav_m(prev.lat, prev.lon, r.lat, r.lon)
+            else:
+                leg = None
+            tracks.setdefault(seg, []).append((r.t, leg))
+            prev = r
+        for s, pts in tracks.items():
+            ts = [t for t, _ in pts]
+            legs = [l for _, l in pts if l is not None]
+            rows.append(
+                {
+                    "entity_id": eid,
+                    "segment": s,
+                    "n_points": len(pts),
+                    "duration_s": max(ts) - min(ts),
+                    "total_m": sum(legs) if legs else 0.0,
+                    "max_leg_m": max(legs) if legs else None,
+                }
+            )
+    return pd.DataFrame(rows).sort_values(["entity_id", "segment"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def track_pdf():
+    rng = np.random.RandomState(7)
+    n = 400
+    return pd.DataFrame(
+        {
+            "entity_id": rng.randint(0, 12, n),
+            "t": rng.permutation(n).astype(float) * 40.0,  # unique → deterministic order
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-85, 85, n),
+        }
+    )
+
+
+def test_matches_bruteforce_with_gaps(spark, track_pdf):
+    got = (
+        trajectory_stats(
+            spark.createDataFrame(track_pdf), id_col="entity_id", ts_col="t", gap_s=900.0
+        )
+        .toPandas()
+        .sort_values(["entity_id", "segment"])
+        .reset_index(drop=True)
+    )
+    want = brute(track_pdf, gap_s=900.0)
+    assert list(got["entity_id"]) == list(want["entity_id"])
+    assert list(got["segment"]) == list(want["segment"])
+    assert list(got["n_points"]) == list(want["n_points"])
+    assert np.allclose(got["duration_s"], want["duration_s"])
+    assert np.allclose(got["total_m"], want["total_m"])
+    assert np.allclose(
+        got["max_leg_m"].fillna(-1), want["max_leg_m"].fillna(-1)
+    )
+    # avg speed is total/duration where duration > 0
+    mask = got["duration_s"] > 0
+    assert np.allclose(
+        got.loc[mask, "avg_speed_mps"],
+        got.loc[mask, "total_m"] / got.loc[mask, "duration_s"],
+    )
+    assert (got["segment"] > 0).any()  # the gap actually split tracks
+
+
+def test_no_gap_one_row_per_entity(spark, track_pdf):
+    got = trajectory_stats(
+        spark.createDataFrame(track_pdf), id_col="entity_id", ts_col="t"
+    ).toPandas()
+    assert "segment" not in got.columns
+    assert len(got) == track_pdf["entity_id"].nunique()
+    want = brute(track_pdf)
+    merged = got.sort_values("entity_id").reset_index(drop=True)
+    assert np.allclose(merged["total_m"], want["total_m"])
+
+
+def test_single_point_and_bridge_leg_excluded(spark):
+    pdf = pd.DataFrame(
+        {
+            "entity_id": [1, 2, 2, 2],
+            "t": [0.0, 0.0, 10.0, 5000.0],
+            "lon": [0.0, 0.0, 1.0, 2.0],
+            "lat": [0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    got = {
+        (r["entity_id"], r["segment"]): r
+        for r in trajectory_stats(
+            spark.createDataFrame(pdf), id_col="entity_id", ts_col="t", gap_s=100.0
+        ).collect()
+    }
+    # single-point entity: zero distance, null max leg / speed
+    assert got[(1, 0)]["n_points"] == 1
+    assert got[(1, 0)]["total_m"] == 0.0
+    assert got[(1, 0)]["max_leg_m"] is None
+    assert got[(1, 0)]["avg_speed_mps"] is None
+    # entity 2 splits at the 10→5000 jump; the bridging leg counts nowhere
+    assert got[(2, 0)]["n_points"] == 2
+    assert abs(got[(2, 0)]["total_m"] - hav_m(0, 0, 0, 1)) < 1e-6
+    assert got[(2, 1)]["n_points"] == 1
+    assert got[(2, 1)]["total_m"] == 0.0
+
+
+def test_plan_single_exchange(spark, track_pdf):
+    """Window (lag + running sum) and the rollup share one entity-hash
+    exchange — the aggregate reuses the window's partitioning."""
+    plan = (
+        trajectory_stats(
+            spark.createDataFrame(track_pdf), id_col="entity_id", ts_col="t", gap_s=900.0
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
