@@ -638,6 +638,7 @@ def radius_join(
     id_col: str = "image_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """All ``points`` within ``radius_m`` meters of each query row — the
     ST_DWithin analog (spatial range join), built on the kNN machinery's
@@ -656,6 +657,9 @@ def radius_join(
 
     ``queries``: DataFrame (query_id, lon, lat). Returns (query_id,
     image_id, dist_m) — INCLUSIVE boundary, deterministic.
+    ``carry_cols`` names extra point columns to pass through to the
+    output unchanged (e.g. a value column for interpolation) — they
+    ride the same join, no second lookup.
 
     Scale: shuffles only the (query × disk-cell) skeleton and candidate
     matches, like one kNN round; no per-query driver state."""
@@ -665,11 +669,13 @@ def radius_join(
     nxr, nyr = H.nx(res), H.ny(res)
     r_rows = int(np.ceil(radius_m / ch_m))
 
+    carry = list(carry_cols or [])
     skel = points.select(
         F.col(id_col).alias("image_id"),
         F.col(lon_col).alias("p_lon"),
         F.col(lat_col).alias("p_lat"),
         h3_cell(lon_col, lat_col, res).alias("cell"),
+        *[F.col(c) for c in carry],
     )
     q = (
         queries.select(
@@ -710,5 +716,10 @@ def radius_join(
         skel.join(disk, "cell")
         .withColumn("dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon"))
         .where(F.col("dist_m") <= F.lit(float(radius_m)))
-        .select("query_id", F.col("image_id").cast("string").alias("image_id"), "dist_m")
+        .select(
+            "query_id",
+            F.col("image_id").cast("string").alias("image_id"),
+            "dist_m",
+            *[F.col(c) for c in carry],
+        )
     )

@@ -1038,6 +1038,62 @@ def _radius_oracle() -> str:
 _register_fn("radius_join_within", _radius, _radius_oracle())
 
 
+_IDW_VALUE = "cast(c_custkey % 89 as double)"
+
+
+def _idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW spatial interpolation (operators/interpolate): estimate the
+    per-point sample value at each query location from samples within
+    750 km — radius join (value rides carry_cols) + one weighted agg."""
+    from pyspark.sql import functions as F
+
+    from ..operators.interpolate import idw_interpolate
+
+    _load(spark, sf_dir, "customer", "supplier")
+    points = (
+        spark.sql(_POINTS_SQL)
+        .withColumnRenamed("point_id", "image_id")
+        .withColumn("value", F.expr(_IDW_VALUE.replace("c_custkey", "cast(image_id as bigint)")))
+    )
+    targets = spark.sql(_QUERIES_SQL).where("cast(query_id as int) % 4 = 0").drop("k")
+    return (
+        idw_interpolate(spark, points, targets, radius_m=750_000.0)
+        .select(
+            "query_id",
+            F.round("idw_value", 5).alias("idw_value"),
+            F.col("n_support").cast("long").alias("n_support"),
+            F.round("nearest_m", 3).alias("nearest_m"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _idw_oracle() -> str:
+    from ..functions import haversine_sql_expr
+
+    dist = haversine_sql_expr("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+    with p as (select t.*, {_IDW_VALUE.replace('c_custkey', 'cast(point_id as bigint)')} as value
+               from ({_POINTS_SQL}) t),
+    q as (select * from ({_QUERIES_SQL}) t where cast(query_id as int) % 4 = 0),
+    hits as (
+      select q.query_id, {dist} as d, p.value
+      from q cross join p
+      where {dist} <= 750000.0)
+    select query_id,
+           round(sum(value / pow(greatest(d, 1.0), 2.0))
+                 / sum(1.0 / pow(greatest(d, 1.0), 2.0)), 5) as idw_value,
+           cast(count(*) as bigint) as n_support,
+           round(min(d), 3) as nearest_m
+    from hits
+    group by query_id
+    order by query_id
+    """
+
+
+_register_fn("idw_interpolate_radius", _idw, _idw_oracle())
+
+
 def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join over `events`: for each click, the user's latest view
     at-or-before it (temporal point-in-time lookup; operators/asof_join)."""

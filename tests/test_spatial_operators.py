@@ -760,3 +760,81 @@ class TestLocalOp:
             for r in local_op(a, b, lambda x, y: x - y, fill=0).collect()
         }
         assert outer == {1: (10, 0, 10), 2: (20, 1, 19), 3: (30, 2, 28), 4: (0, 3, -3)}
+
+
+class TestIDWInterpolate:
+    def test_matches_bruteforce(self, spark, images_df, images_pdf):
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.operators.interpolate import idw_interpolate
+
+        num = F.substring("image_id", 4, 12).cast("long")
+        pts = images_df.withColumn("value", (num % 23).cast("double"))
+        tgt = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": [str(i) for i in range(8)],
+                    "lon": [-122.4, 2.3, 139.7, 0.0, 60.0, -60.0, 179.9, 10.0],
+                    "lat": [37.7, 48.8, 35.7, 0.0, 30.0, -30.0, 0.0, 80.0],
+                }
+            )
+        )
+        R = 2_000_000.0
+        got = {
+            r["query_id"]: r
+            for r in idw_interpolate(spark, pts, tgt, radius_m=R).collect()
+        }
+        # brute force
+        import math
+
+        def hav(lat1, lon1, lat2, lon2):
+            r = math.radians
+            return 2 * 6371008.8 * math.asin(
+                math.sqrt(
+                    math.sin((r(lat2) - r(lat1)) / 2) ** 2
+                    + math.cos(r(lat1)) * math.cos(r(lat2)) * math.sin((r(lon2) - r(lon1)) / 2) ** 2
+                )
+            )
+
+        vals = images_pdf["image_id"].str[3:].astype(np.int64) % 23
+        for q in tgt.collect():
+            num_s = den = 0.0
+            n = 0
+            nearest = None
+            for (lo, la, v) in zip(images_pdf["lon"], images_pdf["lat"], vals):
+                d = hav(q["lat"], q["lon"], la, lo)
+                if d <= R:
+                    w = 1.0 / max(d, 1.0) ** 2
+                    num_s += w * float(v)
+                    den += w
+                    n += 1
+                    nearest = d if nearest is None else min(nearest, d)
+            if n == 0:
+                assert q["query_id"] not in got
+                continue
+            r = got[q["query_id"]]
+            assert r["n_support"] == n
+            assert abs(r["idw_value"] - num_s / den) < 1e-9
+            assert abs(r["nearest_m"] - nearest) < 1e-6
+
+    def test_coincident_sample_no_nan(self, spark):
+        from htrc_ingester_spark.operators.interpolate import idw_interpolate
+
+        pts = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": ["a", "b"],
+                    "lon": [10.0, 10.5],
+                    "lat": [20.0, 20.0],
+                    "value": [100.0, 0.0],
+                }
+            )
+        )
+        tgt = spark.createDataFrame(
+            pd.DataFrame({"query_id": ["q"], "lon": [10.0], "lat": [20.0]})
+        )
+        r = idw_interpolate(spark, pts, tgt, radius_m=100_000.0).collect()[0]
+        # the exact-hit sample dominates (d clamped to eps=1 m, the
+        # other is ~52 km away) but the result is finite, near 100
+        assert r["n_support"] == 2
+        assert 99.9 < r["idw_value"] <= 100.0
