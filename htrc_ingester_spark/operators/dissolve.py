@@ -375,3 +375,42 @@ def region_overlay(a: DataFrame, b: DataFrame, cell_col: str = "cell") -> DataFr
         )
         .select("comp_a", "comp_b", "n_shared_cells", "relation")
     )
+
+
+def cluster_points(
+    points: DataFrame,
+    res: int,
+    min_pts: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    keep_noise: bool = False,
+) -> DataFrame:
+    """Grid-density point clustering (DBSCAN-lite / hotspot detection):
+    points falling in cells with ≥ ``min_pts`` points, where touching
+    dense cells (4-adjacency, antimeridian wrap) merge into one
+    cluster. Returns the input rows + ``cluster`` (the component's min
+    cell id — deterministic); sparse-cell points are noise — dropped by
+    default, or kept with ``cluster`` null when ``keep_noise``.
+
+    This is the ε≈cell-size, minPts-per-cell approximation of DBSCAN
+    that actually scales: density is one ``rasterize`` groupBy, the
+    merge is :func:`connected_components` over DISTINCT dense cells
+    (≪ points), and the label handoff is ONE cell-keyed equi join of
+    points against the (cell, cluster) map — AQE broadcasts it when
+    the dense-cell set is small. No pairwise point distances anywhere,
+    so 10^12 points cluster with two point-sized shuffles (rasterize +
+    label join) and a cell-sized CC loop.
+    """
+    from .tiles import rasterize
+
+    from ..functions import h3_cell
+
+    raster = rasterize(points, res, lon_col=lon_col, lat_col=lat_col)
+    d = dissolve(raster, res, threshold=float(min_pts))
+    labels = d.select("cell", F.col("comp").alias("cluster"))
+    pts = points.withColumn("cell", h3_cell(lon_col, lat_col, res))
+    how = "left" if keep_noise else "inner"
+    out = pts.join(labels, "cell", how).drop("cell").persist()
+    out.count()
+    d.unpersist()
+    return out

@@ -432,6 +432,51 @@ def _raster_dissolve_oracle() -> str:
 _register_fn("raster_dissolve", _raster_dissolve, _raster_dissolve_oracle())
 
 
+_CLUSTER_MIN_PTS = 2
+
+
+def _cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (operators/dissolve.cluster_points):
+    label every image in a dense cell (≥2 points) with its merged
+    hotspot cluster; roll up per cluster. Noise points are excluded
+    (and proven nonzero by n_noise in the pytest leg)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dissolve import cluster_points
+
+    img = FS.load_images(spark, sf_dir)
+    labeled = cluster_points(img, res=_DISSOLVE_RES, min_pts=_CLUSTER_MIN_PTS)
+    out = (
+        labeled.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(F.col("cluster").cast("long"), F.col("n_points").cast("long"))
+        .orderBy("cluster")
+    )
+    out = out.persist()
+    out.count()
+    labeled.unpersist()
+    return out
+
+
+def _cluster_points_oracle() -> str:
+    from ..geo import h3lite as HH
+
+    cell = HH.h3_sql_expr("lon", "lat", _DISSOLVE_RES)
+    return f"""
+    with recursive {_raster_cte()},
+    cp_kept as (select cell, value from rast where value >= {_CLUSTER_MIN_PTS}),
+    {_cc_oracle_ctes('cp', 'cp_kept', _DISSOLVE_RES)},
+    ptc as (select {cell} as cell from img)
+    select c.comp as cluster,
+           cast(count(*) as bigint) as n_points
+    from ptc p join cp_comp c on p.cell = c.cell
+    group by 1 order by 1
+    """
+
+
+_register_fn("cluster_points_density", _cluster_points, _cluster_points_oracle())
+
+
 def _region_overlay_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon↔polygon overlay on two dissolved region sets: regions at
     threshold 1 vs the denser cores at threshold {_OVERLAY_T_B} — every

@@ -220,3 +220,51 @@ class TestDissolveRollup:
         assert len(out) == 1
         assert out.n_cells[0] == 2 and out.total_value[0] == 8
         d.unpersist()
+
+
+class TestClusterPoints:
+    def _points(self, spark):
+        # two hotspots (several points per cell, touching cells) + two
+        # isolated single points (noise at min_pts=2)
+        rows = []
+        pid = 0
+
+        def cell_center(x, y, res=RES):
+            lon = (x + 0.5) / H.nx(res) * 360.0 - 180.0
+            lat = (y + 0.5) / H.ny(res) * 180.0 - 90.0
+            return lon, lat
+
+        # hotspot A: cells (10,10),(11,10) with 3 points each
+        for x, y in [(10, 10), (11, 10)]:
+            lon, lat = cell_center(x, y)
+            for _ in range(3):
+                rows.append((f"p{pid}", lon, lat)); pid += 1
+        # hotspot B: cell (40,20) with 2 points
+        lon, lat = cell_center(40, 20)
+        rows += [(f"p{pid}", lon, lat), (f"p{pid+1}", lon, lat)]; pid += 2
+        # noise: two isolated single points
+        for x, y in [(60, 30), (90, 40)]:
+            lon, lat = cell_center(x, y)
+            rows.append((f"p{pid}", lon, lat)); pid += 1
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["image_id", "lon", "lat"])
+        )
+
+    def test_clusters_and_noise(self, spark):
+        pts = self._points(spark)
+        got = DV.cluster_points(pts, res=RES, min_pts=2).toPandas()
+        # 8 clustered points (6 in A, 2 in B), noise dropped
+        assert len(got) == 8
+        by_cluster = got.groupby("cluster")["image_id"].count().to_dict()
+        a_label = pack(10, 10)  # min cell id of {(10,10),(11,10)}
+        b_label = pack(40, 20)
+        assert by_cluster == {a_label: 6, b_label: 2}
+        keep = DV.cluster_points(pts, res=RES, min_pts=2, keep_noise=True).toPandas()
+        assert len(keep) == 10
+        assert keep["cluster"].isna().sum() == 2
+
+    def test_min_pts_one_keeps_everything(self, spark):
+        pts = self._points(spark)
+        got = DV.cluster_points(pts, res=RES, min_pts=1).toPandas()
+        assert len(got) == 10
+        assert got["cluster"].notna().all()
