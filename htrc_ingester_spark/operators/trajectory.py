@@ -98,3 +98,39 @@ def trajectory_stats(
         "avg_speed_mps",
         F.when(F.col("duration_s") > 0, F.col("total_m") / F.col("duration_s")),
     )
+
+
+def trajectory_legs(
+    points: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-leg view of the same pairing :func:`trajectory_stats`
+    aggregates: one row per consecutive point pair —
+    (entity_id, t0, t1, leg_m, dt_s, speed_mps). The batch twin of
+    :func:`htrc_ingester_spark.streaming.incremental.trajectory_legs_stream`
+    (their outputs are asserted equal in test_streaming)."""
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    t = F.col(ts_col).cast("double")
+    legs = (
+        points.select(id_col, ts_col, lon_col, lat_col)
+        .withColumn("__t", t)
+        .withColumn("__pt", F.lag(t).over(w))
+        .withColumn("__plat", F.lag(lat_col).over(w))
+        .withColumn("__plon", F.lag(lon_col).over(w))
+        .where(F.col("__pt").isNotNull())
+    )
+    return legs.select(
+        F.col(id_col).cast("string").alias("entity_id"),
+        F.col("__pt").alias("t0"),
+        F.col("__t").alias("t1"),
+        haversine_m("__plat", "__plon", lat_col, lon_col).alias("leg_m"),
+        (F.col("__t") - F.col("__pt")).alias("dt_s"),
+        F.when(
+            F.col("__t") > F.col("__pt"),
+            haversine_m("__plat", "__plon", lat_col, lon_col)
+            / (F.col("__t") - F.col("__pt")),
+        ).alias("speed_mps"),
+    )

@@ -266,3 +266,99 @@ def collapse_stream_stateful(raw_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def trajectory_legs_stream(
+    point_stream: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Incremental trajectory assembly as a CUSTOM STATEFUL streaming
+    operator (``applyInPandasWithState``): per-entity state is ONE
+    point — the latest (ts, lon, lat) seen — and each micro-batch
+    emits the haversine legs formed by the entity's new points
+    (chained onto the stored last point), exactly the rows the batch
+    twin :func:`...operators.trajectory.trajectory_legs` produces on
+    the same data (asserted equal in test_streaming).
+
+    Late discipline (ST4): a point whose ts is ≤ the stored last ts
+    arrived out of order ACROSS batches and is dropped — state only
+    advances, so replays and stragglers emit nothing, the same
+    monotone rule as :func:`collapse_stream_stateful`. Within a batch,
+    points sort by ts first, so intra-batch disorder is harmless.
+
+    State is O(1) per entity (three doubles — at 10^9 entities a few
+    tens of GB across executors, RocksDB-backed on a real cluster);
+    emitted legs are append-only facts, so the sink can be a feed.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pts = point_stream.select(
+        F.col(id_col).cast("string").alias("entity_id"),
+        F.col(ts_col).cast("double").alias("t"),
+        F.col(lon_col).cast("double").alias("lon"),
+        F.col(lat_col).cast("double").alias("lat"),
+    )
+
+    def hav(lat1, lon1, lat2, lon2):
+        la1, lo1, la2, lo2 = map(np.radians, (lat1, lon1, lat2, lon2))
+        return (
+            2.0
+            * 6371008.8
+            * np.arcsin(
+                np.sqrt(
+                    np.sin((la2 - la1) / 2.0) ** 2
+                    + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2.0) ** 2
+                )
+            )
+        )
+
+    def fn(key, pdf_iter, state):
+        last = tuple(state.get) if state.exists else None  # (t, lon, lat)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("t")
+        if last is not None:
+            pdf = pdf[pdf["t"] > last[0]]  # monotone-advance: late rows drop
+        if pdf.empty:
+            return
+        t = pdf["t"].to_numpy()
+        lon = pdf["lon"].to_numpy()
+        lat = pdf["lat"].to_numpy()
+        if last is not None:
+            # previous-point array: stored last point, then this
+            # batch's points shifted by one
+            pt = np.concatenate([[last[0]], t[:-1]])
+            plon = np.concatenate([[last[1]], lon[:-1]])
+            plat = np.concatenate([[last[2]], lat[:-1]])
+        else:
+            pt, plon, plat = t[:-1], lon[:-1], lat[:-1]
+            t, lon, lat = t[1:], lon[1:], lat[1:]
+        state.update((float(pdf["t"].iloc[-1]), float(pdf["lon"].iloc[-1]), float(pdf["lat"].iloc[-1])))
+        if len(t) == 0:
+            return
+        leg = hav(plat, plon, lat, lon)
+        dt = t - pt
+        yield pd.DataFrame(
+            {
+                "entity_id": key[0],
+                "t0": pt,
+                "t1": t,
+                "leg_m": leg,
+                "dt_s": dt,
+                "speed_mps": np.where(dt > 0, leg / np.where(dt > 0, dt, 1.0), np.nan),
+            }
+        )
+
+    return pts.groupBy("entity_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "entity_id string, t0 double, t1 double,"
+            " leg_m double, dt_s double, speed_mps double"
+        ),
+        stateStructType="t double, lon double, lat double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

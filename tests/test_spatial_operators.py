@@ -838,3 +838,31 @@ class TestIDWInterpolate:
         # other is ~52 km away) but the result is finite, near 100
         assert r["n_support"] == 2
         assert 99.9 < r["idw_value"] <= 100.0
+
+
+class TestFocalStatsFuzz:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_random_sparse_grids(self, spark, seed):
+        """Seeded fuzz: random sparse grids at random res (incl. edge
+        rows/columns and negative values) vs the dict oracle."""
+        from htrc_ingester_spark.operators.tiles import focal_stats
+
+        rng = np.random.RandomState(seed)
+        res = int(rng.randint(2, 6))
+        n = int(rng.randint(1, 80))
+        xs = rng.randint(0, H.nx(res), n)
+        ys = rng.randint(0, H.ny(res), n)
+        cells = np.unique(np.asarray(H.pack_xy(xs, ys, res), dtype=np.int64))
+        vals = rng.randint(-50, 50, len(cells)).astype(np.int64)
+        pdf = pd.DataFrame({"cell": cells, "value": vals})
+        got = (
+            focal_stats(spark.createDataFrame(pdf))
+            .toPandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        want = TestFocalStats._brute(TestFocalStats(), cells, vals)
+        assert list(got["cell"]) == list(want["cell"])
+        for c in ["value", "focal_sum", "focal_n", "focal_min", "focal_max"]:
+            assert list(got[c].astype(int)) == list(want[c].astype(int)), (c, seed)
+        assert np.allclose(got["focal_mean"], want["focal_mean"])

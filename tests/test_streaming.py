@@ -322,3 +322,112 @@ def test_windowed_tile_counts_drops_late_rows_across_drains(spark, tmp_path):
     # and nothing else from the dropped row either (the 00:30 window
     # may finalize later; only the 00:00 window is the point here)
     assert all(pd.Timestamp(r["window_start"]) != w00 for r in emitted[n_before:])
+
+
+def _track_pdf(n=120, entities=6, t0=0):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    return pd.DataFrame(
+        {
+            "entity_id": [str(i % entities) for i in range(n)],
+            "ts": (t0 + np.arange(n, dtype=float) * 7.0),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-85, 85, n),
+        }
+    )
+
+
+def test_trajectory_legs_stream_equals_batch(spark, tmp_path):
+    """availableNow drain over two in-ts-order files (one micro-batch
+    each) emits exactly the batch twin's legs — including the legs that
+    BRIDGE the micro-batch boundary via state."""
+    import pandas as pd
+
+    from htrc_ingester_spark.operators.trajectory import trajectory_legs
+
+    pdf = _track_pdf()
+    src = tmp_path / "legs_src"
+    src.mkdir()
+    half = len(pdf) // 2
+    df_all = spark.createDataFrame(pdf)
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(str(src / "f2"))
+
+    want = (
+        trajectory_legs(df_all)
+        .toPandas()
+        .sort_values(["entity_id", "t0"])
+        .reset_index(drop=True)
+    )
+
+    emitted = []
+    stream = (
+        spark.readStream.schema(df_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        S.trajectory_legs_stream(stream)
+        .writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_legs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        pd.DataFrame([r.asDict() for r in emitted])
+        .sort_values(["entity_id", "t0"])
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, want, rtol=1e-9)
+    # legs crossing the file boundary really exist (state did its job)
+    boundary_t = float(pdf["ts"].iloc[half - 1])
+    assert (got["t0"] <= boundary_t).any() and (got["t1"] > boundary_t).any()
+
+
+def test_trajectory_legs_stream_drops_late_points(spark, tmp_path):
+    """A point older than an entity's stored last point (arriving in a
+    LATER drain of the same checkpoint) emits no leg and does not
+    perturb subsequent legs."""
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = None
+
+    def write(name, rows):
+        nonlocal schema
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["entity_id", "ts", "lon", "lat"])
+        )
+        schema = df.schema
+        df.coalesce(1).write.parquet(str(src / name))
+
+    emitted = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            S.trajectory_legs_stream(stream)
+            .writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_late_legs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("f1", [("e", 100.0, 0.0, 0.0), ("e", 200.0, 1.0, 0.0)])
+    drain()
+    assert len(emitted) == 1 and emitted[0]["t0"] == 100.0
+
+    # drain 2: one late point (ts=150 < state ts=200) and one fresh one
+    write("f2", [("e", 150.0, 50.0, 50.0), ("e", 300.0, 2.0, 0.0)])
+    drain()
+    assert len(emitted) == 2
+    leg2 = emitted[1]
+    # the new leg connects 200 -> 300 (the late 150 vanished entirely)
+    assert (leg2["t0"], leg2["t1"]) == (200.0, 300.0)
