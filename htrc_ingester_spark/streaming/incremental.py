@@ -362,3 +362,44 @@ def trajectory_legs_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def geofence_stream(
+    spark,
+    point_stream: DataFrame,
+    polys: list[dict],
+    res: int = 7,
+    res_max: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Streaming geofencing: emit a (point, poly_id) hit row the moment
+    a geotagged point lands inside a fence polygon — the EXACT
+    ``pip_join`` plan (broadcast cell-cover equi-join + O(perimeter)
+    Arrow refine, even-odd multi-ring semantics) applied per
+    micro-batch.
+
+    Nothing about the plan is stateful: the cover join is
+    stream-static (the cover is a driver-built broadcast), the refine
+    is a stateless pandas UDF, and containment is row-local — so there
+    is no state store, no watermark, and late data needs no handling
+    (a late point is just a late hit). The only batch-mode knob that
+    must flip is ``persist_candidates`` (caching a streaming frame is
+    illegal): the full/partial split's second consumer re-reads the
+    micro-batch, which is in-memory by construction.
+
+    Output == batch ``pip_join`` on the same rows
+    (test_streaming.test_geofence_stream_equals_batch, fence set
+    including a polygon with a hole)."""
+    from ..operators.pip_join import pip_join
+
+    return pip_join(
+        spark,
+        point_stream,
+        polys,
+        res=res,
+        res_max=res_max,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        persist_candidates=False,
+    )

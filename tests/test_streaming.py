@@ -431,3 +431,66 @@ def test_trajectory_legs_stream_drops_late_points(spark, tmp_path):
     leg2 = emitted[1]
     # the new leg connects 200 -> 300 (the late 150 vanished entirely)
     assert (leg2["t0"], leg2["t1"]) == (200.0, 300.0)
+
+
+def test_geofence_stream_equals_batch(spark, tmp_path):
+    """Streaming PIP (geofencing): availableNow drain of a geotagged
+    point stream through the real pip_join plan == batch pip_join —
+    fence set includes a donut (hole semantics live on the stream)."""
+    import numpy as np
+    import pandas as pd
+
+    from htrc_ingester_spark.operators.pip_join import pip_join
+
+    shell = [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]
+    polys = [
+        {"poly_id": "donut", "rings": [shell, hole]},
+        {"poly_id": "west", "ring": [(-130.0, 30.0), (-110.0, 30.0), (-110.0, 50.0),
+                                     (-130.0, 50.0), (-130.0, 30.0)]},
+    ]
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"s{i}" for i in range(400)],
+            "lon": np.concatenate([rng.uniform(-1, 9, 200), rng.uniform(-135, -105, 200)]),
+            "lat": np.concatenate([rng.uniform(-1, 9, 200), rng.uniform(25, 55, 200)]),
+        }
+    )
+    src = tmp_path / "fence_pts"
+    src.mkdir()
+    df_all = spark.createDataFrame(pdf)
+    spark.createDataFrame(pdf.iloc[:200]).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(pdf.iloc[200:]).coalesce(1).write.parquet(str(src / "f2"))
+
+    want = (
+        pip_join(spark, df_all, polys, res=6)
+        .select("image_id", "poly_id")
+        .toPandas()
+        .sort_values(["image_id", "poly_id"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0 and set(want["poly_id"]) == {"donut", "west"}
+
+    emitted = []
+    stream = (
+        spark.readStream.schema(df_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        S.geofence_stream(spark, stream, polys, res=6)
+        .select("image_id", "poly_id")
+        .writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fence"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        pd.DataFrame([r.asDict() for r in emitted])
+        .sort_values(["image_id", "poly_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
