@@ -357,3 +357,63 @@ def raster_patch(raster: DataFrame, lon0: float, lat0: float, lon1: float, lat1:
         cx, cy = HH.cell_xy(np.int64(r.cell))
         grid[int(cy) - y_min, int(cx) - x_min] = float(r.value)
     return grid
+
+
+def compact_cells(
+    cells: DataFrame, res: int, min_res: int = 0, cell_col: str = "cell"
+) -> DataFrame:
+    """H3-style ``compact``: losslessly compress a set of res-``res``
+    cells by replacing every COMPLETE sibling quad (all 4 children of
+    a parent, aperture-4) with the parent, recursively up to
+    ``min_res`` — the standard trick for storing large covers (a fully
+    covered region collapses exponentially; ragged boundary cells stay
+    fine-grained). Output is mixed-res; :func:`uncompact_cells` is the
+    exact inverse (round-trip pinned by tests + a property sweep).
+
+    Scale shape: one ``groupBy(parent)`` per level — and because a
+    parent has AT MOST 4 children, ``collect_list`` inside that agg is
+    bounded, so incomplete quads re-emit their children from the same
+    exchange (no anti-join second shuffle). res−min_res levels ⇒ that
+    many cell-sized exchanges, each ¼ the size of the last; the whole
+    loop is lazy (no driver actions, Catalyst sees one plan).
+    """
+    cur = cells.select(F.col(cell_col).cast("long").alias("cell")).distinct()
+    outs = []
+    for level in range(res, min_res, -1):
+        parent = F.expr(parent_sql_expr("cell", level - 1, dialect="spark"))
+        g = (
+            cur.withColumn("__p", parent)
+            .groupBy("__p")
+            .agg(F.count(F.lit(1)).alias("__n"), F.collect_list("cell").alias("__kids"))
+        )
+        outs.append(g.where(F.col("__n") < 4).select(F.explode("__kids").alias("cell")))
+        cur = g.where(F.col("__n") == 4).select(F.col("__p").alias("cell"))
+    outs.append(cur)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(F.col("cell").alias(cell_col))
+
+
+def uncompact_cells(cells: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
+    """H3-style ``uncompact``: expand a mixed-res cell set to uniform
+    res-``res`` cells — each cell of res r ≤ ``res`` explodes to its
+    4^(res−r) descendants via two bounded ``sequence`` explodes (pure
+    Catalyst, no UDF, no shuffle at all: a narrow map stage)."""
+    c = f"cast({cell_col} as bigint)"
+    x = f"(({c} div {1 << 28}) % {1 << 28})"
+    y = f"({c} % {1 << 28})"
+    k = f"cast({res} - ({c} div {1 << 56}) as int)"
+    side = f"cast(pow(cast(2 as double), cast({k} as double)) as bigint)"
+    return (
+        cells.withColumn("__side", F.expr(side))
+        .withColumn("__dx", F.explode(F.expr("sequence(cast(0 as bigint), __side - 1)")))
+        .withColumn("__dy", F.explode(F.expr("sequence(cast(0 as bigint), __side - 1)")))
+        .select(
+            F.expr(
+                f"cast({res} as bigint) * {1 << 56}"
+                f" + ({x} * __side + __dx) * {1 << 28}"
+                f" + ({y} * __side + __dy)"
+            ).alias(cell_col)
+        )
+    )

@@ -477,6 +477,60 @@ def _cluster_points_oracle() -> str:
 _register_fn("cluster_points_density", _cluster_points, _cluster_points_oracle())
 
 
+_COMPACT_RES, _COMPACT_MIN_RES = 7, 3
+
+
+def _cells_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style compact of the image-cover cell set (operators/tiles.
+    compact_cells): complete sibling quads collapse recursively —
+    lossless mixed-res compression of the occupancy cover."""
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import compact_cells, rasterize
+
+    cells = rasterize(FS.load_images(spark, sf_dir), res=_COMPACT_RES).select("cell")
+    return (
+        compact_cells(cells, res=_COMPACT_RES, min_res=_COMPACT_MIN_RES)
+        .select(F.col("cell").cast("long").alias("cell"))
+        .orderBy("cell")
+    )
+
+
+def _cells_compact_oracle() -> str:
+    from ..geo import h3lite as HH
+    from ..operators.tiles import parent_sql_expr
+
+    cell = HH.h3_sql_expr("lon", "lat", _COMPACT_RES)
+    ctes = [
+        f"img as ({FS.images_sql('lineitem')})",
+        f"l{_COMPACT_RES} as (select distinct {cell} as cell from img)",
+    ]
+    keeps = []
+    for level in range(_COMPACT_RES, _COMPACT_MIN_RES, -1):
+        par = parent_sql_expr("cell", level - 1, dialect="duckdb")
+        ctes.append(
+            f"g{level} as (select {par} as p, count(*) as n"
+            f" from l{level} group by 1)"
+        )
+        ctes.append(
+            f"keep{level} as (select cell from l{level}"
+            f" where {par} in (select p from g{level} where n < 4))"
+        )
+        ctes.append(
+            f"l{level - 1} as (select p as cell from g{level} where n = 4)"
+        )
+        keeps.append(f"select cell from keep{level}")
+    keeps.append(f"select cell from l{_COMPACT_MIN_RES}")
+    union = " union all ".join(keeps)
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect cast(cell as bigint) as cell from ({union}) u order by cell"
+    )
+
+
+_register_fn("cells_compact_cover", _cells_compact, _cells_compact_oracle())
+
+
 def _region_overlay_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon↔polygon overlay on two dissolved region sets: regions at
     threshold 1 vs the denser cores at threshold {_OVERLAY_T_B} — every

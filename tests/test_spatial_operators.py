@@ -866,3 +866,66 @@ class TestFocalStatsFuzz:
         for c in ["value", "focal_sum", "focal_n", "focal_min", "focal_max"]:
             assert list(got[c].astype(int)) == list(want[c].astype(int)), (c, seed)
         assert np.allclose(got["focal_mean"], want["focal_mean"])
+
+
+class TestCompactCells:
+    def _roundtrip(self, spark, cells, res, min_res):
+        from htrc_ingester_spark.operators.tiles import compact_cells, uncompact_cells
+
+        df = spark.createDataFrame(pd.DataFrame({"cell": sorted(cells)}))
+        comp = compact_cells(df, res=res, min_res=min_res).toPandas()
+        back = uncompact_cells(spark.createDataFrame(comp), res=res).toPandas()
+        assert set(back["cell"].astype(int)) == cells
+        assert len(back) == len(cells)  # no duplicates either
+        return comp
+
+    def test_full_block_collapses_and_ragged_stays(self, spark):
+        res = 5
+        xs, ys = np.meshgrid(np.arange(8, 12), np.arange(8, 12))
+        cells = {int(H.pack_xy(x, y, res)) for x, y in zip(xs.ravel(), ys.ravel())}
+        cells.add(int(H.pack_xy(0, 0, res)))
+        comp = self._roundtrip(spark, cells, res, min_res=2)
+        # 16-cell quad -> one res-3 cell; the ragged cell survives at res 5
+        assert len(comp) == 2
+        assert sorted(H.cell_res(comp["cell"].to_numpy()).tolist()) == [3, 5]
+
+    def test_minimality_no_complete_quad_remains(self, spark):
+        rng = np.random.RandomState(5)
+        res = 5
+        xs = rng.randint(0, H.nx(res), 600)
+        ys = rng.randint(0, H.ny(res), 600)
+        cells = {int(c) for c in H.pack_xy(xs, ys, res)}
+        comp = self._roundtrip(spark, cells, res, min_res=0)
+        out = comp["cell"].to_numpy(np.int64)
+        resv = H.cell_res(out)
+        x, y = H.cell_xy(out)
+        seen = set(zip(resv.tolist(), x.tolist(), y.tolist()))
+        for r, cx, cy in seen:
+            if r == 0:
+                continue
+            sibs = {(r, (cx // 2) * 2 + dx, (cy // 2) * 2 + dy)
+                    for dx in (0, 1) for dy in (0, 1)}
+            assert not sibs <= seen, (r, cx, cy)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_fuzz_roundtrip(self, spark, seed):
+        rng = np.random.RandomState(seed)
+        res = int(rng.randint(3, 7))
+        # bias toward clustered cells so some quads actually complete
+        base_x = rng.randint(0, H.nx(res) - 8)
+        base_y = rng.randint(0, H.ny(res) - 8)
+        xs = base_x + rng.randint(0, 8, 200)
+        ys = base_y + rng.randint(0, 8, 200)
+        cells = {int(c) for c in H.pack_xy(xs, ys, res)}
+        comp = self._roundtrip(spark, cells, res, min_res=max(0, res - 4))
+        assert len(comp) <= len(cells)
+
+    def test_uncompact_identity_at_res(self, spark):
+        from htrc_ingester_spark.operators.tiles import uncompact_cells
+
+        res = 4
+        cells = [int(H.pack_xy(1, 2, res)), int(H.pack_xy(7, 5, res))]
+        out = uncompact_cells(
+            spark.createDataFrame(pd.DataFrame({"cell": cells})), res=res
+        ).toPandas()
+        assert sorted(out["cell"].astype(int)) == sorted(cells)
