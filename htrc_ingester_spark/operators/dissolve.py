@@ -407,10 +407,12 @@ def cluster_points(
 
     raster = rasterize(points, res, lon_col=lon_col, lat_col=lat_col)
     d = dissolve(raster, res, threshold=float(min_pts))
-    labels = d.select("cell", F.col("comp").alias("cluster"))
-    pts = points.withColumn("cell", h3_cell(lon_col, lat_col, res))
+    # internal join key is name-mangled so a caller's own "cell"
+    # column survives untouched
+    labels = d.select(F.col("cell").alias("__cc"), F.col("comp").alias("cluster"))
+    pts = points.withColumn("__cc", h3_cell(lon_col, lat_col, res))
     how = "left" if keep_noise else "inner"
-    out = pts.join(labels, "cell", how).drop("cell").persist()
+    out = pts.join(labels, "__cc", how).drop("__cc").persist()
     out.count()
     d.unpersist()
     return out

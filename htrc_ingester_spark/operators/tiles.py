@@ -202,6 +202,20 @@ def focal_stats(
         ]
     )
     center = (F.col("o.dx") == 0) & (F.col("o.dy") == 0)
+    # wrap-collision guard: when the window is wider than the grid
+    # (2r+1 > nx — coarse res), dx and dx±nx would hit the same wrapped
+    # column twice; restricting dx to one canonical period
+    # [-nx/2, (nx-1)/2] makes the window degrade to "whole row", each
+    # column contributing exactly once
+    c = "cast(__src as bigint)"
+    nx = (
+        f"cast(pow(cast(2 as double),"
+        f" cast(({c} div {1 << 56}) + 2 as double)) as bigint)"
+    )
+    dx_ok = (
+        f"({2 * radius + 1} <= {nx})"
+        f" or (o.dx >= -({nx} div 2) and o.dx <= ({nx} - 1) div 2)"
+    )
     scattered = (
         raster.select(
             F.col(cell_col).alias("__src"),
@@ -209,6 +223,7 @@ def focal_stats(
             F.explode(offs).alias("o"),
         )
         .where(F.expr(neighbor_valid_sql("__src", "o.dy", "spark")))
+        .where(F.expr(dx_ok))
         .withColumn("__tgt", F.expr(neighbor_sql_expr("__src", "o.dx", "o.dy", "spark")))
     )
     return (

@@ -268,3 +268,20 @@ class TestClusterPoints:
         got = DV.cluster_points(pts, res=RES, min_pts=1).toPandas()
         assert len(got) == 10
         assert got["cluster"].notna().all()
+
+
+def test_cluster_points_preserves_caller_cell_column(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b", "c"],
+                "lon": [10.0, 10.0, 10.0],
+                "lat": [20.0, 20.0, 20.0],
+                "cell": ["keep-me", "keep-me", "keep-me"],  # unrelated user column
+            }
+        )
+    )
+    got = DV.cluster_points(pts, res=RES, min_pts=2).toPandas()
+    assert len(got) == 3
+    assert (got["cell"] == "keep-me").all()
+    assert got["cluster"].notna().all()

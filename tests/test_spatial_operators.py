@@ -929,3 +929,19 @@ class TestCompactCells:
             spark.createDataFrame(pd.DataFrame({"cell": cells})), res=res
         ).toPandas()
         assert sorted(out["cell"].astype(int)) == sorted(cells)
+
+
+def test_focal_window_wider_than_grid_counts_once(spark):
+    """res-0 grid is 4 columns wide; a radius-2 window (width 5) must
+    degrade to 'whole row' with each column counted exactly once, not
+    double-counted through the wrap."""
+    from htrc_ingester_spark.operators.tiles import focal_stats
+
+    res = 0
+    cells = [int(H.pack_xy(x, 0, res)) for x in range(4)]
+    pdf = pd.DataFrame({"cell": cells, "value": [1, 2, 4, 8]})
+    got = focal_stats(spark.createDataFrame(pdf), radius=2).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r["focal_sum"] == 15, r
+        assert r["focal_n"] == 4
