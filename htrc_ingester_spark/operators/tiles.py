@@ -432,3 +432,62 @@ def uncompact_cells(cells: DataFrame, res: int, cell_col: str = "cell") -> DataF
             ).alias(cell_col)
         )
     )
+
+
+def mosaic_pyramid(
+    points: DataFrame,
+    score_col: str,
+    id_col: str,
+    res_min: int,
+    res_max: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """The full zoom pyramid of :func:`mosaic_best`: one representative
+    (argmax of ``score_col``, min-``id_col`` ties) per CELL at every
+    res in [``res_min``, ``res_max``] — the render-every-zoom-level
+    step of a map-tile pipeline. ``id_col`` must be numeric (the
+    struct-max argmax encoding).
+
+    Scale shape — re-aggregation, not recomputation: only the finest
+    level touches the points (one struct-max groupBy, map-side
+    combined); every coarser level re-aggregates the PREVIOUS level's
+    winners — sound because argmax-by-(score, -id) is a max over a
+    total order, hence associative: the parent's best is the best of
+    its children's bests. So level r's exchange carries ≤ #cells(r+1)
+    one-row-per-cell records instead of the full point set, the same
+    fine→coarse trick as the counting spatial pyramid
+    (``pyramid_rollup``) applied to an argmax. The whole pyramid is
+    lazy — one plan, no driver actions.
+
+    Returns (res, cell, ``id_col``, ``score_col``).
+    """
+    from ..functions import h3_cell
+
+    packed = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+    )
+    id_type = points.schema[id_col].dataType
+    level = (
+        points.withColumn("cell", h3_cell(lon_col, lat_col, res_max))
+        .groupBy("cell")
+        .agg(F.max(packed).alias("b"))
+    )
+    levels = [level.withColumn("res", F.lit(res_max))]
+    for r in range(res_max - 1, res_min - 1, -1):
+        parent = F.expr(parent_sql_expr("cell", r, dialect="spark"))
+        level = (
+            level.withColumn("cell", parent)
+            .groupBy("cell")
+            .agg(F.max("b").alias("b"))
+        )
+        levels.append(level.withColumn("res", F.lit(r)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        F.col("res").cast("int").alias("res"),
+        "cell",
+        (-F.col("b.neg_id")).cast(id_type).alias(id_col),
+        F.col("b.s").alias(score_col),
+    )

@@ -531,6 +531,7 @@ def _cells_compact_oracle() -> str:
 _register_fn("cells_compact_cover", _cells_compact, _cells_compact_oracle())
 
 
+
 def _region_overlay_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon↔polygon overlay on two dissolved region sets: regions at
     threshold 1 vs the denser cores at threshold {_OVERLAY_T_B} — every
@@ -734,6 +735,54 @@ def _tile_mosaic_oracle() -> str:
 
 
 _register_fn("tile_mosaic_best", _tile_mosaic, _tile_mosaic_oracle())
+
+
+_PYR_RES_MIN, _PYR_RES_MAX = 3, 6
+
+
+def _mosaic_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom pyramid of per-cell representatives (operators/tiles.
+    mosaic_pyramid): the finest level aggregates points once; coarser
+    levels re-aggregate the winners (argmax is associative)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import mosaic_pyramid
+
+    img = FS.load_images(spark, sf_dir).withColumn("score", F.expr(_MOSAIC_SCORE))
+    return (
+        mosaic_pyramid(
+            img, "score", "image_id", res_min=_PYR_RES_MIN, res_max=_PYR_RES_MAX
+        )
+        .select("res", "cell", "image_id", "score")
+        .orderBy("res", "cell")
+    )
+
+
+def _mosaic_pyramid_oracle() -> str:
+    from ..geo import h3lite as HH
+
+    legs = []
+    for r in range(_PYR_RES_MIN, _PYR_RES_MAX + 1):
+        cell = HH.h3_sql_expr("lon", "lat", r)
+        legs.append(
+            f"""select {r} as res, cell, image_id, score from (
+              select {cell} as cell, image_id, score,
+                     row_number() over (partition by {cell}
+                       order by score desc, image_id asc) as rn
+              from scored) t{r} where rn = 1"""
+        )
+    union = " union all ".join(legs)
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    scored as (select image_id, lon, lat, {_MOSAIC_SCORE} as score from img)
+    select cast(res as int) as res, cast(cell as bigint) as cell,
+           image_id, score
+    from ({union}) u
+    order by res, cell
+    """
+
+
+_register_fn("mosaic_pyramid_cells", _mosaic_pyramid, _mosaic_pyramid_oracle())
 
 
 def _stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

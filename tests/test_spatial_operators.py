@@ -945,3 +945,50 @@ def test_focal_window_wider_than_grid_counts_once(spark):
     for r in got:
         assert r["focal_sum"] == 15, r
         assert r["focal_n"] == 4
+
+
+class TestMosaicPyramid:
+    def test_each_level_equals_direct_argmax(self, spark):
+        """Re-aggregating winners level-by-level == computing each
+        level's argmax directly from the points (associativity of
+        struct-max argmax) — the property that makes the pyramid a
+        cells-sized rollup instead of #levels point scans."""
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.functions import h3_cell
+        from htrc_ingester_spark.operators.tiles import mosaic_pyramid
+
+        rng = np.random.RandomState(1)
+        pdf = pd.DataFrame(
+            {
+                "nid": np.arange(2000, dtype=np.int64),
+                "lon": rng.uniform(-179, 179, 2000),
+                "lat": rng.uniform(-89, 89, 2000),
+            }
+        )
+        pdf["score"] = ((pdf["nid"] * 7919 + 104729) % 97).astype(float)
+        df = spark.createDataFrame(pdf)
+        pyr = mosaic_pyramid(df, "score", "nid", res_min=2, res_max=5).toPandas()
+        assert sorted(pyr["res"].unique()) == [2, 3, 4, 5]
+        for r in range(2, 6):
+            direct = (
+                df.withColumn("cell", h3_cell("lon", "lat", r))
+                .groupBy("cell")
+                .agg(
+                    F.max(
+                        F.struct(F.col("score").alias("s"), (-F.col("nid")).alias("n"))
+                    ).alias("b")
+                )
+                .select("cell", (-F.col("b.n")).alias("nid"), F.col("b.s").alias("score"))
+                .toPandas()
+                .sort_values("cell")
+                .reset_index(drop=True)
+            )
+            lev = (
+                pyr[pyr["res"] == r]
+                .sort_values("cell")
+                .reset_index(drop=True)[["cell", "nid", "score"]]
+            )
+            assert list(lev["cell"]) == list(direct["cell"]), r
+            assert list(lev["nid"].astype(np.int64)) == list(direct["nid"].astype(np.int64)), r
+            assert list(lev["score"]) == list(direct["score"]), r
