@@ -903,6 +903,78 @@ def _raster_focal_oracle() -> str:
 _register_fn("raster_focal_mean", _raster_focal, _raster_focal_oracle())
 
 
+def _raster_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot spots of the image-count raster
+    (operators/tiles.hotspot_gi): focal scatter + a broadcast 1-row
+    global aggregate — same single exchange as raster_focal_mean.
+    gi_z rounds to 4 decimals so the Spark/DuckDB float paths never
+    straddle the 6-decimal gate compare."""
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import hotspot_gi, rasterize
+
+    r = rasterize(FS.load_images(spark, sf_dir), res=_FOCAL_RES)
+    return (
+        hotspot_gi(r)
+        .select(
+            "cell",
+            F.col("value").cast("long").alias("value"),
+            F.col("focal_sum").cast("long").alias("focal_sum"),
+            F.col("focal_n").cast("long").alias("focal_n"),
+            F.round("gi_z", 4).alias("gi_z"),
+            F.col("is_hot").cast("int").alias("is_hot"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _raster_hotspots_oracle() -> str:
+    from ..geo import h3lite as H
+    from ..operators.tiles import neighbor_sql_expr, neighbor_valid_sql
+
+    cell = H.h3_sql_expr("lon", "lat", _FOCAL_RES)
+    tgt = neighbor_sql_expr("cell", "dx", "dy", "duckdb")
+    valid = neighbor_valid_sql("cell", "dy", "duckdb")
+    z = (
+        "(cast(focal_sum as double) - mu * cast(focal_n as double))"
+        " / (sigma * sqrt((n * cast(focal_n as double)"
+        " - cast(focal_n as double) * cast(focal_n as double)) / (n - 1)))"
+    )
+    guard = "sigma > 0 and n > 1 and cast(focal_n as double) < n"
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    r as (select {cell} as cell, cast(count(*) as bigint) as value
+          from img group by 1),
+    g as (select cast(count(*) as double) as n,
+                 avg(cast(value as double)) as mu,
+                 stddev_pop(cast(value as double)) as sigma
+          from r),
+    sc as (
+      select {tgt} as tgt, value, dx, dy
+      from r
+      cross join (select unnest([-1, 0, 1]) as dx) dxs
+      cross join (select unnest([-1, 0, 1]) as dy) dys
+      where {valid}),
+    f as (
+      select tgt as cell,
+             cast(max(case when dx = 0 and dy = 0 then value end) as bigint) as value,
+             cast(sum(value) as bigint) as focal_sum,
+             cast(count(*) as bigint) as focal_n
+      from sc
+      group by tgt
+      having max(case when dx = 0 and dy = 0 then 1 else 0 end) = 1)
+    select cell, value, focal_sum, focal_n,
+           round(case when {guard} then {z} end, 4) as gi_z,
+           case when not ({guard}) then cast(null as int)
+                when abs({z}) >= 1.96 then 1 else 0 end as is_hot
+    from f cross join g
+    order by cell
+    """
+
+
+_register_fn("raster_hotspots_gi", _raster_hotspots, _raster_hotspots_oracle())
+
+
 def _raster_local_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local (cell-wise) two-raster algebra: all-images count raster
     minus the count raster of the ``image_id % 3 = 0`` subset, full

@@ -992,3 +992,83 @@ class TestMosaicPyramid:
             assert list(lev["cell"]) == list(direct["cell"]), r
             assert list(lev["nid"].astype(np.int64)) == list(direct["nid"].astype(np.int64)), r
             assert list(lev["score"]) == list(direct["score"]), r
+
+
+class TestHotspotGi:
+    def test_matches_numpy_bruteforce(self, spark, images_df):
+        """Gi* z-scores equal an independent numpy computation over the
+        dict-based focal window (wrap x, clamp y)."""
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.operators.tiles import hotspot_gi, rasterize
+
+        r = rasterize(images_df, res=5)
+        base = r.toPandas()
+        got = (
+            hotspot_gi(r)
+            .toPandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        res = 5
+        nx_, ny_ = H.nx(res), H.ny(res)
+        grid = {}
+        for c, v in zip(base["cell"].to_numpy(np.int64), base["value"].to_numpy(np.int64)):
+            x, y = H.cell_xy(np.int64(c))
+            grid[(int(x), int(y))] = int(v)
+        vals = np.array(list(grid.values()), dtype=float)
+        n, mu, sigma = len(vals), vals.mean(), vals.std()  # population std
+        rows = []
+        for (x, y) in grid:
+            neigh = [
+                grid[((x + dx) % nx_, y + dy)]
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if 0 <= y + dy < ny_ and ((x + dx) % nx_, y + dy) in grid
+            ]
+            w = len(neigh)
+            den = sigma * np.sqrt((n * w - w * w) / (n - 1))
+            z = (sum(neigh) - mu * w) / den if (sigma > 0 and n > 1 and w < n) else None
+            rows.append({"cell": int(H.pack_xy(x, y, res)), "z": z})
+        want = pd.DataFrame(rows).sort_values("cell").reset_index(drop=True)
+        assert list(got["cell"]) == list(want["cell"])
+        assert got["gi_z"].notna().all()
+        assert np.allclose(got["gi_z"], want["z"].astype(float))
+        # the skewed fixture MUST produce at least one significant hot spot
+        assert (got["is_hot"] == 1).any()
+        # is_hot is exactly |z| >= 1.96
+        assert (got["is_hot"] == (got["gi_z"].abs() >= 1.96).astype(int)).all()
+
+    def test_degenerate_denominators_are_null(self, spark):
+        from htrc_ingester_spark.operators.tiles import hotspot_gi
+
+        res = 4
+        # constant raster: sigma == 0 -> all null
+        cells = [int(H.pack_xy(10 + i, 10, res)) for i in range(5)]
+        const = spark.createDataFrame(
+            pd.DataFrame({"cell": cells, "value": [7] * 5})
+        )
+        out = hotspot_gi(const).toPandas()
+        assert out["gi_z"].isna().all() and out["is_hot"].isna().all()
+        # two adjacent cells, distinct values: window covers all (w == n) -> null
+        two = spark.createDataFrame(
+            pd.DataFrame({"cell": cells[:2], "value": [1, 9]})
+        )
+        out2 = hotspot_gi(two).toPandas()
+        assert out2["gi_z"].isna().all()
+        # single cell -> n == 1 -> null
+        one = spark.createDataFrame(pd.DataFrame({"cell": cells[:1], "value": [3]}))
+        assert hotspot_gi(one).toPandas()["gi_z"].isna().all()
+
+    def test_plan_adds_no_exchange_beyond_focal(self, spark, images_df):
+        """The global stats ride a broadcast cross join: rasterize's
+        exchange + focal's exchange + the 1-row agg's single-partition
+        exchange, no shuffle join."""
+        from htrc_ingester_spark.operators.tiles import hotspot_gi, rasterize
+
+        plan = (
+            hotspot_gi(rasterize(images_df, res=5))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
