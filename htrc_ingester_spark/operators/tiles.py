@@ -168,6 +168,50 @@ def neighbor_valid_sql(cell: str, dy: str, dialect: str = "spark") -> str:
     return f"({yn} >= 0 and {yn} < {ny})"
 
 
+def _scatter_window(
+    raster: DataFrame,
+    radius: int,
+    cell_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared scatter core for the window operators (focal_stats,
+    kde_heatmap): each row fans out to the (2r+1)² window cells it
+    contributes to via a literal offset-array explode — target ids in
+    ``__tgt``, source value in ``__v``, offsets in ``o.dx``/``o.dy``.
+
+    Wrap-collision guard: when the window is wider than the grid
+    (2r+1 > nx — coarse res), dx and dx±nx would hit the same wrapped
+    column twice; restricting dx to one canonical period
+    [-nx/2, (nx-1)/2] makes the window degrade to "whole row", each
+    column contributing exactly once."""
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+        ]
+    )
+    c = "cast(__src as bigint)"
+    nx = (
+        f"cast(pow(cast(2 as double),"
+        f" cast(({c} div {1 << 56}) + 2 as double)) as bigint)"
+    )
+    dx_ok = (
+        f"({2 * radius + 1} <= {nx})"
+        f" or (o.dx >= -({nx} div 2) and o.dx <= ({nx} - 1) div 2)"
+    )
+    return (
+        raster.select(
+            F.col(cell_col).alias("__src"),
+            F.col(value_col).alias("__v"),
+            F.explode(offs).alias("o"),
+        )
+        .where(F.expr(neighbor_valid_sql("__src", "o.dy", "spark")))
+        .where(F.expr(dx_ok))
+        .withColumn("__tgt", F.expr(neighbor_sql_expr("__src", "o.dx", "o.dy", "spark")))
+    )
+
+
 def focal_stats(
     raster: DataFrame,
     radius: int = 1,
@@ -194,38 +238,8 @@ def focal_stats(
     costs the same explode plus a second shuffle for the join — always
     worse here.
     """
-    offs = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in range(-radius, radius + 1)
-            for dy in range(-radius, radius + 1)
-        ]
-    )
+    scattered = _scatter_window(raster, radius, cell_col, value_col)
     center = (F.col("o.dx") == 0) & (F.col("o.dy") == 0)
-    # wrap-collision guard: when the window is wider than the grid
-    # (2r+1 > nx — coarse res), dx and dx±nx would hit the same wrapped
-    # column twice; restricting dx to one canonical period
-    # [-nx/2, (nx-1)/2] makes the window degrade to "whole row", each
-    # column contributing exactly once
-    c = "cast(__src as bigint)"
-    nx = (
-        f"cast(pow(cast(2 as double),"
-        f" cast(({c} div {1 << 56}) + 2 as double)) as bigint)"
-    )
-    dx_ok = (
-        f"({2 * radius + 1} <= {nx})"
-        f" or (o.dx >= -({nx} div 2) and o.dx <= ({nx} - 1) div 2)"
-    )
-    scattered = (
-        raster.select(
-            F.col(cell_col).alias("__src"),
-            F.col(value_col).alias("__v"),
-            F.explode(offs).alias("o"),
-        )
-        .where(F.expr(neighbor_valid_sql("__src", "o.dy", "spark")))
-        .where(F.expr(dx_ok))
-        .withColumn("__tgt", F.expr(neighbor_sql_expr("__src", "o.dx", "o.dy", "spark")))
-    )
     return (
         scattered.groupBy(F.col("__tgt").alias(cell_col))
         .agg(
@@ -292,6 +306,44 @@ def hotspot_gi(
             ),
         )
         .drop("__n", "__mu", "__sigma")
+    )
+
+
+def kde_heatmap(
+    raster: DataFrame,
+    radius: int = 2,
+    sigma: float = 1.0,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kernel-density heatmap over the sparse raster: every source
+    cell spreads its value over the (2r+1)² window with a truncated
+    Gaussian kernel, ``kde = Σ_src v_src · exp(−(dx²+dy²)/(2σ²))``
+    (offsets in cell units). Unlike :func:`focal_stats`, the output
+    covers every cell the kernel TOUCHES — the smoothed halo around
+    the data is the product (the map-render heat layer) — so the
+    output can be up to (2r+1)² × input cells before the map-side
+    combine collapses shared targets. ``n_src`` counts contributing
+    source cells.
+
+    Scale shape: identical to focal_stats — one scatter explode + ONE
+    ``groupBy(target)`` with map-side partial aggregation; the kernel
+    weight is a literal per-offset constant folded by Catalyst, so the
+    whole operator is a single codegen exchange at any raster size.
+    Longitude wraps at the antimeridian; pole rows clamp (no wrap).
+    """
+    scattered = _scatter_window(raster, radius, cell_col, value_col)
+    two_s2 = 2.0 * float(sigma) * float(sigma)
+    w = F.exp(
+        -(F.col("o.dx") * F.col("o.dx") + F.col("o.dy") * F.col("o.dy")).cast("double")
+        / F.lit(two_s2)
+    )
+    return (
+        scattered.groupBy(F.col("__tgt").alias(cell_col))
+        .agg(
+            F.sum(F.col("__v").cast("double") * w).alias("kde"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
     )
 
 

@@ -975,6 +975,65 @@ def _raster_hotspots_oracle() -> str:
 _register_fn("raster_hotspots_gi", _raster_hotspots, _raster_hotspots_oracle())
 
 
+_KDE_RADIUS = 2
+_KDE_SIGMA = 1.0
+
+
+def _raster_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian kernel-density heatmap of the image-count raster
+    (operators/tiles.kde_heatmap): truncated-Gaussian scatter, one
+    exchange. kde rounds to 4 decimals (irrational exp weights never
+    sit on a rounding boundary)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import kde_heatmap, rasterize
+
+    r = rasterize(FS.load_images(spark, sf_dir), res=_FOCAL_RES)
+    return (
+        kde_heatmap(r, radius=_KDE_RADIUS, sigma=_KDE_SIGMA)
+        .select(
+            "cell",
+            F.round("kde", 4).alias("kde"),
+            F.col("n_src").cast("long").alias("n_src"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _raster_kde_oracle() -> str:
+    from ..geo import h3lite as H
+    from ..operators.tiles import neighbor_sql_expr, neighbor_valid_sql
+
+    cell = H.h3_sql_expr("lon", "lat", _FOCAL_RES)
+    tgt = neighbor_sql_expr("cell", "dx", "dy", "duckdb")
+    valid = neighbor_valid_sql("cell", "dy", "duckdb")
+    offs = list(range(-_KDE_RADIUS, _KDE_RADIUS + 1))
+    two_s2 = 2.0 * _KDE_SIGMA * _KDE_SIGMA
+    offs_sql = ", ".join(str(o) for o in offs)
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    r as (select {cell} as cell, cast(count(*) as bigint) as value
+          from img group by 1),
+    sc as (
+      select {tgt} as tgt,
+             cast(value as double)
+               * exp(-cast(dx*dx + dy*dy as double) / {two_s2!r}) as wv
+      from r
+      cross join (select unnest([{offs_sql}]) as dx) dxs
+      cross join (select unnest([{offs_sql}]) as dy) dys
+      where {valid})
+    select tgt as cell,
+           round(sum(wv), 4) as kde,
+           cast(count(*) as bigint) as n_src
+    from sc
+    group by tgt
+    order by cell
+    """
+
+
+_register_fn("raster_kde_heatmap", _raster_kde, _raster_kde_oracle())
+
+
 def _raster_local_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local (cell-wise) two-raster algebra: all-images count raster
     minus the count raster of the ``image_id % 3 = 0`` subset, full

@@ -1072,3 +1072,59 @@ class TestHotspotGi:
         )
         assert "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestKdeHeatmap:
+    def test_matches_numpy_bruteforce(self, spark, images_df):
+        from htrc_ingester_spark.operators.tiles import kde_heatmap, rasterize
+
+        res, radius, sigma = 5, 2, 1.0
+        r = rasterize(images_df, res=res)
+        base = r.toPandas()
+        got = (
+            kde_heatmap(r, radius=radius, sigma=sigma)
+            .toPandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        nx_, ny_ = H.nx(res), H.ny(res)
+        grid = {}
+        for c, v in zip(base["cell"].to_numpy(np.int64), base["value"].to_numpy(np.int64)):
+            x, y = H.cell_xy(np.int64(c))
+            grid[(int(x), int(y))] = int(v)
+        acc: dict[tuple[int, int], list[float]] = {}
+        for (x, y), v in grid.items():
+            for dx in range(-radius, radius + 1):
+                for dy in range(-radius, radius + 1):
+                    yn = y + dy
+                    if yn < 0 or yn >= ny_:
+                        continue
+                    xn = (x + dx) % nx_
+                    w = np.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma))
+                    acc.setdefault((xn, yn), []).append(v * w)
+        want = (
+            pd.DataFrame(
+                {
+                    "cell": [int(H.pack_xy(x, y, res)) for (x, y) in acc],
+                    "kde": [float(np.sum(ws)) for ws in acc.values()],
+                    "n_src": [len(ws) for ws in acc.values()],
+                }
+            )
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        assert list(got["cell"]) == list(want["cell"])
+        assert list(got["n_src"].astype(int)) == list(want["n_src"].astype(int))
+        assert np.allclose(got["kde"], want["kde"])
+        # the halo is real: strictly more output cells than input cells
+        assert len(got) > len(base)
+
+    def test_plan_single_extra_exchange(self, spark, images_df):
+        from htrc_ingester_spark.operators.tiles import kde_heatmap, rasterize
+
+        plan = (
+            kde_heatmap(rasterize(images_df, res=5))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Join" not in plan
+        assert plan.count("Exchange") == 2  # rasterize + the scatter groupBy
