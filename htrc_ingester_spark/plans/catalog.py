@@ -1034,6 +1034,75 @@ def _raster_kde_oracle() -> str:
 _register_fn("raster_kde_heatmap", _raster_kde, _raster_kde_oracle())
 
 
+def _bbox_boxes_sql(mod: int) -> str:
+    """Deterministic bbox set derived from the images skeleton: box
+    centred on the image point, half-extent keyed off image_id, edges
+    clamped to the globe (no antimeridian wrap — the operator's
+    documented contract). Valid in Spark SQL and DuckDB; every literal
+    cast to double (house decimal-drift rule)."""
+
+    def d(x: str) -> str:
+        return f"cast({x} as double)"
+
+    return f"""
+      select image_id,
+             greatest(lon - w, {d('-180.0')}) as lon_min,
+             greatest(lat - h, {d('-90.0')}) as lat_min,
+             least(lon + w, {d('180.0')}) as lon_max,
+             least(lat + h, {d('90.0')}) as lat_max
+      from (select image_id, lon, lat,
+                   {d('0.5')} + cast(image_id % 7 as double) * {d('0.35')} as w,
+                   {d('0.4')} + cast(image_id % 5 as double) * {d('0.3')} as h
+            from img
+            where image_id % {mod} = 0)
+    """
+
+
+def _bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rect-rect spatial join (operators/bbox_join.bbox_intersect_join):
+    grid-binned cell equi-join, reference-point dedup (no distinct),
+    auto-derived resolution. Output: intersecting (a, b) image pairs +
+    overlap area in square degrees."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bbox_join import bbox_intersect_join
+
+    FS.load_images(spark, sf_dir)  # registers the lineitem view
+    img = FS.images_sql("lineitem")
+    a = spark.sql(f"with img as ({img}) {_bbox_boxes_sql(101)}")
+    b = spark.sql(f"with img as ({img}) {_bbox_boxes_sql(103)}")
+    pairs = bbox_intersect_join(spark, a, b)
+    inter_w = F.least("a_lon_max", "b_lon_max") - F.greatest("a_lon_min", "b_lon_min")
+    inter_h = F.least("a_lat_max", "b_lat_max") - F.greatest("a_lat_min", "b_lat_min")
+    return (
+        pairs.select(
+            F.col("a_image_id").alias("a_id"),
+            F.col("b_image_id").alias("b_id"),
+            F.round(inter_w * inter_h, 4).alias("inter_area"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _bbox_join_oracle() -> str:
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    a as ({_bbox_boxes_sql(101)}),
+    b as ({_bbox_boxes_sql(103)})
+    select a.image_id as a_id, b.image_id as b_id,
+           round((least(a.lon_max, b.lon_max) - greatest(a.lon_min, b.lon_min))
+                 * (least(a.lat_max, b.lat_max) - greatest(a.lat_min, b.lat_min)), 4)
+             as inter_area
+    from a join b
+      on a.lon_min <= b.lon_max and b.lon_min <= a.lon_max
+     and a.lat_min <= b.lat_max and b.lat_min <= a.lat_max
+    order by a_id, b_id
+    """
+
+
+_register_fn("bbox_intersect_join", _bbox_join, _bbox_join_oracle())
+
+
 def _raster_local_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local (cell-wise) two-raster algebra: all-images count raster
     minus the count raster of the ``image_id % 3 = 0`` subset, full
