@@ -723,3 +723,50 @@ def radius_join(
             *[F.col(c) for c in carry],
         )
     )
+
+
+def radius_anti_join(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    res: int | None = None,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All ``points`` NOT within ``radius_m`` of ANY query — the spatial
+    exclusion filter (clear-zone / buffer-mask semantics: drop images
+    inside restricted-area buffers, training points too close to the
+    eval set, etc.). Boundary is the complement of :func:`radius_join`:
+    a point exactly at ``radius_m`` is INSIDE the buffer, so excluded.
+
+    Spark shape: matched ids from the same cell-disk machinery as
+    :func:`radius_join` (grid prune + exact haversine), then ONE
+    ``left_anti`` equi-join on the id — the anti condition never
+    becomes a nested-loop join because the spatial predicate resolved
+    in the first (equi) join. Output: the surviving ``points`` rows,
+    original columns untouched.
+
+    Scale: same bounded disk shuffle as radius_join plus one id-keyed
+    anti join; the matched-id side carries at most one row per matched
+    point (dropDuplicates folds into the join's aggregate side), so
+    the anti join's build side is ≤ |points within any buffer|.
+    """
+    matched = (
+        radius_join(
+            spark,
+            points,
+            queries,
+            radius_m,
+            res=res,
+            id_col=id_col,
+            lon_col=lon_col,
+            lat_col=lat_col,
+        )
+        .select(F.col("image_id").alias("__mid"))
+        .dropDuplicates(["__mid"])
+    )
+    return points.join(
+        matched, points[id_col].cast("string") == matched["__mid"], "left_anti"
+    )

@@ -1386,6 +1386,47 @@ def _radius_oracle() -> str:
 _register_fn("radius_join_within", _radius, _radius_oracle())
 
 
+def _radius_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial exclusion (operators/knn_join.radius_anti_join): points
+    outside EVERY query's 750 km buffer — same disk machinery as
+    radius_join_within, complement semantics, one id anti-join."""
+    from pyspark.sql import functions as F
+
+    from ..operators.knn_join import radius_anti_join
+
+    _load(spark, sf_dir, "customer", "supplier")
+    points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
+    qdf = spark.sql(_QUERIES_SQL).where("cast(query_id as int) % 20 = 0").drop("k")
+    return (
+        radius_anti_join(spark, points, qdf, radius_m=750_000.0)
+        .select(
+            F.col("image_id").cast("string").alias("image_id"),
+            F.round("lon", 6).alias("lon"),
+            F.round("lat", 6).alias("lat"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _radius_anti_oracle() -> str:
+    from ..functions import haversine_sql_expr
+
+    dist = haversine_sql_expr("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+    with p as ({_POINTS_SQL}),
+    q as (select * from ({_QUERIES_SQL}) t where cast(query_id as int) % 20 = 0)
+    select cast(p.point_id as varchar) as image_id,
+           round(p.lon, 6) as lon, round(p.lat, 6) as lat
+    from p
+    where not exists (
+      select 1 from q where {dist} <= 750000.0)
+    order by image_id
+    """
+
+
+_register_fn("radius_anti_join_clear", _radius_anti, _radius_anti_oracle())
+
+
 _IDW_VALUE = "cast(c_custkey % 89 as double)"
 
 

@@ -1128,3 +1128,48 @@ class TestKdeHeatmap:
         )
         assert "Join" not in plan
         assert plan.count("Exchange") == 2  # rasterize + the scatter groupBy
+
+
+class TestRadiusAntiJoin:
+    def test_complement_of_radius_join(self, spark, images_df):
+        from htrc_ingester_spark.operators.knn_join import radius_anti_join, radius_join
+
+        q = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": ["q0", "q1"], "lon": [-122.42, 2.35], "lat": [37.77, 48.86]}
+            )
+        )
+        pts = images_df.select("image_id", "lon", "lat")
+        r = 500_000.0
+        inside = {
+            row["image_id"]
+            for row in radius_join(spark, pts, q, r).select("image_id").collect()
+        }
+        outside = {
+            row["image_id"]
+            for row in radius_anti_join(spark, pts, q, r).select("image_id").collect()
+        }
+        allids = {str(row["image_id"]) for row in pts.collect()}
+        assert inside | outside == allids
+        assert inside & outside == set()
+        assert inside and outside  # fixture puts points on both sides
+
+    def test_boundary_point_excluded(self, spark):
+        from htrc_ingester_spark.operators.knn_join import radius_anti_join
+
+        # a point EXACTLY at the radius is inside the buffer -> anti drops it
+        q = spark.createDataFrame(pd.DataFrame({"query_id": ["q"], "lon": [0.0], "lat": [0.0]}))
+        # 1 degree east on the equator — evaluated by Spark itself so the
+        # boundary compare sees the bit-identical double
+        from htrc_ingester_spark.functions import haversine_sql_expr
+
+        d = float(
+            spark.sql(
+                f"select {haversine_sql_expr('0.0', '0.0', '0.0', '1.0')} as d"
+            ).first()["d"]
+        )
+        pts = spark.createDataFrame(
+            pd.DataFrame({"image_id": ["at", "beyond"], "lon": [1.0, 2.0], "lat": [0.0, 0.0]})
+        )
+        out = radius_anti_join(spark, pts, q, radius_m=d).collect()
+        assert [r["image_id"] for r in out] == ["beyond"]
