@@ -1103,6 +1103,82 @@ def _bbox_join_oracle() -> str:
 _register_fn("bbox_intersect_join", _bbox_join, _bbox_join_oracle())
 
 
+_MATCH_RADIUS_M = 75_000.0
+
+
+def _roads_sql() -> str:
+    """Deterministic segment set from the images skeleton: anchor at
+    the image point, heading/length keyed off image_id, endpoint
+    clamped inside the globe (operator contract: no antimeridian
+    crossing). Valid in Spark SQL and DuckDB."""
+
+    def d(x: str) -> str:
+        return f"cast({x} as double)"
+
+    dlon = f"{d('0.3')} + cast(image_id % 9 as double) * {d('0.15')}"
+    dlat = f"{d('-0.5')} + cast(image_id % 7 as double) * {d('0.17')}"
+    return f"""
+      select image_id as seg_id,
+             lon as ax, lat as ay,
+             least(lon + ({dlon}), {d('180.0')}) as bx,
+             least(greatest(lat + ({dlat}), {d('-90.0')}), {d('90.0')}) as by
+      from img where image_id % 211 = 0
+    """
+
+
+def _map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-road-segment snap (operators/map_match.map_match):
+    expanded-bbox cell cover → one cell equi-join → struct-min argmin,
+    75 km search radius, auto res."""
+    from pyspark.sql import functions as F
+
+    from ..operators.map_match import map_match
+
+    FS.load_images(spark, sf_dir)
+    img = FS.images_sql("lineitem")
+    segs = spark.sql(f"with img as ({img}) {_roads_sql()}")
+    pts = spark.sql(
+        f"with img as ({img}) select image_id, lon, lat from img where image_id % 37 = 0"
+    )
+    return (
+        map_match(spark, pts, segs, radius_m=_MATCH_RADIUS_M)
+        .select(
+            F.col("image_id").alias("point_id"),
+            F.col("seg_id").cast("long").alias("seg_id"),
+            F.round("dist_m", 3).alias("dist_m"),
+            F.round("t", 6).alias("t"),
+        )
+        .orderBy("point_id")
+    )
+
+
+def _map_match_oracle() -> str:
+    from ..operators.map_match import snap_sql_exprs
+
+    s = snap_sql_exprs("p.lon", "p.lat", "s.ax", "s.ay", "s.bx", "s.by")
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    seg as ({_roads_sql()}),
+    p as (select image_id, lon, lat from img where image_id % 37 = 0),
+    cand as (
+      select p.image_id as point_id, s.seg_id,
+             {s['dist_m']} as d, {s['t']} as t
+      from p cross join seg s
+      where {s['dist_m']} <= {_MATCH_RADIUS_M!r}),
+    ranked as (
+      select point_id, seg_id, d, t,
+             row_number() over (partition by point_id order by d, seg_id) as rn
+      from cand)
+    select point_id, cast(seg_id as bigint) as seg_id,
+           round(d, 3) as dist_m, round(t, 6) as t
+    from ranked where rn = 1
+    order by point_id
+    """
+
+
+_register_fn("map_match_nearest", _map_match, _map_match_oracle())
+
+
 def _raster_local_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local (cell-wise) two-raster algebra: all-images count raster
     minus the count raster of the ``image_id % 3 = 0`` subset, full
