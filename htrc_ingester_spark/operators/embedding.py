@@ -394,3 +394,76 @@ def phash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def phash_search(
+    df: DataFrame,
+    query_df: DataFrame,
+    max_hamming: int = 3,
+    k: int | None = None,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """Radius search over the 64-bit phash column: all (query_id,
+    image_id, hamming) with hamming ≤ ``max_hamming``, optionally
+    truncated to the top ``k`` per query ranked by (hamming, image_id).
+
+    EXACT, not approximate, for ``max_hamming ≤ 3``: with 4×16-bit
+    bands, ≤3 flipped bits cannot touch all 4 bands (pigeonhole), so
+    every in-radius image shares at least one intact band with the
+    query and the band equi-join has complete recall. The DuckDB
+    oracle is therefore the brute-force cross join — a completeness
+    guarantee, not a recall probability. Scale shape: one equi-join on
+    (band, bucket) — at 10^12 images the table side is hash-partitioned
+    by bucket, each query probes 4 buckets (~4/2^16 of the table);
+    bytes never move, only (id, phash) pairs.
+
+    query_df: (query_id, phash). Broadcast guard mirrors ann_topk
+    (VERDICT r2): auto from Catalyst's size estimate, AQE otherwise.
+    """
+    if max_hamming > N_PHASH_BANDS - 1:
+        raise ValueError(
+            f"banded search is only pigeonhole-complete for max_hamming <= "
+            f"{N_PHASH_BANDS - 1}; got {max_hamming}"
+        )
+
+    def banded(frame: DataFrame, ph: str, keep: list[str]) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(phash_band_sql(ph, b, "spark")).alias("bucket"),
+                )
+                for b in range(N_PHASH_BANDS)
+            ]
+        )
+        return (
+            frame.withColumn("_b", F.explode(bands))
+            .select(*keep, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+        )
+
+    data = banded(df.select(id_col, phash_col), phash_col, [id_col, phash_col])
+    q = banded(
+        query_df.select("query_id", F.col(phash_col).alias("_qph")),
+        "_qph",
+        ["query_id", "_qph"],
+    )
+    ham = hamming64_sql("_qph", phash_col, "spark")
+    out = (
+        data.join(_maybe_broadcast(q, broadcast_queries), ["band", "bucket"])
+        .select("query_id", id_col, phash_col, "_qph")
+        .distinct()  # an image may collide with the query on >1 band
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.expr(ham).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    if k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy("hamming", id_col)
+        out = out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return out

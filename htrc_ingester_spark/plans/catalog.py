@@ -3386,6 +3386,47 @@ def _phash_neardup_oracle() -> str:
 _register_fn("dedup_image_phash", _phash_neardup, _phash_neardup_oracle())
 
 
+# phash radius search (operators/embedding.phash_search): find every
+# image within hamming ≤3 of each query phash, top-5 per query. The
+# banded equi-join is pigeonhole-COMPLETE at radius 3, so the oracle is
+# the true brute-force cross join — this entry proves exact recall of
+# the LSH plan, not band-mirroring.
+def _phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embedding import phash_search
+
+    _load(spark, sf_dir, "lineitem")
+    imgs = spark.sql(_phash_images_sql("spark"))
+    queries = imgs.where("image_id % 101 = 7").selectExpr(
+        "image_id as query_id", "phash"
+    )
+    return phash_search(imgs, queries, max_hamming=3, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _phash_search_oracle() -> str:
+    from ..operators.embedding import hamming64_sql
+
+    ham = hamming64_sql("q.phash", "i.phash", "duckdb")
+    return f"""
+    with imgs as ({_phash_images_sql('duckdb')}),
+    q as (select image_id as query_id, phash from imgs where image_id % 101 = 7),
+    hits as (
+      select q.query_id, i.image_id, cast({ham} as int) as hamming
+      from q cross join imgs i),
+    ranked as (
+      select query_id, image_id, hamming,
+             cast(row_number() over (partition by query_id
+                                     order by hamming, image_id) as int) as rank
+      from hits where hamming <= 3)
+    select query_id, image_id, hamming, rank
+    from ranked where rank <= 5 order by query_id, rank
+    """
+
+
+_register_fn("phash_search_radius", _phash_search, _phash_search_oracle())
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →

@@ -233,6 +233,53 @@ class TestPhashNearDup:
         assert (1, 3) not in m and (2, 3) not in m
 
 
+class TestPhashSearch:
+    def test_radius_search_complete_vs_bruteforce(self, spark):
+        """phash_search finds EVERY image within hamming ≤3 of each
+        query (pigeonhole completeness), ranks by (hamming, image_id),
+        truncates at k — all verified against a python brute force."""
+        from htrc_ingester_spark.operators.embedding import phash_search
+
+        imgs = [(i, (i * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF) for i in range(300)]
+        # planted in-radius neighbors of image 5's phash
+        imgs += [(900, imgs[5][1]), (901, imgs[5][1] ^ 0b11), (902, imgs[5][1] ^ (1 << 50))]
+        df = spark.createDataFrame(imgs, "image_id long, phash long")
+        queries = spark.createDataFrame(
+            [(5, imgs[5][1]), (17, imgs[17][1])], "query_id long, phash long"
+        )
+        got = phash_search(df, queries, max_hamming=3, k=10).toPandas()
+
+        def ham(x, y):
+            return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        for qid, qph in [(5, imgs[5][1]), (17, imgs[17][1])]:
+            want = sorted(
+                (ham(qph, ph), i) for i, ph in imgs if ham(qph, ph) <= 3
+            )[:10]
+            sub = got[got.query_id == qid].sort_values("rank")
+            assert [(int(h), int(i)) for h, i in zip(sub.hamming, sub.image_id)] == want
+            assert list(sub["rank"]) == list(range(1, len(want) + 1))
+
+    def test_radius_beyond_pigeonhole_raises(self, spark):
+        from htrc_ingester_spark.operators.embedding import phash_search
+
+        df = spark.createDataFrame([(1, 0)], "image_id long, phash long")
+        q = spark.createDataFrame([(1, 0)], "query_id long, phash long")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            phash_search(df, q, max_hamming=4)
+
+    def test_no_k_returns_all_in_radius(self, spark):
+        from htrc_ingester_spark.operators.embedding import phash_search
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 0b111), (4, 0b1111)], "image_id long, phash long"
+        )
+        q = spark.createDataFrame([(9, 0)], "query_id long, phash long")
+        got = phash_search(df, q, max_hamming=3).toPandas()
+        assert set(got.image_id) == {1, 2, 3}
+        assert "rank" not in got.columns
+
+
 def test_split_assign_deterministic_and_proportioned(spark):
     """Salted-md5 split: stable across reruns/partitionings and within
     a few points of the 80/10/10 target on 5k ids."""
