@@ -3427,6 +3427,53 @@ def _phash_search_oracle() -> str:
 _register_fn("phash_search_radius", _phash_search, _phash_search_oracle())
 
 
+# Z-order layout keys (operators/layout.py): the Morton key that
+# zorder_write sorts by, rolled up to its 256 top-level buckets with
+# per-bucket extents. The extents ARE the row-group min/max stats a
+# parquet reader prunes on, so this entry value-checks the clustering
+# property itself: each bucket covers a small lon/lat rectangle. The
+# physical skip evidence (footer scan of a written table) is pinned in
+# tests/test_layout.py.
+_ZORDER_BITS = 8
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.layout import with_zorder_key
+
+    imgs = FS.load_images(spark, sf_dir)
+    return (
+        with_zorder_key(imgs, bits=_ZORDER_BITS)
+        .groupBy(F.expr("zkey div 256").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.min("lon"), 6).alias("lon_min"),
+            F.round(F.max("lon"), 6).alias("lon_max"),
+            F.round(F.min("lat"), 6).alias("lat_min"),
+            F.round(F.max("lat"), 6).alias("lat_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _zorder_layout_oracle() -> str:
+    from ..operators.layout import zorder_sql_expr
+
+    zkey = zorder_sql_expr("lon", "lat", _ZORDER_BITS, "duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select cast({zkey} // 256 as bigint) as bucket,
+           cast(count(*) as bigint) as n_images,
+           round(min(lon), 6) as lon_min, round(max(lon), 6) as lon_max,
+           round(min(lat), 6) as lat_min, round(max(lat), 6) as lat_max
+    from img group by 1 order by 1
+    """
+
+
+_register_fn("zorder_layout_buckets", _zorder_layout, _zorder_layout_oracle())
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →
