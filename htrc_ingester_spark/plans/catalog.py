@@ -3474,6 +3474,78 @@ def _zorder_layout_oracle() -> str:
 _register_fn("zorder_layout_buckets", _zorder_layout, _zorder_layout_oracle())
 
 
+# Segment-segment intersection join (operators/segments.py). Fixture:
+# near-horizontal "roads" (set A) and near-vertical "paths" (set B) on
+# a shared /16-fraction grid — every coordinate is an exact binary
+# double, so the orientation-test signs are bit-identical in Spark and
+# DuckDB. The oracle is the brute-force bbox+predicate join; the Spark
+# side must produce the same pairs through the cell-cover +
+# reference-point plan (exactly-once, no distinct).
+def _segments_sql(which: str) -> str:
+    # dialect-neutral: %, *, case, cast only
+    ka = "(l_orderkey * 7919 + l_linenumber * 104729)"
+    kb = "(l_orderkey * 104729 + l_linenumber * 7919)"
+    six = "cast(16 as double)"
+    x0 = f"(cast({ka} % 1600 as double) / {six} - cast(50 as double))"
+    y0 = f"(cast({kb} % 1600 as double) / {six} - cast(50 as double))"
+    tilt = f"(cast({ka} % 5 - 2 as double) / {six})"
+    # length 0..2 in /16 steps: bbox overlap does NOT imply intersection
+    # (near misses at the ends), and length-0 rows exercise the
+    # degenerate point-segment touch branch
+    length = f"(cast({kb} % 33 as double) / {six})"
+    if which == "roads":  # near-horizontal
+        x1, y1, pred = f"({x0} + {length})", f"({y0} + {tilt})", "l_orderkey % 4 = 0"
+    else:  # near-vertical
+        x1, y1, pred = f"({x0} + {tilt})", f"({y0} + {length})", "l_orderkey % 4 = 1"
+    return f"""
+      select cast(l_orderkey * 10 + l_linenumber as bigint) as seg_id,
+             {x0} as x0, {y0} as y0, {x1} as x1, {y1} as y1
+      from lineitem where l_linenumber = 1 and {pred}
+    """
+
+
+def _segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.segments import segment_intersect_join
+
+    _load(spark, sf_dir, "lineitem")
+    roads = spark.sql(_segments_sql("roads"))
+    paths = spark.sql(_segments_sql("paths"))
+    return (
+        segment_intersect_join(spark, roads, paths)
+        .select("a_seg_id", "b_seg_id")
+        .orderBy("a_seg_id", "b_seg_id")
+    )
+
+
+def _segment_join_oracle() -> str:
+    # brute force bbox-prefilter + exact predicate. case-when min/max
+    # throughout (never least/greatest): DuckDB 1.x raises an internal
+    # "flat vector" assertion on least() over joined CTE columns.
+    from ..operators.segments import segments_intersect_sql
+
+    cond = segments_intersect_sql("a.", "b.")
+    box = """select seg_id, x0, y0, x1, y1,
+      case when x0 <= x1 then x0 else x1 end as xlo,
+      case when x0 <= x1 then x1 else x0 end as xhi,
+      case when y0 <= y1 then y0 else y1 end as ylo,
+      case when y0 <= y1 then y1 else y0 end as yhi from {}"""
+    return f"""
+    with roads0 as ({_segments_sql('roads')}),
+    paths0 as ({_segments_sql('paths')}),
+    roads as ({box.format('roads0')}),
+    paths as ({box.format('paths0')})
+    select a.seg_id as a_seg_id, b.seg_id as b_seg_id
+    from roads a cross join paths b
+    where a.xlo <= b.xhi and b.xlo <= a.xhi
+      and a.ylo <= b.yhi and b.ylo <= a.yhi
+      and {cond}
+    order by 1, 2
+    """
+
+
+_register_fn("segment_intersect_roads", _segment_join, _segment_join_oracle())
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →

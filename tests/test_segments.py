@@ -1,0 +1,118 @@
+"""Segment-segment intersection join: predicate edge cases, exactly-once
+emission, and brute-force parity."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from htrc_ingester_spark.operators.segments import segment_intersect_join
+
+
+def _py_intersects(a, b) -> bool:
+    """Exact rational-arithmetic oracle (closed segments)."""
+    (ax, ay), (bx, by) = a
+    (cx, cy), (dx, dy) = b
+
+    def ccw(o, p, q):
+        return (Fraction(p[0]) - o[0]) * (Fraction(q[1]) - o[1]) - (
+            Fraction(p[1]) - o[1]
+        ) * (Fraction(q[0]) - o[0])
+
+    def onb(p, s0, s1):
+        return (
+            min(s0[0], s1[0]) <= p[0] <= max(s0[0], s1[0])
+            and min(s0[1], s1[1]) <= p[1] <= max(s0[1], s1[1])
+        )
+
+    d1 = ccw((cx, cy), (dx, dy), (ax, ay))
+    d2 = ccw((cx, cy), (dx, dy), (bx, by))
+    d3 = ccw((ax, ay), (bx, by), (cx, cy))
+    d4 = ccw((ax, ay), (bx, by), (dx, dy))
+    if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+        return True
+    return (
+        (d1 == 0 and onb((ax, ay), (cx, cy), (dx, dy)))
+        or (d2 == 0 and onb((bx, by), (cx, cy), (dx, dy)))
+        or (d3 == 0 and onb((cx, cy), (ax, ay), (bx, by)))
+        or (d4 == 0 and onb((dx, dy), (ax, ay), (bx, by)))
+    )
+
+
+def _run(spark, segs_a, segs_b, res=None):
+    a = spark.createDataFrame(
+        [(i, *p0, *p1) for i, (p0, p1) in enumerate(segs_a)],
+        "seg_id long, x0 double, y0 double, x1 double, y1 double",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, *p0, *p1) for i, (p0, p1) in enumerate(segs_b)],
+        "seg_id long, x0 double, y0 double, x1 double, y1 double",
+    )
+    got = segment_intersect_join(spark, a, b, res=res).toPandas()
+    return sorted(zip(got.a_seg_id, got.b_seg_id))
+
+
+class TestSegmentPredicate:
+    def test_edge_cases(self, spark):
+        A = [
+            (((0.0, 0.0), (2.0, 0.0))),   # 0 horizontal base
+            (((0.0, 0.0), (0.0, 0.0))),   # 1 degenerate point at origin
+            (((0.0, 2.0), (2.0, 2.0))),   # 2 parallel, disjoint
+        ]
+        B = [
+            (((1.0, -1.0), (1.0, 1.0))),  # 100 proper crossing of 0
+            (((2.0, 0.0), (3.0, 5.0))),   # 101 endpoint touch of 0
+            (((0.5, 0.0), (1.5, 0.0))),   # 102 collinear overlap of 0
+            (((3.0, 0.0), (4.0, 0.0))),   # 103 collinear DISJOINT from 0
+            (((1.0, 0.25), (1.0, 1.0))),  # 104 near miss above 0
+            (((0.0, 0.0), (-1.0, -1.0))), # 105 touches the degenerate point 1
+        ]
+        got = _run(spark, A, B, res=4)
+        want = sorted(
+            (i, 100 + j)
+            for i, a in enumerate(A)
+            for j, b in enumerate(B)
+            if _py_intersects(a, b)
+        )
+        assert got == want
+        assert (0, 100) in got and (0, 101) in got and (0, 102) in got
+        assert (0, 103) not in got and (0, 104) not in got
+        assert (1, 105) in got  # point-on-segment via degenerate seg
+        assert all(p[0] != 2 for p in got)  # parallel line hits nothing
+
+    def test_exactly_once_across_many_cells(self, spark):
+        """A long segment covering many grid cells still emits each pair
+        once (reference-point rule) — count duplicates explicitly."""
+        A = [(((-40.0, 0.0), (40.0, 0.0)))]
+        B = [(((i * 1.0 - 35.0, -1.0), (i * 1.0 - 35.0, 1.0))) for i in range(70)]
+        a = spark.createDataFrame(
+            [(0, *A[0][0], *A[0][1])],
+            "seg_id long, x0 double, y0 double, x1 double, y1 double",
+        )
+        b = spark.createDataFrame(
+            [(100 + i, *p0, *p1) for i, (p0, p1) in enumerate(B)],
+            "seg_id long, x0 double, y0 double, x1 double, y1 double",
+        )
+        got = segment_intersect_join(spark, a, b, res=8).toPandas()
+        assert len(got) == 70
+        assert got.groupby(["a_seg_id", "b_seg_id"]).size().max() == 1
+
+    def test_bruteforce_parity_random(self, spark):
+        """200×200 deterministic pseudo-random short segments on a /8
+        grid vs the exact Fraction oracle — auto res."""
+        def seg(k, vertical):
+            x0 = ((k * 7919) % 160) / 8.0 - 10.0
+            y0 = ((k * 104729) % 160) / 8.0 - 10.0
+            ln = ((k * 31) % 9) / 8.0
+            tl = (((k * 17) % 5) - 2) / 8.0
+            return ((x0, y0), (x0 + (tl if vertical else ln), y0 + (ln if vertical else tl)))
+
+        A = [seg(k, False) for k in range(200)]
+        B = [seg(k + 1000, True) for k in range(200)]
+        got = _run(spark, A, B)
+        want = sorted(
+            (i, 100 + j)
+            for i, a in enumerate(A)
+            for j, b in enumerate(B)
+            if _py_intersects(a, b)
+        )
+        assert got == want and len(want) > 50
