@@ -3546,6 +3546,60 @@ def _segment_join_oracle() -> str:
 _register_fn("segment_intersect_roads", _segment_join, _segment_join_oracle())
 
 
+# Ring measures (operators/ringstats.py): shoelace area / perimeter /
+# centroid of every fixture ring (simple, concave, antimeridian, polar,
+# degenerate, holes, multipart) as zero-exchange HOF folds, vs a DuckDB
+# lead()-window twin over the same inlined vertices.
+def _ring_fixture_rows() -> list[tuple]:
+    from .. import data
+    from ..operators.pip_join import poly_rings
+
+    rows = []
+    for p in data.polygons() + data.polygons_holes():
+        for ridx, ring in enumerate(poly_rings(p)):
+            verts = [(float(x), float(y)) for x, y in ring]
+            if verts[0] != verts[-1]:
+                # close explicitly so the Spark HOF and the SQL window
+                # see identical vertex lists (the polar-cap fixture ends
+                # at lon +180 vs its -180 start — closed on the sphere,
+                # open in planar coordinates)
+                verts.append(verts[0])
+            rows.append((p["poly_id"], ridx, verts))
+    return rows
+
+
+def _ring_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ringstats import ring_metrics
+
+    df = spark.createDataFrame(
+        _ring_fixture_rows(),
+        "poly_id string, ring_idx int, vertices array<struct<lon: double, lat: double>>",
+    )
+    return (
+        ring_metrics(df, round_to=6)
+        .select(
+            "poly_id", "ring_idx", "signed_area", "area", "perimeter",
+            "centroid_lon", "centroid_lat",
+        )
+        .orderBy("poly_id", "ring_idx")
+    )
+
+
+def _ring_metrics_oracle() -> str:
+    from ..operators.ringstats import ring_metrics_oracle_sql
+
+    vals = ", ".join(
+        f"('{pid}', {ridx}, {pt}, cast('{x!r}' as double), cast('{y!r}' as double))"
+        for pid, ridx, verts in _ring_fixture_rows()
+        for pt, (x, y) in enumerate(verts)
+    )
+    rel = f"(select * from (values {vals}) as t(poly_id, ring_idx, pt_idx, lon, lat))"
+    return ring_metrics_oracle_sql(rel, round_to=6)
+
+
+_register_fn("ring_metrics_polygons", _ring_metrics, _ring_metrics_oracle())
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →
