@@ -134,3 +134,65 @@ def trajectory_legs(
             / (F.col("__t") - F.col("__pt")),
         ).alias("speed_mps"),
     )
+
+
+def geofence_transitions(
+    spark,
+    points: DataFrame,
+    polys: list[dict],
+    id_col: str = "entity_id",
+    ts_col: str = "ts",
+    key_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 7,
+) -> DataFrame:
+    """Enter/exit/switch events of moving entities against a zone set.
+
+    Labels every point with its containing zone via pip_join (points
+    outside every zone get a NULL label; a point inside several
+    overlapping zones takes the lexicographically smallest poly_id so
+    the timeline is deterministic), then walks each entity's timeline
+    once: a row is emitted whenever the label changes, carrying
+    ``from_zone`` / ``to_zone`` / ``kind`` (enter | exit | switch). An
+    entity's first point emits an ``enter`` iff it starts inside a
+    zone. ``key_col`` must uniquely identify a point row (it anchors
+    the label join-back).
+
+    Shuffle shape: pip_join's broadcast cover probe (no point
+    exchange), ONE hash exchange to join labels back on ``key_col``,
+    and ONE entity-keyed window exchange for the lag — bounded and
+    independent of zone count. The streaming twin is pip_join per
+    micro-batch (streaming/geofence) + this lag over
+    applyInPandasWithState; batch==stream on the same input is pinned
+    in tests.
+    """
+    from .pip_join import pip_join
+
+    labels = (
+        pip_join(spark, points.select(key_col, lon_col, lat_col), polys, res=res)
+        .groupBy(key_col)
+        .agg(F.min("poly_id").alias("__zone"))
+    )
+    timeline = points.join(labels, key_col, "left")
+    w = Window.partitionBy(id_col).orderBy(ts_col, key_col)
+    prev = F.lag("__zone").over(w)
+    first = F.row_number().over(w) == 1
+    return (
+        timeline.withColumn("__prev", prev)
+        .withColumn("__first", first)
+        .where(
+            (F.col("__first") & F.col("__zone").isNotNull())
+            | (~F.col("__first") & ~F.col("__zone").eqNullSafe(F.col("__prev")))
+        )
+        .select(
+            id_col,
+            ts_col,
+            F.col("__prev").alias("from_zone"),
+            F.col("__zone").alias("to_zone"),
+            F.when(F.col("__zone").isNull(), F.lit("exit"))
+            .when(F.col("__prev").isNull(), F.lit("enter"))
+            .otherwise(F.lit("switch"))
+            .alias("kind"),
+        )
+    )

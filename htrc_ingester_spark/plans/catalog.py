@@ -3600,6 +3600,74 @@ def _ring_metrics_oracle() -> str:
 _register_fn("ring_metrics_polygons", _ring_metrics, _ring_metrics_oracle())
 
 
+# Geofence enter/exit/switch transitions (operators/trajectory.
+# geofence_transitions): the trajectory fixture's entities moving
+# against the flagship rectangles. Oracle: half-open rect containment
+# (the PIP kernel's boundary convention) + the same lag() walk.
+def _geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.trajectory import geofence_transitions
+
+    pts = FS.load_images(spark, sf_dir).select(
+        F.col("image_id").alias("point_id"),
+        (F.col("image_id") % _TRAJ_ENTITIES).alias("entity_id"),
+        F.col("image_id").cast("double").alias("t"),
+        "lon",
+        "lat",
+    )
+    return (
+        geofence_transitions(
+            spark, pts, FS.RECTS, id_col="entity_id", ts_col="t",
+            key_col="point_id", res=FS.RES,
+        )
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            "t", "from_zone", "to_zone", "kind",
+        )
+        .orderBy("entity_id", "t")
+    )
+
+
+def _geofence_transitions_oracle() -> str:
+    zone_cases = " ".join(
+        f"when lon >= cast('{r['ring'][0][0]!r}' as double)"
+        f" and lon < cast('{r['ring'][1][0]!r}' as double)"
+        f" and lat >= cast('{r['ring'][0][1]!r}' as double)"
+        f" and lat < cast('{r['ring'][2][1]!r}' as double)"
+        f" then '{r['poly_id']}'"
+        for r in FS.RECTS
+    )
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    tl as (
+      select image_id as point_id,
+             image_id % {_TRAJ_ENTITIES} as entity_id,
+             cast(image_id as double) as t,
+             case {zone_cases} end as zone
+      from img),
+    lagd as (
+      select entity_id, t, zone,
+             lag(zone) over w as prev,
+             row_number() over w as rn
+      from tl window w as (partition by entity_id order by t, point_id))
+    select cast(entity_id as bigint) as entity_id, t,
+           prev as from_zone, zone as to_zone,
+           case when zone is null then 'exit'
+                when prev is null then 'enter'
+                else 'switch' end as kind
+    from lagd
+    where (rn = 1 and zone is not null)
+       or (rn > 1 and zone is distinct from prev)
+    order by entity_id, t
+    """
+
+
+_register_fn(
+    "geofence_transitions_rects", _geofence_transitions, _geofence_transitions_oracle()
+)
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →

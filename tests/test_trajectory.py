@@ -145,3 +145,60 @@ def test_plan_single_exchange(spark, track_pdf):
     )
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+class TestGeofenceTransitions:
+    ZONES = [
+        {"poly_id": "za", "ring": [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]},
+        {"poly_id": "zb", "ring": [(2.0, 0.0), (3.0, 0.0), (3.0, 1.0), (2.0, 1.0), (2.0, 0.0)]},
+        # zc overlaps za — 'za' < 'zc', so the min-poly_id rule picks za
+        {"poly_id": "zc", "ring": [(0.5, 0.0), (1.5, 0.0), (1.5, 1.0), (0.5, 1.0), (0.5, 0.0)]},
+    ]
+
+    def _run(self, spark, rows):
+        from htrc_ingester_spark.operators.trajectory import geofence_transitions
+
+        pts = spark.createDataFrame(
+            rows, "point_id long, entity_id long, t double, lon double, lat double"
+        )
+        got = geofence_transitions(
+            spark, pts, self.ZONES, id_col="entity_id", ts_col="t",
+            key_col="point_id", res=3
+        ).toPandas()
+        return sorted(
+            (r.entity_id, r.t, r.from_zone, r.to_zone, r.kind)
+            for r in got.itertuples(index=False)
+        )
+
+    def test_enter_exit_switch_walkthrough(self, spark):
+        rows = [
+            # entity 1: outside → za → za → zb → outside
+            (10, 1, 1.0, -5.0, 0.5),
+            (11, 1, 2.0, 0.2, 0.5),
+            (12, 1, 3.0, 0.3, 0.5),
+            (13, 1, 4.0, 2.5, 0.5),
+            (14, 1, 5.0, 9.0, 9.0),
+            # entity 2: starts INSIDE zb → first-point enter
+            (20, 2, 1.0, 2.1, 0.1),
+            # entity 3: never inside → no rows
+            (30, 3, 1.0, -40.0, -40.0),
+            (31, 3, 2.0, -41.0, -40.0),
+        ]
+        got = self._run(spark, rows)
+        assert got == [
+            (1, 2.0, None, "za", "enter"),
+            (1, 4.0, "za", "zb", "switch"),
+            (1, 5.0, "zb", None, "exit"),
+            (2, 1.0, None, "zb", "enter"),
+        ]
+
+    def test_overlap_resolves_to_min_poly_id(self, spark):
+        rows = [
+            (1, 7, 1.0, 0.75, 0.5),   # inside BOTH za and zc → za
+            (2, 7, 2.0, 1.25, 0.5),   # inside zc only → switch za→zc
+        ]
+        got = self._run(spark, rows)
+        assert got == [
+            (7, 1.0, None, "za", "enter"),
+            (7, 2.0, "za", "zc", "switch"),
+        ]
