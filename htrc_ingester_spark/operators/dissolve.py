@@ -416,3 +416,68 @@ def cluster_points(
     out.count()
     d.unpersist()
     return out
+
+
+def band_expr(value_col: str, breaks: list[float], dialect: str = "spark") -> str:
+    """Band index of a value given ascending ``breaks``: the count of
+    breaks ≤ value (0 = below the first break). Pure integer-case
+    arithmetic, identical in Spark SQL and DuckDB."""
+    if list(breaks) != sorted(breaks):
+        raise ValueError("breaks must be ascending")
+    terms = " + ".join(
+        f"(case when {value_col} >= {b!r} then 1 else 0 end)" for b in breaks
+    )
+    return f"({terms})"
+
+
+def isobands(
+    raster: DataFrame,
+    res: int,
+    breaks: list[float],
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Iso-band regions of a raster: classify every cell into a value
+    band (contour interval), then merge touching SAME-BAND cells into
+    regions — the discrete contour/choropleth operator (GDAL
+    ``gdal_contour -p`` analog on the cell grid).
+
+    Returns (cell, value, band, comp): ``band`` = count of breaks ≤
+    value, ``comp`` = min cell id of the cell's same-band connected
+    component (isolated cells label themselves). Built entirely from
+    the existing dissolve machinery: the 4-adjacency edge list is
+    filtered to band-equal endpoints, then the general CC kernel runs
+    once over ALL bands together — no per-band loop, one edge build,
+    same O(log diameter) rounds. At scale the edge list is ~2 rows per
+    kept cell, keyed by cell id.
+    """
+    kept = raster.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.col(value_col).alias("value"),
+    ).withColumn("band", F.expr(band_expr("value", breaks))).persist()
+    edges = adjacency_edges(kept, res)
+    bands = kept.select("cell", "band")
+    same_band = (
+        edges.join(bands.withColumnRenamed("cell", "src"), "src")
+        .join(
+            bands.select(F.col("cell").alias("dst"), F.col("band").alias("_b2")),
+            "dst",
+        )
+        .where(F.col("band") == F.col("_b2"))
+        .select("src", "dst")
+    )
+    labels = connected_components_edges(same_band, "src", "dst")
+    out = (
+        kept.join(labels, kept.cell == labels.node, "left")
+        .select(
+            "cell",
+            "value",
+            "band",
+            F.coalesce(F.col("cluster"), F.col("cell")).alias("comp"),
+        )
+        .persist()
+    )
+    out.count()
+    kept.unpersist()
+    labels.unpersist()
+    return out

@@ -349,23 +349,29 @@ _DISSOLVE_RES = 7
 _OVERLAY_T_B = 16.0
 
 
-def _cc_oracle_ctes(prefix: str, kept_cte: str, res: int) -> str:
+def _cc_oracle_ctes(
+    prefix: str, kept_cte: str, res: int, band_col: str | None = None
+) -> str:
     """DuckDB CTE block computing per-cell component ids (min reachable
     cell id) for the cell set in ``kept_cte`` (columns cell, value).
     Adjacency is the SAME int64 arithmetic as operators/dissolve.py:
-    E neighbor wraps lon mod nx, N neighbor clips at the pole."""
+    E neighbor wraps lon mod nx, N neighbor clips at the pole.
+    ``band_col``: restrict edges to band-equal endpoints (the isobands
+    variant)."""
     from ..geo import h3lite as HH
 
     nxr, nyr = HH.nx(res), HH.ny(res)
+    band_sel = f", {band_col}" if band_col else ""
+    band_pred = f" and a.{band_col} = b.{band_col}" if band_col else ""
     return f"""
     {prefix}_xy as (
-      select cell, (cell // {1 << 28}) % {1 << 28} as x, cell % {1 << 28} as y
+      select cell, (cell // {1 << 28}) % {1 << 28} as x, cell % {1 << 28} as y{band_sel}
       from {kept_cte}),
     {prefix}_e1 as (
       select a.cell as src, b.cell as dst
       from {prefix}_xy a join {prefix}_xy b
-        on (b.x = (a.x + 1) % {nxr} and b.y = a.y)
-        or (b.x = a.x and b.y = a.y + 1 and a.y + 1 < {nyr})),
+        on ((b.x = (a.x + 1) % {nxr} and b.y = a.y)
+        or (b.x = a.x and b.y = a.y + 1 and a.y + 1 < {nyr})){band_pred}),
     {prefix}_edges as (
       select src, dst from {prefix}_e1
       union
@@ -3666,6 +3672,61 @@ def _geofence_transitions_oracle() -> str:
 _register_fn(
     "geofence_transitions_rects", _geofence_transitions, _geofence_transitions_oracle()
 )
+
+
+# Iso-band contour regions (operators/dissolve.isobands): classify the
+# point-count raster into contour intervals, merge touching same-band
+# cells, roll up per region. Oracle: the banded recursive-CTE CC twin.
+_ISOBAND_BREAKS = [2.0, 5.0, 15.0]
+
+
+def _raster_isobands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import tiles as TL
+    from ..operators.dissolve import isobands
+
+    img = FS.load_images(spark, sf_dir)
+    raster = TL.rasterize(img, res=_DISSOLVE_RES)
+    iso = isobands(raster, res=_DISSOLVE_RES, breaks=_ISOBAND_BREAKS)
+    out = (
+        iso.groupBy("band", "comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").cast("long").alias("total_value"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            F.col("comp").cast("long").alias("comp"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            "total_value",
+        )
+        .orderBy("band", "comp")
+    )
+    out = out.persist()
+    out.count()
+    iso.unpersist()
+    return out
+
+
+def _raster_isobands_oracle() -> str:
+    from ..operators.dissolve import band_expr
+
+    band = band_expr("value", _ISOBAND_BREAKS, "duckdb")
+    return f"""
+    with recursive {_raster_cte()},
+    ib_kept as (select cell, value, {band} as band from rast),
+    {_cc_oracle_ctes('ib', 'ib_kept', _DISSOLVE_RES, band_col='band')}
+    select cast(k.band as int) as band,
+           cast(c.comp as bigint) as comp,
+           cast(count(*) as bigint) as n_cells,
+           cast(sum(k.value) as bigint) as total_value
+    from ib_comp c join ib_kept k on c.cell = k.cell
+    group by k.band, c.comp order by band, comp
+    """
+
+
+_register_fn("raster_isobands", _raster_isobands, _raster_isobands_oracle())
 
 
 # ===========================================================================

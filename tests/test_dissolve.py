@@ -285,3 +285,33 @@ def test_cluster_points_preserves_caller_cell_column(spark):
     assert len(got) == 3
     assert (got["cell"] == "keep-me").all()
     assert got["cluster"].notna().all()
+
+
+class TestIsobands:
+    def test_band_boundary_splits_regions(self, spark):
+        """A horizontal strip of touching cells whose values straddle a
+        break: plain dissolve would merge them all; isobands must split
+        at the band boundary and label isolated cells with themselves."""
+        xy = [(10, 10), (11, 10), (12, 10), (13, 10), (14, 10), (40, 40)]
+        vals = [1.0, 1.0, 5.0, 5.0, 5.0, 9.0]
+        df = cells_df(spark, xy, values=vals)
+        got = DV.isobands(df, RES, breaks=[3.0]).toPandas()
+        m = {int(r.cell): (int(r.band), int(r.comp)) for r in got.itertuples(index=False)}
+        lo = [pack(10, 10), pack(11, 10)]
+        hi = [pack(12, 10), pack(13, 10), pack(14, 10)]
+        assert {m[c][0] for c in lo} == {0} and {m[c][0] for c in hi} == {1}
+        assert {m[c][1] for c in lo} == {min(lo)}
+        assert {m[c][1] for c in hi} == {min(hi)}
+        # isolated high cell: own component, band 1
+        assert m[pack(40, 40)] == (1, pack(40, 40))
+
+    def test_band_expr_counts_breaks(self, spark):
+        rows = spark.sql(
+            "select " + DV.band_expr("v", [2.0, 5.0, 15.0])
+            + " as b from values (1.0), (2.0), (4.9), (5.0), (99.0) as t(v)"
+        ).collect()
+        assert [r.b for r in rows] == [0, 1, 1, 2, 3]
+
+    def test_breaks_must_ascend(self):
+        with pytest.raises(ValueError):
+            DV.band_expr("v", [5.0, 2.0])
