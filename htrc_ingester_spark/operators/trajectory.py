@@ -196,3 +196,58 @@ def geofence_transitions(
             .alias("kind"),
         )
     )
+
+
+def trajectory_resample(
+    points: DataFrame,
+    dt: float,
+    id_col: str = "entity_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_gap_s: float | None = None,
+) -> DataFrame:
+    """Resample each entity's track to a regular time grid: one output
+    row per tick ``k·dt`` falling in a leg's half-open span
+    ``[t_i, t_{i+1})``, position linearly interpolated along the leg.
+    The standard fixed-rate regularizer upstream of movement models
+    (uniform sequences from irregular GPS fixes).
+
+    ``max_gap_s``: legs longer than this are NOT interpolated across
+    (sensor outage ≠ straight-line motion — the same gap philosophy as
+    trajectory_stats); their span emits nothing.
+
+    Shuffle shape: ONE entity-keyed window exchange (the lead pairing);
+    tick generation is a ``sequence`` explode — a Catalyst generator,
+    so output rows never pass through Python and the fan-out is
+    (leg duration / dt), bounded by ``max_gap_s`` when set. Use a power
+    -of-two ``dt`` for bit-exact tick arithmetic across engines.
+
+    Returns (id, tick_ts, lon, lat) sorted ticks per entity.
+    """
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    legs = (
+        points.select(id_col, ts_col, lon_col, lat_col)
+        .withColumn("__t1", F.lead(ts_col).over(w))
+        .withColumn("__lon1", F.lead(lon_col).over(w))
+        .withColumn("__lat1", F.lead(lat_col).over(w))
+        .where(F.col("__t1").isNotNull())
+    )
+    if max_gap_s is not None:
+        legs = legs.where(F.col("__t1") - F.col(ts_col) <= F.lit(max_gap_s))
+    t0, t1 = F.col(ts_col), F.col("__t1")
+    k0 = F.ceil(t0 / F.lit(dt)).cast("long")
+    # last tick strictly below t1: ceil(t1/dt) - 1 handles both exact
+    # and non-exact t1 (half-open span)
+    k1 = (F.ceil(t1 / F.lit(dt)).cast("long") - F.lit(1)).cast("long")
+    ticks = legs.withColumn("__k0", k0).withColumn("__k1", k1).where(
+        F.col("__k0") <= F.col("__k1")
+    ).withColumn("__k", F.explode(F.expr("sequence(__k0, __k1)")))
+    tick_t = F.col("__k").cast("double") * F.lit(dt)
+    frac = (tick_t - t0) / (t1 - t0)
+    return ticks.select(
+        id_col,
+        tick_t.alias("tick_ts"),
+        (F.col(lon_col) + frac * (F.col("__lon1") - F.col(lon_col))).alias("lon"),
+        (F.col(lat_col) + frac * (F.col("__lat1") - F.col(lat_col))).alias("lat"),
+    )

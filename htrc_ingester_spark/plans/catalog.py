@@ -3729,6 +3729,75 @@ def _raster_isobands_oracle() -> str:
 _register_fn("raster_isobands", _raster_isobands, _raster_isobands_oracle())
 
 
+# Fixed-rate trajectory resampling (operators/trajectory.
+# trajectory_resample): dt is a power of two so tick arithmetic
+# (ceil of t/2^k on integer-valued t) is bit-exact in both engines;
+# interpolated coordinates round to 6.
+_RESAMPLE_DT = 256.0
+_RESAMPLE_MAX_GAP = 4096.0
+
+
+def _trajectory_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.trajectory import trajectory_resample
+
+    pts = FS.load_images(spark, sf_dir).select(
+        (F.col("image_id") % _TRAJ_ENTITIES).alias("entity_id"),
+        F.col("image_id").cast("double").alias("t"),
+        "lon",
+        "lat",
+    )
+    return (
+        trajectory_resample(
+            pts, dt=_RESAMPLE_DT, id_col="entity_id", ts_col="t",
+            max_gap_s=_RESAMPLE_MAX_GAP,
+        )
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            "tick_ts",
+            F.round("lon", 6).alias("lon"),
+            F.round("lat", 6).alias("lat"),
+        )
+        .orderBy("entity_id", "tick_ts")
+    )
+
+
+def _trajectory_resample_oracle() -> str:
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    pts as (
+      select image_id % {_TRAJ_ENTITIES} as entity_id,
+             cast(image_id as double) as t, lon, lat
+      from img),
+    legs as (
+      select entity_id, t, lon, lat,
+             lead(t) over w as t1,
+             lead(lon) over w as lon1,
+             lead(lat) over w as lat1
+      from pts window w as (partition by entity_id order by t)),
+    spans as (
+      select *, cast(ceil(t / {_RESAMPLE_DT!r}) as bigint) as k0,
+             cast(ceil(t1 / {_RESAMPLE_DT!r}) as bigint) - 1 as k1
+      from legs
+      where t1 is not null and t1 - t <= {_RESAMPLE_MAX_GAP!r}),
+    ticks as (
+      select entity_id, t, t1, lon, lat, lon1, lat1,
+             unnest(generate_series(k0, k1)) as k
+      from spans where k0 <= k1)
+    select cast(entity_id as bigint) as entity_id,
+           cast(k as double) * {_RESAMPLE_DT!r} as tick_ts,
+           round(lon + (cast(k as double) * {_RESAMPLE_DT!r} - t) / (t1 - t) * (lon1 - lon), 6) as lon,
+           round(lat + (cast(k as double) * {_RESAMPLE_DT!r} - t) / (t1 - t) * (lat1 - lat), 6) as lat
+    from ticks order by entity_id, tick_ts
+    """
+
+
+_register_fn(
+    "trajectory_resample_ticks", _trajectory_resample, _trajectory_resample_oracle()
+)
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →

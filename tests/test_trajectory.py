@@ -202,3 +202,47 @@ class TestGeofenceTransitions:
             (7, 1.0, None, "za", "enter"),
             (7, 2.0, "za", "zc", "switch"),
         ]
+
+
+class TestTrajectoryResample:
+    def _run(self, spark, rows, dt=10.0, max_gap=None):
+        from htrc_ingester_spark.operators.trajectory import trajectory_resample
+
+        pts = spark.createDataFrame(rows, "entity_id long, t double, lon double, lat double")
+        got = trajectory_resample(
+            pts, dt=dt, id_col="entity_id", ts_col="t", max_gap_s=max_gap
+        ).toPandas()
+        return sorted(
+            (r.entity_id, r.tick_ts, round(r.lon, 9), round(r.lat, 9))
+            for r in got.itertuples(index=False)
+        )
+
+    def test_linear_interpolation_on_grid(self, spark):
+        # one leg (0,0)@t=5 → (10,20)@t=35: ticks at 10,20,30
+        rows = [(1, 5.0, 0.0, 0.0), (1, 35.0, 10.0, 20.0)]
+        got = self._run(spark, rows, dt=10.0)
+        want = [
+            (1, 10.0, 10 * (5 / 30), 20 * (5 / 30)),
+            (1, 20.0, 10 * (15 / 30), 20 * (15 / 30)),
+            (1, 30.0, 10 * (25 / 30), 20 * (25 / 30)),
+        ]
+        assert [(e, t) for e, t, *_ in got] == [(e, t) for e, t, *_ in want]
+        for g, w in zip(got, want):
+            assert abs(g[2] - w[2]) < 1e-9 and abs(g[3] - w[3]) < 1e-9
+
+    def test_halfopen_span_includes_start_excludes_end(self, spark):
+        # fixes exactly on ticks: t0 emits, t1 does not (it is the next
+        # leg's t0 when the track continues)
+        rows = [(1, 10.0, 0.0, 0.0), (1, 20.0, 1.0, 1.0), (1, 30.0, 2.0, 2.0)]
+        got = self._run(spark, rows, dt=10.0)
+        assert [(e, t) for e, t, *_ in got] == [(1, 10.0), (1, 20.0)]
+        assert got[0][2:] == (0.0, 0.0) and got[1][2:] == (1.0, 1.0)
+
+    def test_max_gap_suppresses_outage_spans(self, spark):
+        rows = [(1, 0.0, 0.0, 0.0), (1, 1000.0, 5.0, 5.0), (1, 1010.0, 6.0, 6.0)]
+        got = self._run(spark, rows, dt=10.0, max_gap=50.0)
+        # only the 1000→1010 leg emits (its t0 tick)
+        assert [(e, t) for e, t, *_ in got] == [(1, 1000.0)]
+
+    def test_single_point_entity_emits_nothing(self, spark):
+        assert self._run(spark, [(9, 7.0, 1.0, 1.0)], dt=10.0) == []
