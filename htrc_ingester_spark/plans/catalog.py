@@ -3798,6 +3798,41 @@ _register_fn(
 )
 
 
+# Web-Mercator quadkey histogram (geo/webmercator.py): the slippy-map
+# tile encode at zoom 6, grouped. Same formula text in both engines;
+# the numpy reference is pinned separately in tests/test_geo.py.
+_QK_ZOOM = 6
+
+
+def _quadkey_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..geo.webmercator import quadkey_sql_expr
+
+    img = FS.load_images(spark, sf_dir)
+    return (
+        img.groupBy(
+            F.expr(quadkey_sql_expr("lon", "lat", _QK_ZOOM, "spark")).alias("quadkey")
+        )
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .orderBy("quadkey")
+    )
+
+
+def _quadkey_hist_oracle() -> str:
+    from ..geo.webmercator import quadkey_sql_expr
+
+    qk = quadkey_sql_expr("lon", "lat", _QK_ZOOM, "duckdb")
+    return f"""
+    with img as ({FS.images_sql('lineitem')})
+    select {qk} as quadkey, cast(count(*) as bigint) as n_images
+    from img group by 1 order by 1
+    """
+
+
+_register_fn("quadkey_tile_hist", _quadkey_hist, _quadkey_hist_oracle())
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →

@@ -405,3 +405,55 @@ class TestPIPCrossingOracleGenerator:
             )
             got_ids = set(got[got.poly_id == p["poly_id"]].image_id)
             assert got_ids == want_ids, p["poly_id"]
+
+
+class TestWebMercatorQuadkey:
+    def test_known_bing_example(self, spark):
+        """Seattle (lat 47.61, lon -122.33) at level 8: tile (41, 89)
+        per the published slippy-map formula; hand-interleaving
+        x=41=b00101001, y=89=b01011001 MSB-first gives '02123003'."""
+        from htrc_ingester_spark.geo.webmercator import quadkey, tile_xy
+
+        x, y = tile_xy(-122.33, 47.61, 8)
+        assert (int(x), int(y)) == (41, 89)
+        assert quadkey(-122.33, 47.61, 8)[0] == "02123003"
+
+    def test_sql_expr_matches_numpy_reference(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.geo.webmercator import quadkey, quadkey_sql_expr
+
+        lons = np.linspace(-179.9, 179.9, 97)
+        lats = np.linspace(-88.0, 88.0, 97)  # beyond clamp at both ends
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lons, lats)], "lon double, lat double"
+        )
+        got = (
+            df.withColumn("qk", F.expr(quadkey_sql_expr("lon", "lat", 9, "spark")))
+            .orderBy("lon")
+            .collect()
+        )
+        want = quadkey(lons, lats, 9)
+        assert [r.qk for r in got] == list(want)
+
+    def test_prefix_hierarchy(self, spark):
+        """Level-z quadkey of a point is a prefix of its level-(z+1)
+        quadkey — the parent-tile property range scans rely on."""
+        from htrc_ingester_spark.geo.webmercator import quadkey
+
+        pts = [(-122.42, 37.77), (2.35, 48.86), (139.69, 35.68), (0.0, 0.0)]
+        for lon, lat in pts:
+            q5 = quadkey(lon, lat, 5)[0]
+            q9 = quadkey(lon, lat, 9)[0]
+            assert q9.startswith(q5) and len(q5) == 5 and len(q9) == 9
+
+    def test_zoom_bounds(self):
+        import pytest as _pytest
+
+        from htrc_ingester_spark.geo.webmercator import quadkey_sql_expr, tile_xy
+
+        with _pytest.raises(ValueError):
+            tile_xy(0.0, 0.0, 24)
+        with _pytest.raises(ValueError):
+            quadkey_sql_expr("lon", "lat", 0)
