@@ -419,6 +419,14 @@ def phash_search(
     by bucket, each query probes 4 buckets (~4/2^16 of the table);
     bytes never move, only (id, phash) pairs.
 
+    Skew caveat: a low-entropy band (e.g. a corpus of near-flat images
+    whose DCT sign bits agree) makes that band one hot bucket and the
+    join quadratic. Unlike phash_neardup_pairs there is NO bucket cap
+    here — dropping a hot bucket would break the completeness
+    guarantee; shard hot phash values upstream (or pre-aggregate
+    identical phashes and fan results back out) if the histogram shows
+    a band collapsing.
+
     query_df: (query_id, phash). Broadcast guard mirrors ann_topk
     (VERDICT r2): auto from Catalyst's size estimate, AQE otherwise.
     """

@@ -3336,20 +3336,30 @@ _register("w4_event_time_window", ["events"], _W4_SPARK, _W4_DUCK)
 def _phash_images_sql(dialect: str) -> str:
     # surrogate phash from lineitem keys (the real phash pipeline is
     # image_validate_pipeline; this entry checks the LSH relational
-    # machinery at sf scale with an exact oracle). DuckDB ^ is POW —
+    # machinery at sf scale with an exact oracle). A real phash is
+    # hash-like across ALL 64 bits, so the surrogate fills bits 0..62
+    # from two independent key mixes (low 32 + high 31, no int64
+    # overflow — DuckDB errors on bigint overflow where Spark wraps);
+    # a low-entropy high band would otherwise make band 3 one giant
+    # LSH bucket and the banded join quadratic. DuckDB ^ is POW —
     # 2-bit perturbation spelled per dialect.
+    ph = (
+        "(((l_orderkey * 40503 + l_partkey * 2654435761) % 2147483648)"
+        " * 4294967296"
+        " + ((l_orderkey * 2654435761 + l_partkey * 40503) % 4294967296))"
+    )
     flip = (
-        "cast((l_orderkey * 2654435761 + l_partkey * 40503) as bigint) ^ 1025"
+        f"cast({ph} as bigint) ^ 1025"
         if dialect == "spark"
-        else "xor(cast((l_orderkey * 2654435761 + l_partkey * 40503) as bigint), 1025)"
+        else f"xor(cast({ph} as bigint), 1025)"
     )
     return f"""
       select cast(l_orderkey * 10 + l_linenumber as bigint) as image_id,
-             cast(l_orderkey * 2654435761 + l_partkey * 40503 as bigint) as phash
+             cast({ph} as bigint) as phash
       from lineitem where l_linenumber = 1
       union all
       select cast(l_orderkey * 10 + 8 as bigint),
-             cast(l_orderkey * 2654435761 + l_partkey * 40503 as bigint)
+             cast({ph} as bigint)
       from lineitem where l_linenumber = 1 and l_orderkey % 50 = 0
       union all
       select cast(l_orderkey * 10 + 9 as bigint), {flip}
