@@ -596,3 +596,40 @@ def mosaic_pyramid(
         (-F.col("b.neg_id")).cast(id_type).alias(id_col),
         F.col("b.s").alias(score_col),
     )
+
+
+def coverage_gaps(
+    points: DataFrame,
+    boxes: DataFrame,
+    res: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Data-coverage QA: every grid cell intersecting a bbox that
+    contains NO point — the "where are we missing imagery" query an
+    acquisition pipeline runs per region before tasking new captures.
+    (The spatial form of the reference's sequence-completeness check,
+    SURVEY.md §2 W3: holes in an expected key range.)
+
+    ``boxes``: (poly_id, lon_min, lat_min, lon_max, lat_max). Returns
+    (poly_id, cell) for empty cells at ``res``.
+
+    Plan: the box side explodes to its cell cover (Catalyst sequence
+    generators — no geometry); the point side is ONE distinct of the
+    encode column; the gap set is a LEFT ANTI join on the cell id. At
+    10^12 points the anti-join's build side is distinct CELLS (grid-
+    bounded ≪ points) and the probe side is the cover (bounded by
+    region area × 4^res) — the raw corpus is touched exactly once.
+    """
+    from .bbox_join import _cover
+
+    cov = _cover(boxes.select("poly_id", "lon_min", "lat_min", "lon_max", "lat_max"), res, "g_")
+    occupied = (
+        points.select(
+            F.expr(H.h3_sql_expr(lon_col, lat_col, res)).alias("cell")
+        ).distinct()
+    )
+    return (
+        cov.join(occupied, "cell", "left_anti")
+        .select(F.col("g_poly_id").alias("poly_id"), "cell")
+    )

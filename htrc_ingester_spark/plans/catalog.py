@@ -3843,6 +3843,84 @@ def _quadkey_hist_oracle() -> str:
 _register_fn("quadkey_tile_hist", _quadkey_hist, _quadkey_hist_oracle())
 
 
+# Coverage-gap QA (operators/tiles.coverage_gaps): res-12 cells inside
+# each flagship rectangle with no image (res 14: ~60x60 cells per
+# rect, sparse enough that real gaps exist at gate scale). Oracle
+# enumerates the same
+# cover with generate_series and anti-joins the encode column.
+_GAP_RES = 14
+
+
+def _coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import coverage_gaps
+
+    img = FS.load_images(spark, sf_dir)
+    boxes = spark.createDataFrame(
+        [
+            (
+                r["poly_id"],
+                float(r["ring"][0][0]),
+                float(r["ring"][0][1]),
+                float(r["ring"][1][0]),
+                float(r["ring"][2][1]),
+            )
+            for r in FS.RECTS
+        ],
+        "poly_id string, lon_min double, lat_min double, lon_max double, lat_max double",
+    )
+    return (
+        coverage_gaps(img, boxes, res=_GAP_RES)
+        .select("poly_id", F.col("cell").cast("long").alias("cell"))
+        .orderBy("poly_id", "cell")
+    )
+
+
+def _coverage_gaps_oracle() -> str:
+    from ..geo import h3lite as HH
+
+    nxr, nyr = HH.nx(_GAP_RES), HH.ny(_GAP_RES)
+    cell = HH.h3_sql_expr("lon", "lat", _GAP_RES)
+    box_rows = " union all ".join(
+        f"select '{r['poly_id']}' as poly_id,"
+        f" cast('{r['ring'][0][0]!r}' as double) as lon_min,"
+        f" cast('{r['ring'][0][1]!r}' as double) as lat_min,"
+        f" cast('{r['ring'][1][0]!r}' as double) as lon_max,"
+        f" cast('{r['ring'][2][1]!r}' as double) as lat_max"
+        for r in FS.RECTS
+    )
+
+    def idx(col: str, lo: float, span: float, n: int) -> str:
+        return (
+            f"least(greatest(cast(floor(({col} - cast('{lo!r}' as double))"
+            f" / cast('{span!r}' as double) * {n}) as bigint),"
+            f" cast(0 as bigint)), cast({n - 1} as bigint))"
+        )
+
+    x0 = idx("lon_min", -180.0, 360.0, nxr)
+    x1 = idx("lon_max", -180.0, 360.0, nxr)
+    y0 = idx("lat_min", -90.0, 180.0, nyr)
+    y1 = idx("lat_max", -90.0, 180.0, nyr)
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    occupied as (select distinct {cell} as cell from img),
+    boxes as ({box_rows}),
+    cover as (
+      select poly_id,
+             cast({_GAP_RES} as bigint) * {1 << 56} + gx.x * {1 << 28} + gy.y as cell
+      from boxes
+      cross join lateral (select unnest(generate_series({x0}, {x1})) as x) gx
+      cross join lateral (select unnest(generate_series({y0}, {y1})) as y) gy)
+    select poly_id, cell from cover
+    where cell not in (select cell from occupied)
+    order by poly_id, cell
+    """
+
+
+_register_fn("coverage_gaps_rects", _coverage_gaps, _coverage_gaps_oracle())
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →

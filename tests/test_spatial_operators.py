@@ -1173,3 +1173,46 @@ class TestRadiusAntiJoin:
         )
         out = radius_anti_join(spark, pts, q, radius_m=d).collect()
         assert [r["image_id"] for r in out] == ["beyond"]
+
+
+class TestCoverageGaps:
+    def test_hand_computed_gaps(self, spark):
+        """Box spanning exactly a 4x2 cell block at res 5 (cell = 360/
+        128 = 2.8125 deg wide, 180/64 deg tall); points occupy 3 of the
+        8 cells -> the other 5 come back as gaps."""
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.geo import h3lite as H
+        from htrc_ingester_spark.operators.tiles import coverage_gaps
+
+        res = 5
+        cw, ch = 360.0 / H.nx(res), 180.0 / H.ny(res)
+        # box = cells x in [64..67], y in [32..33] exactly
+        box = spark.createDataFrame(
+            [("b", 64 * cw - 180.0, 32 * ch - 90.0,
+              (68 * cw - 180.0) - 1e-9, (34 * ch - 90.0) - 1e-9)],
+            "poly_id string, lon_min double, lat_min double, lon_max double, lat_max double",
+        )
+        def center(x, y):
+            return ((x + 0.5) * cw - 180.0, (y + 0.5) * ch - 90.0)
+        occupied = [(64, 32), (65, 33), (67, 32)]
+        pts = spark.createDataFrame(
+            [center(x, y) for x, y in occupied], "lon double, lat double"
+        )
+        got = coverage_gaps(pts, box, res=res).toPandas()
+        want_xy = {(x, y) for x in range(64, 68) for y in range(32, 34)} - set(occupied)
+        want = {res * (1 << 56) + x * (1 << 28) + y for x, y in want_xy}
+        assert set(got.cell) == want and set(got.poly_id) == {"b"}
+
+    def test_full_coverage_yields_nothing(self, spark):
+        from htrc_ingester_spark.geo import h3lite as H
+        from htrc_ingester_spark.operators.tiles import coverage_gaps
+
+        res = 4
+        cw, ch = 360.0 / H.nx(res), 180.0 / H.ny(res)
+        box = spark.createDataFrame(
+            [("b", 0.0, 0.0, cw * 0.9, ch * 0.9)],
+            "poly_id string, lon_min double, lat_min double, lon_max double, lat_max double",
+        )
+        pts = spark.createDataFrame([(cw * 0.5, ch * 0.5)], "lon double, lat double")
+        assert coverage_gaps(pts, box, res=res).count() == 0
