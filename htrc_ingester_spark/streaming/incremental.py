@@ -403,3 +403,29 @@ def geofence_stream(
         lat_col=lat_col,
         persist_candidates=False,
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-by-key ingest over a stream that may redeliver:
+    keep the FIRST arrival of each key (re-uploads, retried producers,
+    at-least-once sources all collapse), forgetting keys once the
+    watermark passes their event time — the streaming form of the
+    reference's checksum-keyed skip of already-ingested volumes
+    (SURVEY.md §2 ST4/J3 discipline; the batch twin is a plain
+    min-by-arrival groupBy).
+
+    State = one row per key seen inside the watermark horizon —
+    bounded by arrival rate × horizon, NOT by corpus size; Spark's
+    ``dropDuplicatesWithinWatermark`` evicts the rest. Duplicates
+    arriving later than ``watermark`` after the original are NOT
+    collapsed (they re-emit — downstream last-writer-wins merge
+    absorbs them, same as the CDC path); that trade is what keeps the
+    state finite at 10^12 keys.
+    """
+    keys = key_cols or ["image_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

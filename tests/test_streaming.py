@@ -494,3 +494,57 @@ def test_geofence_stream_equals_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_stream_collapses_redelivery_within_watermark(spark, tmp_path):
+    """Two files redelivering the same image_ids (at-least-once
+    producer): dropDuplicatesWithinWatermark keeps each key's first
+    arrival across micro-batches within the horizon."""
+    import pandas as pd
+
+    src = tmp_path / "ingest"
+    src.mkdir()
+
+    def mk(ids, minute, tag):
+        pdf = pd.DataFrame(
+            {
+                "image_id": ids,
+                "payload": [f"{tag}-{i}" for i in ids],
+                "ts_s": [f"2026-01-01 00:{minute:02d}:{i % 50:02d}" for i in ids],
+            }
+        )
+        return spark.createDataFrame(pdf).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+
+    mk(list(range(100)), 1, "a").coalesce(1).write.parquet(str(src / "f1"))
+    # second delivery: 60 repeats (different payloads) + 40 new keys
+    mk(list(range(40, 100)) + list(range(100, 140)), 2, "b").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        S.dedup_stream(stream, key_cols=["image_id"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_t").toPandas()
+    # every key exactly once, 140 keys total
+    assert len(got) == 140
+    assert got.image_id.is_unique
+    # keys 40..99 must carry the FIRST delivery's payload
+    repeats = got[(got.image_id >= 40) & (got.image_id < 100)]
+    assert (repeats.payload.str.startswith("a-")).all()
+    # fresh keys from the second file survive
+    assert set(got[got.image_id >= 100].image_id) == set(range(100, 140))
