@@ -147,6 +147,78 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
     return spark.read.parquet(os.path.join(table_dir, f"v{version}"))
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_mb: int = 128,
+    note: str = "compact",
+) -> int:
+    """Small-file compaction: rewrite the CURRENT snapshot as a new
+    version with file sizes near ``target_file_mb`` (the Iceberg
+    ``rewrite_data_files`` analog; on a real cluster this is the
+    nightly job that keeps scan task counts sane after many
+    incremental commits). Row-identical by construction — the new
+    snapshot is a plain read→repartition→commit, and ``commit`` logs
+    the row count either side of the rewrite for the audit trail.
+
+    File count = ceil(current bytes / target), computed from the
+    snapshot's on-disk size (driver-side listdir — exact, no sampling).
+    Returns the new version number; old snapshots remain time-travel
+    targets until :func:`expire_snapshots`.
+    """
+    version = _latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    path = os.path.join(table_dir, f"v{version}")
+    size_b = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-size_b // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path).repartition(int(n_files))
+    return commit(df, table_dir, note=f"{note} v{version} -> {n_files} files")
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete old snapshot DIRECTORIES, keeping the pointer target and
+    the ``keep_last`` highest version numbers (Iceberg
+    ``expire_snapshots`` analog — bounds storage after compaction /
+    churn). Time-travel to an expired version then fails loudly
+    (FileNotFoundError), exactly like an expired Iceberg snapshot.
+
+    The ``v<N>.lock`` markers are kept forever: they are bytes-sized
+    and are what keeps version allocation monotone (a future commit
+    must never reuse an expired number). The expiration is appended to
+    the commit log. Returns the expired version numbers.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    import shutil
+
+    current = _latest_version(table_dir)
+    versions = sorted(
+        int(name[1:])
+        for name in os.listdir(table_dir)
+        if name.startswith("v") and name[1:].isdigit() and os.path.isdir(os.path.join(table_dir, name))
+    )
+    keep = set(versions[-keep_last:])
+    if current is not None:
+        keep.add(current)
+    expired = [v for v in versions if v not in keep]
+    for v in expired:
+        shutil.rmtree(os.path.join(table_dir, f"v{v}"))
+    if expired:
+        with open(os.path.join(table_dir, _LOG), "a") as f:
+            f.write(
+                json.dumps(
+                    {"expired": expired, "ts": time.time(), "note": "expire_snapshots"}
+                )
+                + "\n"
+            )
+    return expired
+
+
 def history(table_dir: str) -> list[dict]:
     log = os.path.join(table_dir, _LOG)
     if not os.path.exists(log):

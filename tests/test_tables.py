@@ -108,3 +108,56 @@ def test_concurrent_commit_version_allocation_is_atomic(spark, tmp_path):
     v = T.commit(_df(spark, ["a", "b"]), d)
     assert v == 2
     assert T.read(spark, d).count() == 2
+
+
+class TestMaintenance:
+    def test_compact_rewrites_rows_identically(self, spark, tmp_path):
+        from htrc_ingester_spark import tables as T
+
+        d = str(tmp_path / "t")
+        # many tiny files: 20 partitions of 50 rows
+        df = spark.range(1000).repartition(20)
+        v0 = T.commit(df, d, note="initial")
+        files_before = [
+            f for f in os.listdir(os.path.join(d, f"v{v0}")) if f.endswith(".parquet")
+        ]
+        assert len(files_before) == 20
+        v1 = T.compact(spark, d, target_file_mb=128)
+        assert v1 == v0 + 1
+        files_after = [
+            f for f in os.listdir(os.path.join(d, f"v{v1}")) if f.endswith(".parquet")
+        ]
+        assert len(files_after) == 1  # 1000 longs << 128 MB
+        got = {r.id for r in T.read(spark, d).collect()}
+        assert got == set(range(1000))
+        assert any("compact" in h.get("note", "") for h in T.history(d))
+
+    def test_expire_keeps_pointer_and_monotone_versions(self, spark, tmp_path):
+        from htrc_ingester_spark import tables as T
+
+        d = str(tmp_path / "t")
+        for i in range(4):
+            T.commit(spark.range(10 + i), d, note=f"c{i}")  # v0..v3
+        expired = T.expire_snapshots(d, keep_last=2)
+        assert expired == [0, 1]
+        # current still reads; expired time-travel fails loudly
+        assert T.read(spark, d).count() == 13
+        with pytest.raises(Exception):
+            T.read(spark, d, version=0).count()
+        with pytest.raises(FileNotFoundError):
+            T.revert(d, 0)
+        # version allocation stays monotone (locks retained)
+        v = T.commit(spark.range(99), d, note="after-expire")
+        assert v == 4
+        assert any("expire_snapshots" in h.get("note", "") for h in T.history(d))
+
+    def test_expire_never_removes_reverted_to_target(self, spark, tmp_path):
+        from htrc_ingester_spark import tables as T
+
+        d = str(tmp_path / "t")
+        for i in range(4):
+            T.commit(spark.range(10 + i), d)  # v0..v3
+        T.revert(d, 1)
+        expired = T.expire_snapshots(d, keep_last=1)
+        # pointer target v1 survives even though only v3 is "newest"
+        assert 1 not in expired and T.read(spark, d).count() == 11
