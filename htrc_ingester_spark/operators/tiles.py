@@ -633,3 +633,50 @@ def coverage_gaps(
         cov.join(occupied, "cell", "left_anti")
         .select(F.col("g_poly_id").alias("poly_id"), "cell")
     )
+
+
+def gradient(
+    raster: DataFrame,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Central-difference gradient over the sparse raster — the
+    slope/aspect operator of classic map algebra (gdaldem analog on
+    the cell grid, in value-units per cell):
+
+        gx = (v(x+1) − v(x−1)) / 2,  gy = (v(y+1) − v(y−1)) / 2,
+        slope = √(gx² + gy²),        aspect = atan2(gy, gx)
+
+    A difference is NULL unless BOTH its neighbors are present (a
+    one-sided difference would silently change meaning at data edges);
+    aspect is NULL where slope is 0 or undefined. Longitude wraps,
+    poles don't — the same conventions as focal_stats, and the same
+    scale shape: the shared scatter core, ONE exchange, no join. In
+    scatter orientation the E neighbor's value arrives at the target
+    with offset dx = −1 (source = target + (1, 0)).
+    """
+    scattered = _scatter_window(raster, 1, cell_col, value_col)
+
+    def at(dx: int, dy: int):
+        return F.max(
+            F.when((F.col("o.dx") == dx) & (F.col("o.dy") == dy), F.col("__v"))
+        )
+
+    agg = (
+        scattered.groupBy(F.col("__tgt").alias(cell_col))
+        .agg(
+            at(0, 0).alias(value_col),
+            ((at(-1, 0) - at(1, 0)) / 2.0).alias("gx"),
+            ((at(0, -1) - at(0, 1)) / 2.0).alias("gy"),
+            F.max(F.when((F.col("o.dx") == 0) & (F.col("o.dy") == 0), 1).otherwise(0)).alias(
+                "__is_center"
+            ),
+        )
+        .where(F.col("__is_center") == 1)
+        .drop("__is_center")
+    )
+    slope = F.sqrt(F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy"))
+    return agg.withColumn("slope", slope).withColumn(
+        "aspect",
+        F.when(F.col("slope") > 0, F.atan2(F.col("gy"), F.col("gx"))),
+    )

@@ -3921,6 +3921,78 @@ def _coverage_gaps_oracle() -> str:
 _register_fn("coverage_gaps_rects", _coverage_gaps, _coverage_gaps_oracle())
 
 
+# Central-difference gradient (operators/tiles.gradient) over the
+# image-count raster: slope/aspect map algebra. Oracle mirrors the
+# scatter orientation (E neighbor arrives with dx = -1) and the
+# both-neighbors-required NULL rule. res 10 (finer than _FOCAL_RES):
+# the hot clusters must span many cells so interior cells actually
+# have all four neighbors.
+_GRAD_RES = 11
+def _raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import gradient, rasterize
+
+    r = rasterize(FS.load_images(spark, sf_dir), res=_GRAD_RES)
+    return (
+        gradient(r)
+        .select(
+            "cell",
+            F.col("value").cast("long").alias("value"),
+            F.round("gx", 6).alias("gx"),
+            F.round("gy", 6).alias("gy"),
+            F.round("slope", 4).alias("slope"),
+            # named slope_aspect (not aspect) so the driver's
+            # alphabetical column sort keeps the unique, never-null
+            # cell column FIRST -- its canonicalizer compares tuples
+            # elementwise and a leading nullable float column would
+            # pit "nan" strings against floats
+            F.round("aspect", 4).alias("slope_aspect"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _raster_gradient_oracle() -> str:
+    from ..geo import h3lite as H
+    from ..operators.tiles import neighbor_sql_expr, neighbor_valid_sql
+
+    cell = H.h3_sql_expr("lon", "lat", _GRAD_RES)
+    tgt = neighbor_sql_expr("cell", "dx", "dy", "duckdb")
+    valid = neighbor_valid_sql("cell", "dy", "duckdb")
+
+    def at(dx: int, dy: int) -> str:
+        return f"max(case when dx = {dx} and dy = {dy} then value end)"
+
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    r as (select {cell} as cell, cast(count(*) as bigint) as value
+          from img group by 1),
+    sc as (
+      select {tgt} as tgt, value, dx, dy
+      from r
+      cross join (select unnest([-1, 0, 1]) as dx) dxs
+      cross join (select unnest([-1, 0, 1]) as dy) dys
+      where {valid}),
+    g as (
+      select tgt as cell,
+             cast({at(0, 0)} as bigint) as value,
+             ({at(-1, 0)} - {at(1, 0)}) / 2.0 as gx,
+             ({at(0, -1)} - {at(0, 1)}) / 2.0 as gy,
+             max(case when dx = 0 and dy = 0 then 1 else 0 end) as is_center
+      from sc group by tgt)
+    select cell, value, round(gx, 6) as gx, round(gy, 6) as gy,
+           round(sqrt(gx * gx + gy * gy), 4) as slope,
+           round(case when sqrt(gx * gx + gy * gy) > 0
+                      then atan2(gy, gx) end, 4) as slope_aspect
+    from g where is_center = 1
+    order by cell
+    """
+
+
+_register_fn("raster_gradient_slope", _raster_gradient, _raster_gradient_oracle())
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →

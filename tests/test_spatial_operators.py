@@ -1216,3 +1216,59 @@ class TestCoverageGaps:
         )
         pts = spark.createDataFrame([(cw * 0.5, ch * 0.5)], "lon double, lat double")
         assert coverage_gaps(pts, box, res=res).count() == 0
+
+
+class TestGradient:
+    def test_central_differences_and_null_rule(self, spark):
+        from htrc_ingester_spark.operators.tiles import gradient
+
+        res = 6  # nx=256, ny=128
+        def pack(x, y):
+            return res * (1 << 56) + x * (1 << 28) + y
+        # plane v = 3x + 5y on a 3x3 block -> interior gx=3, gy=5
+        rows = [
+            (pack(10 + i, 20 + j), float(3 * i + 5 * j))
+            for i in range(3)
+            for j in range(3)
+        ]
+        got = {r.cell: r for r in gradient(
+            spark.createDataFrame(rows, "cell long, value double")
+        ).collect()}
+        center = got[pack(11, 21)]
+        assert (center.gx, center.gy) == (3.0, 5.0)
+        import math
+        assert abs(center.slope - math.hypot(3, 5)) < 1e-12
+        assert abs(center.aspect - math.atan2(5, 3)) < 1e-12
+        # edge cell: E/W both present only for the middle column
+        edge = got[pack(10, 21)]  # no W neighbor
+        assert edge.gx is None and edge.gy == 5.0 and edge.slope is None
+        corner = got[pack(10, 20)]
+        assert corner.gx is None and corner.gy is None and corner.aspect is None
+
+    def test_antimeridian_wrap_pairs_columns(self, spark):
+        from htrc_ingester_spark.operators.tiles import gradient
+
+        res = 4  # nx=64
+        def pack(x, y):
+            return res * (1 << 56) + x * (1 << 28) + y
+        # x=63 has E neighbor x=0 across the wrap and W neighbor x=62
+        rows = [(pack(62, 5), 1.0), (pack(63, 5), 7.0), (pack(0, 5), 9.0)]
+        got = {r.cell: r for r in gradient(
+            spark.createDataFrame(rows, "cell long, value double")
+        ).collect()}
+        assert got[pack(63, 5)].gx == (9.0 - 1.0) / 2.0
+
+    def test_flat_region_zero_slope_null_aspect(self, spark):
+        from htrc_ingester_spark.operators.tiles import gradient
+
+        res = 6
+        def pack(x, y):
+            return res * (1 << 56) + x * (1 << 28) + y
+        rows = [(pack(10 + i, 20 + j), 4.0) for i in range(3) for j in range(3)]
+        center = [
+            r for r in gradient(
+                spark.createDataFrame(rows, "cell long, value double")
+            ).collect()
+            if r.cell == pack(11, 21)
+        ][0]
+        assert center.slope == 0.0 and center.aspect is None
