@@ -74,7 +74,23 @@ def main(argv: list[str] | None = None) -> int:
         "--invalidate-store); omit to invalidate ALL partitions",
     )
 
+    p = sub.add_parser("compact")
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--target-file-mb", type=int, default=128)
+
+    p = sub.add_parser("expire")
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--keep-last", type=int, default=2)
+
     args = ap.parse_args(argv)
+
+    if args.job == "expire":
+        # pure metadata+rm, no Spark session needed
+        from . import tables as TB
+
+        expired = TB.expire_snapshots(args.table_dir, keep_last=args.keep_last)
+        print(json.dumps({"job": "expire", "expired_versions": expired}))
+        return 0
 
     if args.job == "catalog":
         from .plans import catalog
@@ -161,6 +177,12 @@ def main(argv: list[str] | None = None) -> int:
             for r in knn_join_many(spark, points, q).collect()
         ]
         print(json.dumps({"job": "knn", "neighbors": rows,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+    elif args.job == "compact":
+        from . import tables as TB
+
+        v = TB.compact(spark, args.table_dir, target_file_mb=args.target_file_mb)
+        print(json.dumps({"job": "compact", "new_version": v,
                           "wall_sec": round(time.monotonic() - t0, 3)}))
     return 0
 
