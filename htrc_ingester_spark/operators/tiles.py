@@ -680,3 +680,40 @@ def gradient(
         "aspect",
         F.when(F.col("slope") > 0, F.atan2(F.col("gy"), F.col("gx"))),
     )
+
+
+def tile_sample(
+    points: DataFrame,
+    res: int,
+    k: int = 3,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Deterministic k-per-cell representative sample — the "pick
+    thumbnails per map tile" query every browse UI needs, and the
+    per-region eyeball sample a data-quality review pulls at 10^12
+    rows.
+
+    Selection key = md5 of the row id (salted, content-keyed): unbiased
+    within a cell, reproducible on any cluster size / partitioning /
+    rerun — the same discipline as split_assign, and exactly
+    replayable in the DuckDB oracle (no rand(), no xxhash parity
+    problems). ONE cell-keyed window exchange; at scale the window
+    state per cell is the running top-k scan, never a materialized
+    buffer.
+
+    Returns (cell, <id>, rank) with rank 1..k ordered by the hash.
+    """
+    from pyspark.sql.window import Window
+
+    cell = F.expr(H.h3_sql_expr(lon_col, lat_col, res))
+    rk = F.expr(f"substr(md5(concat('sample:', cast({id_col} as string))), 1, 16)")
+    w = Window.partitionBy("cell").orderBy("__rk", id_col)
+    return (
+        points.withColumn("cell", cell)
+        .withColumn("__rk", rk)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("cell", id_col, "rank")
+    )

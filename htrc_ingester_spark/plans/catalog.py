@@ -3993,6 +3993,45 @@ def _raster_gradient_oracle() -> str:
 _register_fn("raster_gradient_slope", _raster_gradient, _raster_gradient_oracle())
 
 
+# Per-tile representative sampling (operators/tiles.tile_sample):
+# 3 deterministic thumbnails per res-7 cell, md5-keyed (replayable in
+# DuckDB, cluster-size independent).
+def _tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.tiles import tile_sample
+
+    img = FS.load_images(spark, sf_dir)
+    return (
+        tile_sample(img, res=7, k=3)
+        .select("cell", F.col("image_id").cast("long").alias("image_id"),
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("cell", "rank")
+    )
+
+
+def _tile_sample_oracle() -> str:
+    from ..geo import h3lite as H
+
+    cell = H.h3_sql_expr("lon", "lat", 7)
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    keyed as (
+      select {cell} as cell, image_id,
+             substr(md5('sample:' || cast(image_id as varchar)), 1, 16) as rk
+      from img),
+    ranked as (
+      select cell, image_id,
+             cast(row_number() over (partition by cell order by rk, image_id) as int) as rank
+      from keyed)
+    select cell, image_id, rank from ranked
+    where rank <= 3 order by cell, rank
+    """
+
+
+_register_fn("tile_sample_topk", _tile_sample, _tile_sample_oracle())
+
+
 # ===========================================================================
 # Full phase-2 ingest pipeline E2E (sources/zipsource.py): distributed
 # zip+METS generation from lineitem keys → zip member explode (S6) →

@@ -1272,3 +1272,56 @@ class TestGradient:
             if r.cell == pack(11, 21)
         ][0]
         assert center.slope == 0.0 and center.aspect is None
+
+
+class TestTileSample:
+    """tile_sample (operators/tiles.py): deterministic k-per-cell
+    representative sampling — md5-keyed so the pick is unbiased,
+    cluster-size independent, and replayable in plain SQL."""
+
+    def _oracle(self, pdf, res, k):
+        import hashlib
+
+        cells = H.latlng_to_cell(pdf.lat.to_numpy(), pdf.lon.to_numpy(), res)
+        rows = []
+        for cell, iid in zip(cells, pdf.image_id):
+            rk = hashlib.md5(f"sample:{iid}".encode()).hexdigest()[:16]
+            rows.append((int(cell), rk, iid))
+        out = {}
+        for cell, rk, iid in sorted(rows, key=lambda t: (t[0], t[1], t[2])):
+            got = out.setdefault(cell, [])
+            if len(got) < k:
+                got.append(iid)
+        return {(c, iid, r + 1) for c, ids in out.items() for r, iid in enumerate(ids)}
+
+    def test_matches_pure_python_oracle(self, spark, images_df, images_pdf):
+        from htrc_ingester_spark.operators.tiles import tile_sample
+
+        got = {
+            (r.cell, r.image_id, r["rank"])
+            for r in tile_sample(images_df, res=5, k=3).collect()
+        }
+        assert got == self._oracle(images_pdf, res=5, k=3)
+
+    def test_deterministic_under_repartitioning(self, spark, images_df):
+        from htrc_ingester_spark.operators.tiles import tile_sample
+
+        a = tile_sample(images_df, res=5, k=2)
+        b = tile_sample(images_df.repartition(13), res=5, k=2)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_k_cap_and_rank_range(self, spark, images_df):
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.operators.tiles import tile_sample
+
+        out = tile_sample(images_df, res=3, k=3)
+        per_cell = out.groupBy("cell").count()
+        assert per_cell.where(F.col("count") > 3).count() == 0
+        assert out.where((F.col("rank") < 1) | (F.col("rank") > 3)).count() == 0
+
+    def test_single_exchange(self, spark, images_df):
+        from htrc_ingester_spark.operators.tiles import tile_sample
+
+        plan = tile_sample(images_df, res=5, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
