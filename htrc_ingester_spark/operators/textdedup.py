@@ -548,3 +548,101 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# (name, regex, replacement) — applied IN ORDER, each pattern counted on
+# the text as already redacted by the patterns before it (emails first,
+# so their digits never masquerade as phone numbers; IPs before phones
+# for the same reason). Regex subset chosen to behave identically under
+# Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII (emails, SSNs, IPv4s, phone numbers) from a text
+    column and count what was removed — the scrub step every
+    training-data pipeline runs before tokenization.
+
+    Adds ``n_<name>`` (long, occurrences found) per pattern plus
+    ``redacted`` (the scrubbed text). Pure ``regexp_count`` /
+    ``regexp_replace`` column expressions: whole-stage codegen, zero
+    shuffles, zero Python — at 10^12 rows this is a free rider on
+    whatever scan already reads the text column.
+
+    Reference parity: the validate-then-rewrite discipline of
+    HectorManager.java:451-475 (checksum verify before push), applied
+    to content hygiene instead of integrity.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for name, pat, tok in pats:
+        out = out.withColumn(f"n_{name}", F.regexp_count(red, F.lit(pat)).cast("long"))
+        red = F.regexp_replace(red, pat, tok)
+    return out.withColumn("redacted", red)
+
+
+def pii_redact_duckdb_cols(text: str) -> str:
+    """DuckDB twin of :func:`pii_redact` — the exact same sequential
+    count-then-replace semantics as SELECT-list columns. Kept next to
+    PII_PATTERNS so the two can never drift."""
+    cols, red = [], text
+    for name, pat, tok in PII_PATTERNS:
+        cols.append(f"cast(len(regexp_extract_all({red}, '{pat}')) as bigint) as n_{name}")
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    cols.append(f"{red} as redacted")
+    return ",\n       ".join(cols)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (test-set overlap removal)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_bench: bool | None = None,
+) -> DataFrame:
+    """Drop every corpus document that shares ANY word ``k``-gram with
+    the benchmark set — n-gram decontamination (the GPT-3/Gopher
+    recipe) so evaluation data never leaks into training data.
+
+    Shape: corpus explodes to (id, shingle) — a narrow map, no
+    shuffle; the benchmark side reduces to its DISTINCT shingle set,
+    which for real eval suites (10^4-10^6 docs) is tiny next to a
+    10^12-row corpus, so it broadcasts and the contamination probe is
+    shuffle-free; the final step is one left-anti join on the id.
+    ``broadcast_bench=None`` auto-decides (hint below Catalyst's
+    threshold, AQE above); pass False to force a shuffle join when the
+    "benchmark" is itself corpus-sized. Boilerplate shingles shared by
+    millions of docs are the skew case — they only inflate the
+    contaminated-id set, never a hot reduce key, because the probe
+    ends in a semi-join collapse.
+
+    Returns the surviving corpus rows unchanged.
+    """
+    sh = F.expr(shingles_sql(text_col, k, "spark"))
+    c_sh = corpus.select(F.col(id_col), F.explode(sh).alias("sh"))
+    b_sh = bench.select(F.explode(sh).alias("sh")).distinct()
+    from .embedding import _maybe_broadcast
+
+    b_sh = _maybe_broadcast(b_sh, broadcast_bench)
+    bad = c_sh.join(b_sh, "sh").select(id_col).distinct()
+    return corpus.join(bad, id_col, "left_anti")

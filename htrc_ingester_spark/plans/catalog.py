@@ -1825,6 +1825,88 @@ def _tfidf_oracle() -> str:
 _register_fn("text_tfidf_top_terms", _tfidf, _tfidf_oracle())
 
 
+# PII redaction (operators/textdedup.pii_redact): deterministic PII is
+# injected into the synthetic documents (emails always; phones always;
+# IPs on doc_id%3=0; SSNs on doc_id%5=0), then scrubbed with the shared
+# PII_PATTERNS pipeline. The oracle replays the injection AND the
+# sequential count-then-replace via pii_redact_duckdb_cols, so the regex
+# semantics themselves are value-checked across Java-regex vs RE2.
+def _pii_input_sql(dialect: str) -> str:
+    s = "string" if dialect == "spark" else "varchar"
+    return f"""select doc_id,
+      text || ' contact user' || cast(doc_id as {s}) || '@example.com'
+           || ' or call +1-555-867-' || lpad(cast(doc_id % 10000 as {s}), 4, '0')
+           || case when doc_id % 3 = 0
+                   then ' from 10.0.' || cast(doc_id % 256 as {s}) || '.7' else '' end
+           || case when doc_id % 5 = 0
+                   then ' ssn 123-45-' || lpad(cast(doc_id % 10000 as {s}), 4, '0')
+                   else '' end as text
+    from documents"""
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import pii_redact
+
+    _load(spark, sf_dir, "documents")
+    inp = spark.sql(_pii_input_sql("spark"))
+    return pii_redact(inp).select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "redacted"
+    ).orderBy("doc_id")
+
+
+def _pii_redact_oracle() -> str:
+    from ..operators.textdedup import pii_redact_duckdb_cols
+
+    return f"""
+    with inp as ({_pii_input_sql('duckdb')})
+    select doc_id,
+       {pii_redact_duckdb_cols('text')}
+    from inp order by doc_id
+    """
+
+
+_register_fn("text_pii_redact", _pii_redact, _pii_redact_oracle())
+
+
+# Benchmark decontamination (operators/textdedup.decontaminate):
+# documents from source 'src0' play the eval suite; every other doc
+# sharing any word 5-gram with it is dropped. The oracle re-derives the
+# contaminated set with the same shingle template (shingles_sql) and a
+# NOT IN — output is the surviving corpus ids with their source, so a
+# single extra survivor or casualty flips the value hash.
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import decontaminate
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    corpus = docs.where("source <> 'src0'")
+    bench = docs.where("source = 'src0'")
+    return (
+        decontaminate(corpus, bench, k=5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _decontaminate_oracle() -> str:
+    from ..operators.textdedup import shingles_sql
+
+    sh = shingles_sql("text", 5, "duckdb")
+    return f"""
+    with corpus as (select * from documents where source <> 'src0'),
+    bench as (select * from documents where source = 'src0'),
+    csh as (select doc_id, unnest({sh}) as sh from corpus),
+    bsh as (select distinct unnest({sh}) as sh from bench),
+    bad as (select distinct c.doc_id from csh c join bsh b using (sh))
+    select doc_id, source from corpus
+    where doc_id not in (select doc_id from bad)
+    order by doc_id
+    """
+
+
+_register_fn("decontaminate_ngram_overlap", _decontaminate, _decontaminate_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the

@@ -403,3 +403,103 @@ class TestDedupClusters:
             r.doc_id for r in TD.dedup_keep_canonical(docs, pairs).collect()
         )
         assert keep == [1, 9]
+
+
+class TestPIIRedact:
+    TEXTS = [
+        (0, "write to alice.smith+spam@example.co.uk or bob@x.io today"),
+        (1, "my ssn is 123-45-6789 and my ip is 192.168.1.254 ok"),
+        (2, "call +1-555-867-5309 or 44 020 7946 0958 now"),
+        (3, "no pii here at all, just words and numbers like 42"),
+        (4, "combo a@b.com 999-88-7777 10.0.0.1 +1 555 123 4567 end"),
+    ]
+
+    def _oracle(self, text):
+        out, counts = text, {}
+        for name, pat, tok in TD.PII_PATTERNS:
+            counts[f"n_{name}"] = len(re.findall(pat, out))
+            out = re.sub(pat, tok, out)
+        return counts, out
+
+    def test_matches_python_re_oracle(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(self.TEXTS, columns=["doc_id", "text"])
+        )
+        got = TD.pii_redact(df).toPandas().set_index("doc_id")
+        for doc_id, text in self.TEXTS:
+            counts, red = self._oracle(text)
+            row = got.loc[doc_id]
+            assert row["redacted"] == red, (doc_id, row["redacted"], red)
+            for k, v in counts.items():
+                assert row[k] == v, (doc_id, k, row[k], v)
+
+    def test_counts_nonzero_where_expected(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(self.TEXTS, columns=["doc_id", "text"])
+        )
+        got = TD.pii_redact(df).toPandas().set_index("doc_id")
+        assert got.loc[0, "n_email"] == 2
+        assert got.loc[1, "n_ssn"] == 1 and got.loc[1, "n_ipv4"] == 1
+        assert got.loc[2, "n_phone"] >= 1
+        assert got.loc[3, ["n_email", "n_ssn", "n_ipv4", "n_phone"]].sum() == 0
+
+    def test_zero_exchange_plan(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(self.TEXTS, columns=["doc_id", "text"])
+        )
+        plan = TD.pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_duckdb_cols_same_semantics(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(self.TEXTS, columns=["doc_id", "text"]))
+        want = con.sql(
+            f"select doc_id, {TD.pii_redact_duckdb_cols('text')} from t order by doc_id"
+        ).df()
+        for _, row in want.iterrows():
+            counts, red = self._oracle(row["text"] if "text" in row else self.TEXTS[int(row.doc_id)][1])
+            assert row["redacted"] == red
+            for k, v in counts.items():
+                assert row[k] == v
+
+
+class TestDecontaminate:
+    CORPUS = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),       # shares 5-gram w/ bench
+        (11, "one two three four five six seven eight nine"),        # clean
+        (12, "beta gamma delta epsilon zeta something else here"),   # shares 5-gram w/ bench
+        (13, "short doc"),                                           # < k words: never contaminated
+        (14, "alpha beta gamma delta other epsilon zeta eta theta"), # 5-gram broken: clean
+    ]
+    BENCH = [
+        (90, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+    ]
+
+    def _oracle_survivors(self, k=5):
+        def sh(t):
+            w = t.split(" ")
+            return {" ".join(w[i : i + k]) for i in range(max(len(w) - k + 1, 0))}
+
+        bench_sh = set().union(*(sh(t) for _, t in self.BENCH))
+        return {i for i, t in self.CORPUS if not (sh(t) & bench_sh)}
+
+    def test_matches_set_oracle(self, spark):
+        corpus = spark.createDataFrame(pd.DataFrame(self.CORPUS, columns=["doc_id", "text"]))
+        bench = spark.createDataFrame(pd.DataFrame(self.BENCH, columns=["doc_id", "text"]))
+        got = {r.doc_id for r in TD.decontaminate(corpus, bench, k=5).collect()}
+        want = self._oracle_survivors()
+        assert got == want
+        assert 10 not in got and 12 not in got          # contaminated dropped
+        assert {11, 13, 14} <= got                      # clean + short kept
+
+    def test_broadcast_shapes_same_result(self, spark):
+        corpus = spark.createDataFrame(pd.DataFrame(self.CORPUS, columns=["doc_id", "text"]))
+        bench = spark.createDataFrame(pd.DataFrame(self.BENCH, columns=["doc_id", "text"]))
+        a = TD.decontaminate(corpus, bench, k=5, broadcast_bench=True)
+        b = TD.decontaminate(corpus, bench, k=5, broadcast_bench=False)
+        assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+        pa = a._jdf.queryExecution().executedPlan().toString()
+        pb = b._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in pa
