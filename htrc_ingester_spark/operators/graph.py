@@ -1,0 +1,103 @@
+"""Bounded-hop shortest paths over an edge DataFrame — the road-network
+leg of the geospatial family (map_match snaps points to segments; this
+answers "how far along the network", e.g. drive-time zones from a
+depot, reachability-weighted coverage).
+
+Semantics: ``dist(v) = min total weight over paths source→v with at
+most ``hops`` edges`` — the Bellman-Ford recurrence with an explicit
+hop bound. The bound is part of the CONTRACT, not a shortcut: it makes
+the result exactly replayable by a SQL ``WITH RECURSIVE`` twin (the
+DuckDB oracle), terminates on graphs with cycles without a convergence
+action, and matches true shortest paths whenever ``hops`` ≥ the
+shortest-path tree depth (tests pin both regimes).
+
+Shape per round: one equi-join frontier⋈edges on the source node + one
+min-agg — the classic iterative-join pattern (same discipline as
+knn_join_many and dissolve.connected_components: all state stays in
+DataFrames, no driver-side collect). The whole ``hops``-round loop is
+built LAZILY into a single plan: at small hop counts Catalyst sees one
+tree (and broadcasts the frontier when it's small); for deep walks on
+big graphs pass ``persist_every`` to materialize and truncate lineage
+every few rounds — at 10^12-edge scale that is one cached exchange per
+checkpoint instead of an exponentially re-derived lineage.
+
+Weights must be integral (bigint): min-of-sums over float weights is
+association-order-sensitive and would not be bit-stable across engines.
+
+Reference parity: the iterate-until-bounded walk mirrors the
+reference's bounded retry/backoff loop discipline (THREAD_COUNT-bounded
+work queues, PairtreeToCassandraDataSyncker.java) re-expressed as
+declarative rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["shortest_paths"]
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list[int],
+    hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    persist_every: int | None = None,
+) -> DataFrame:
+    """(node, dist) for every node reachable from any of ``sources``
+    within ``hops`` edges, dist = min total integer weight.
+
+    ``edges`` may contain parallel edges and self-loops; they are
+    collapsed to the min-weight simple edge first (one shuffle, keyed
+    by (src, dst) — at scale this is the materialized adjacency you'd
+    bucket-partition by src and reuse across queries).
+    """
+    if hops < 0:
+        raise ValueError("hops must be >= 0")
+    spark = edges.sparkSession
+    e = (
+        edges.groupBy(
+            F.col(src_col).cast("long").alias("_src"),
+            F.col(dst_col).cast("long").alias("_dst"),
+        )
+        .agg(F.min(F.col(weight_col).cast("long")).alias("_w"))
+    )
+    best = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, dist long"
+    ).groupBy("node").agg(F.min("dist").alias("dist"))
+    for i in range(hops):
+        cand = best.join(e, best["node"] == e["_src"]).select(
+            F.col("_dst").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
+        )
+        best = (
+            best.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        if persist_every and (i + 1) % persist_every == 0 and i + 1 < hops:
+            best = best.persist()
+            best.count()  # materialize: truncates lineage for the next rounds
+    return best
+
+
+def shortest_paths_oracle_sql(
+    edges_sql: str, source: int, hops: int
+) -> str:
+    """DuckDB ``WITH RECURSIVE`` twin: enumerate every ≤hops-edge walk
+    from the source and min-reduce per node. Exponential in the walk
+    count — an ORACLE for bounded fixtures, not an implementation."""
+    return f"""
+    with recursive e as (
+      select cast(src as bigint) as src, cast(dst as bigint) as dst,
+             min(cast(w as bigint)) as w
+      from ({edges_sql}) group by 1, 2),
+    walk(node, dist, hops) as (
+      select cast({source} as bigint), cast(0 as bigint), 0
+      union all
+      select e.dst, walk.dist + e.w, walk.hops + 1
+      from walk join e on e.src = walk.node
+      where walk.hops < {hops}
+    )
+    select node, min(dist) as dist from walk group by node
+    """

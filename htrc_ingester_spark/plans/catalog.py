@@ -1907,6 +1907,40 @@ def _decontaminate_oracle() -> str:
 _register_fn("decontaminate_ngram_overlap", _decontaminate, _decontaminate_oracle())
 
 
+# Bounded-hop shortest paths (operators/graph.shortest_paths): a
+# deterministic synthetic road network over 250 nodes derived from the
+# supplier+customer keys (both coordinates are functions of key mod
+# 250, so the DISTINCT edge set saturates at a few hundred edges at any
+# sf — out-degree ~2, which keeps the recursive-CTE oracle's walk
+# enumeration bounded). Integer weights: min-of-sums is bit-stable
+# across engines. Source node 0, hop bound 6.
+_GRAPH_EDGES_SQL = """
+    select s_suppkey % 250 as src, (s_suppkey * 13 + 7) % 250 as dst,
+           1 + s_suppkey % 20 as w
+    from supplier
+    union all
+    select c_custkey % 250, (c_custkey * 31 + 3) % 250, 1 + c_custkey % 15
+    from customer
+"""
+
+
+def _shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import shortest_paths
+
+    _load(spark, sf_dir, "supplier", "customer")
+    edges = spark.sql(_GRAPH_EDGES_SQL)
+    return shortest_paths(edges, sources=[0], hops=6).orderBy("node")
+
+
+def _shortest_paths_oracle() -> str:
+    from ..operators.graph import shortest_paths_oracle_sql
+
+    return shortest_paths_oracle_sql(_GRAPH_EDGES_SQL, source=0, hops=6) + " order by node"
+
+
+_register_fn("graph_shortest_paths", _shortest_paths, _shortest_paths_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the
