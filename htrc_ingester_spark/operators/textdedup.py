@@ -646,3 +646,98 @@ def decontaminate(
     b_sh = _maybe_broadcast(b_sh, broadcast_bench)
     bad = c_sh.join(b_sh, "sh").select(id_col).distinct()
     return corpus.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher §A1.1 repetition rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.3,
+    max_top_word_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document repetition ratios + a flag — the Gopher-style
+    "degenerate repetition" filter (looping generations, boilerplate,
+    keyword stuffing) that complements quality_score's structural
+    ratios.
+
+    - dup_word_frac   = 1 - distinct_words / n_words
+    - dup_bigram_frac = 1 - distinct_bigrams / n_bigrams
+    - top_word_frac   = occurrences of the most common word / n_words
+    - flagged         = any ratio over its threshold
+
+    Shape: the bigram fraction is an array HOF (``array_distinct`` on
+    the shingles — computed BEFORE the explode and carried through it
+    as a functionally-dependent group key, so no join-back is needed);
+    the word stats come from one explode→(doc,word)-count→doc-agg pass:
+    two exchanges total, the second a near-free re-key of the first,
+    and zero joins. At 10^12 rows the (doc, word) exchange is the cost
+    — it is the minimal reduce any exact mode computation pays.
+    """
+    bi = shingles_sql(text_col, 2, "spark")
+    exploded = df.select(
+        F.col(id_col),
+        F.round(
+            1 - F.expr(f"size(array_distinct({bi}))") / F.expr(f"size({bi})"), 6
+        ).alias("dup_bigram_frac"),
+        F.explode(F.expr(f"split({text_col}, ' ')")).alias("word"),
+    )
+    per_doc = (
+        exploded.groupBy(id_col, "dup_bigram_frac", "word")
+        .count()
+        .groupBy(id_col, "dup_bigram_frac")
+        .agg(
+            F.sum("count").cast("long").alias("n_words"),
+            F.max("count").alias("_top"),
+            F.count(F.lit(1)).alias("_distinct"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "dup_word_frac", F.round(1 - F.col("_distinct") / F.col("n_words"), 6)
+        )
+        .withColumn("top_word_frac", F.round(F.col("_top") / F.col("n_words"), 6))
+        .drop("_top", "_distinct")
+        .withColumn(
+            "flagged",
+            (F.col("dup_word_frac") > max_dup_word_frac)
+            | (F.col("top_word_frac") > max_top_word_frac)
+            | (F.col("dup_bigram_frac") > max_dup_bigram_frac),
+        )
+    )
+
+
+def repetition_stats_duckdb_sql(
+    docs_sql: str,
+    max_dup_word_frac: float = 0.3,
+    max_top_word_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`repetition_stats` over ``docs_sql``
+    (must yield doc_id, text)."""
+    bi = shingles_sql("text", 2, "duckdb")
+    return f"""
+    with docs as ({docs_sql}),
+    hof as (
+      select doc_id,
+             cast(len(string_split(text, ' ')) as bigint) as n_words,
+             round(1 - len(list_distinct(string_split(text, ' ')))
+                       / cast(len(string_split(text, ' ')) as double), 6) as dup_word_frac,
+             round(1 - len(list_distinct({bi}))
+                       / cast(len({bi}) as double), 6) as dup_bigram_frac
+      from docs),
+    words as (select doc_id, unnest(string_split(text, ' ')) as word from docs),
+    wc as (select doc_id, word, count(*) as c from words group by 1, 2),
+    top as (select doc_id, max(c) as _top from wc group by 1)
+    select hof.doc_id, hof.n_words, hof.dup_word_frac, hof.dup_bigram_frac,
+           round(top._top / cast(hof.n_words as double), 6) as top_word_frac,
+           (hof.dup_word_frac > {max_dup_word_frac}
+            or round(top._top / cast(hof.n_words as double), 6) > {max_top_word_frac}
+            or hof.dup_bigram_frac > {max_dup_bigram_frac}) as flagged
+    from hof join top on hof.doc_id = top.doc_id
+    """

@@ -1941,6 +1941,29 @@ def _shortest_paths_oracle() -> str:
 _register_fn("graph_shortest_paths", _shortest_paths, _shortest_paths_oracle())
 
 
+# Gopher-style repetition filter (operators/textdedup.repetition_stats):
+# duplicate-word / duplicate-bigram / top-word fractions + flag. The
+# HOF fractions are zero-shuffle array expressions; only the top-word
+# count pays a doc-keyed exchange.
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import repetition_stats
+
+    _load(spark, sf_dir, "documents")
+    return repetition_stats(spark.table("documents")).orderBy("doc_id")
+
+
+def _repetition_oracle() -> str:
+    from ..operators.textdedup import repetition_stats_duckdb_sql
+
+    return (
+        repetition_stats_duckdb_sql("select doc_id, text from documents")
+        + " order by 1"
+    )
+
+
+_register_fn("text_repetition_filter", _repetition, _repetition_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the

@@ -503,3 +503,42 @@ class TestDecontaminate:
         pa = a._jdf.queryExecution().executedPlan().toString()
         pb = b._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in pa
+
+
+class TestRepetitionStats:
+    def test_hand_computed_fractions(self, spark):
+        # doc 0: "a a a b" -> n=4, distinct=2, dup_word=0.5, top=3/4,
+        #        bigrams [a a, a a, a b] -> distinct 2/3 -> dup_bi=1/3
+        # doc 1: all distinct -> zeros
+        df = spark.createDataFrame(
+            [(0, "a a a b"), (1, "u v w x y z")], "doc_id long, text string"
+        )
+        got = TD.repetition_stats(df).toPandas().set_index("doc_id")
+        assert got.loc[0, "n_words"] == 4
+        assert got.loc[0, "dup_word_frac"] == 0.5
+        assert got.loc[0, "top_word_frac"] == 0.75
+        assert got.loc[0, "dup_bigram_frac"] == round(1 - 2 / 3, 6)
+        assert bool(got.loc[0, "flagged"])
+        assert got.loc[1, "dup_word_frac"] == 0.0
+        assert got.loc[1, "top_word_frac"] == round(1 / 6, 6)
+        assert not bool(got.loc[1, "flagged"])
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        rows = [(i, " ".join(f"w{(i * j) % 7}" for j in range(15))) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = TD.repetition_stats(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("d", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = con.sql(
+            TD.repetition_stats_duckdb_sql("select doc_id, text from d") + " order by 1"
+        ).df()
+        for c in ["n_words", "dup_word_frac", "dup_bigram_frac", "top_word_frac", "flagged"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_two_exchanges_no_join(self, spark):
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        plan = TD.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Join") == 0
+        assert plan.count("Exchange") <= 2
