@@ -1964,6 +1964,30 @@ def _repetition_oracle() -> str:
 _register_fn("text_repetition_filter", _repetition, _repetition_oracle())
 
 
+# Exactly-replayable Lloyd k-means (operators/clustering.kmeans_lite):
+# 8 clusters, 3 iterations over the embeddings table. Integer-quantized
+# arithmetic end to end — the full iterative trajectory (seeding,
+# assignments, centroid updates) is bit-identical in DuckDB, so the
+# oracle checks the ALGORITHM, not a summary statistic.
+def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_lite
+
+    _load(spark, sf_dir, "embeddings")
+    return kmeans_lite(spark.table("embeddings"), k=8, iters=3).orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    from ..operators.clustering import kmeans_oracle_sql
+
+    return (
+        kmeans_oracle_sql("select vec_id, embedding from embeddings", k=8, iters=3)
+        + " order by vec_id"
+    )
+
+
+_register_fn("kmeans_clusters", _kmeans, _kmeans_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the

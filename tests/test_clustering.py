@@ -1,0 +1,106 @@
+"""kmeans_lite (operators/clustering.py) vs a pure-Python Lloyd oracle
+implementing the same integer quantization, md5 seeding, (dist,
+cluster) tie-break, and floor-mean update."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from htrc_ingester_spark.operators.clustering import QOFF, kmeans_lite
+
+
+def py_kmeans(vecs: dict[int, np.ndarray], k: int, iters: int, quant: int = 1000):
+    """vecs: id -> float array. Returns id -> cluster."""
+    q = {
+        i: (np.round(v.astype(np.float64) * quant) + QOFF).astype(np.int64)
+        for i, v in vecs.items()
+    }
+    seed_ids = sorted(q, key=lambda i: (hashlib.md5(f"km:{i}".encode()).hexdigest(), i))[:k]
+    cents = {c: q[i].copy() for c, i in enumerate(seed_ids)}
+    assign = {}
+    for _ in range(iters):
+        assign = {}
+        for i, v in q.items():
+            best = min(
+                (int(((v - cv) ** 2).sum()), c) for c, cv in cents.items()
+            )
+            assign[i] = best[1]
+        cents = {}
+        for c in sorted(set(assign.values())):
+            members = np.stack([q[i] for i in q if assign[i] == c])
+            cents[c] = members.sum(axis=0) // len(members)  # floor: nonneg by QOFF
+    return assign
+
+
+@pytest.fixture(scope="module")
+def vec_rows():
+    rng = np.random.default_rng(11)
+    return {i: rng.normal(scale=0.3, size=8).astype(np.float32) for i in range(120)}
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, vec_rows):
+    pdf = pd.DataFrame(
+        {"vec_id": list(vec_rows), "embedding": [v.tolist() for v in vec_rows.values()]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_matches_python_lloyd(spark, vec_df, vec_rows):
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_lite(vec_df, k=5, iters=3, dim=8).collect()
+    }
+    assert got == py_kmeans(vec_rows, k=5, iters=3)
+
+
+def test_deterministic_under_repartitioning(spark, vec_df):
+    a = kmeans_lite(vec_df, k=4, iters=2, dim=8).toPandas().sort_values("vec_id")
+    b = (
+        kmeans_lite(vec_df.repartition(7), k=4, iters=2, dim=8)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert (a.cluster.to_numpy() == b.cluster.to_numpy()).all()
+
+
+def test_assign_never_shuffles_by_id(spark, vec_df):
+    plan = (
+        kmeans_lite(vec_df, k=4, iters=2, dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(vec_id" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sse_non_increasing_over_iterations(spark, vec_df, vec_rows):
+    def sse(assign):
+        q = {
+            i: (np.round(v.astype(np.float64) * 1000) + QOFF).astype(np.int64)
+            for i, v in vec_rows.items()
+        }
+        tot = 0
+        for c in sorted(set(assign.values())):
+            m = np.stack([q[i] for i in q if assign[i] == c])
+            tot += ((m - m.mean(axis=0)) ** 2).sum()
+        return tot
+
+    a1 = {r.vec_id: r.cluster for r in kmeans_lite(vec_df, k=5, iters=1, dim=8).collect()}
+    a3 = {r.vec_id: r.cluster for r in kmeans_lite(vec_df, k=5, iters=3, dim=8).collect()}
+    assert sse(a3) <= sse(a1)
+
+
+def test_more_clusters_than_points(spark):
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [[0.1, 0.2], [0.3, 0.1], [0.0, 0.0]]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = kmeans_lite(df, k=5, iters=2, dim=2).toPandas()
+    assert len(out) == 3
+    assert out.cluster.between(0, 2).all()
