@@ -1988,6 +1988,34 @@ def _kmeans_oracle() -> str:
 _register_fn("kmeans_clusters", _kmeans, _kmeans_oracle())
 
 
+# Polygon buffer/rasterize (operators/buffer.polygon_buffer): 50 km
+# buffer at res 9 over every non-polar fixture polygon — concave,
+# antimeridian-crossing, boundary-aligned, and the degenerate
+# line/point/bowtie (whose buffers are pure edge-distance disks).
+_BUF_RES, _BUF_R = 9, 50_000.0
+
+
+def _poly_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import data
+    from ..operators.buffer import polygon_buffer
+
+    polys = [p for p in data.polygons() if p["kind"] != "polar_cap"]
+    return polygon_buffer(spark, polys, _BUF_R, _BUF_RES).orderBy("poly_id", "cell")
+
+
+def _poly_buffer_oracle() -> str:
+    from .. import data
+    from ..operators.buffer import polygon_buffer_oracle_sql
+
+    polys = [p for p in data.polygons() if p["kind"] != "polar_cap"]
+    return (
+        polygon_buffer_oracle_sql(polys, _BUF_R, _BUF_RES) + " order by poly_id, cell"
+    )
+
+
+_register_fn("polygon_buffer_cells", _poly_buffer, _poly_buffer_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the
