@@ -1,11 +1,13 @@
-"""Exactly-replayable Lloyd k-means over embedding vectors.
+"""Exactly-replayable Lloyd k-means + product quantization (PQ) over
+embedding vectors.
 
 The iterative-ML leg of the training-data family (corpus clustering
-for curriculum/domain balancing, IVF codebook training — see
-embedding.ivf_topk, whose md5-parity centroids this generalizes to
-data-driven ones).
+for curriculum/domain balancing, codebook training — see
+embedding.ivf_topk, whose md5-parity centroids kmeans_lite generalizes
+to data-driven ones; pq_topk completes the ANN family: brute-force /
+LSH / multi-probe / IVF / PQ).
 
-Why it value-MATCHes a SQL oracle when float k-means can't: every
+Why these value-MATCH a SQL oracle when float k-means can't: every
 arithmetic step is INTEGER. Vectors are quantized once to
 ``round(x * quant) + QOFF`` (QOFF shifts everything nonnegative, so
 truncating and flooring integer division agree across engines; the
@@ -15,16 +17,18 @@ No float ever enters an aggregation, so shuffle order / association
 order cannot perturb a single bit, on any cluster size — determinism
 by construction, the same discipline as dataset_split_assign.
 
-Shapes at 10^12 rows: the assign step is a map-only cross join against
-the BROADCAST centroid set (k rows); the update step is ONE
+Shapes at 10^12 rows: the assign/encode steps are map-only cross joins
+against the BROADCAST centroid set folded into one array row (HOF
+argmin — no N×k expansion ever shuffles); the update step is ONE
 (cluster, pos)-keyed exchange with k×dim reduce keys and map-side
-partial aggregation — textbook Lloyd on Spark. ``iters`` chains these
-lazily; pass ``persist_input=True`` (default) to cache the quantized
-input that every iteration re-scans.
+partial aggregation — textbook Lloyd on Spark. PQ's ADC search joins
+the exploded (id, subspace, code) table against a BROADCAST per-query
+distance table (Q×m×k rows), so per-vector work is m lookups — the
+point of PQ — followed by one (query, id) sum and the per-query top-k.
 
 Empty clusters simply drop out of the centroid set (deterministically
 in both engines); seeding is the k lowest ``md5('km:' || id)`` rows —
-content-keyed, partitioning-independent.
+content-keyed, partitioning-independent, shared by every PQ subspace.
 """
 
 from __future__ import annotations
@@ -32,7 +36,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_lite", "kmeans_oracle_sql", "QOFF"]
+__all__ = [
+    "kmeans_lite",
+    "kmeans_fit",
+    "kmeans_oracle_sql",
+    "pq_fit_encode",
+    "pq_topk",
+    "pq_topk_oracle_sql",
+    "QOFF",
+]
 
 QOFF = 1024  # quantization offset: keeps every coordinate nonnegative
 
@@ -57,26 +69,30 @@ def _dist_expr(a: str, b: str, dim: int, dialect: str) -> str:
     return f"list_sum(list_transform(range(1, {dim} + 1), j -> {term} * {term}))"
 
 
-def kmeans_lite(
-    df: DataFrame,
-    k: int = 8,
-    iters: int = 3,
-    dim: int = 64,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    quant: int = 1000,
-    persist_input: bool = True,
-) -> DataFrame:
-    """Returns the final (``id_col``, cluster:int) assignment after
-    ``iters`` Lloyd iterations from the deterministic md5 seeding."""
-    qt = df.select(
-        F.col(id_col), F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")
+def _argmin_expr(cs_col: str, vec: str, dim: int) -> str:
+    """Spark HOF argmin over a folded centroid array column: (dist,
+    cluster) total order, zero shuffle."""
+    dist_c = _dist_expr(vec, "c.cv", dim, "spark")
+    return (
+        f"array_min(transform({cs_col}, c -> struct({dist_c} as dist,"
+        f" c.cluster as cluster))).cluster"
     )
-    if persist_input:
-        qt = qt.persist()
+
+
+def _fold_centroids(centroids: DataFrame, alias: str = "cs") -> DataFrame:
+    return centroids.agg(
+        F.expr("array_sort(collect_list(struct(cluster, cv)))").alias(alias)
+    )
+
+
+def _lloyd(
+    qt: DataFrame, k: int, iters: int, dim: int, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Core loop over a quantized frame (id, qv). Returns (assignment
+    after the LAST assign, centroids after the LAST update)."""
     # seeding: k lowest md5 rows via a distributed TakeOrdered (never a
-    # global single-partition window — that would sort all 10^12 rows
-    # on one task); the row_number window then runs over k rows only.
+    # global single-partition window); the row_number window then runs
+    # over k rows only.
     h = F.md5(F.concat(F.lit("km:"), F.col(id_col).cast("string")))
     seeds = qt.withColumn("_h", h).orderBy("_h", id_col).limit(k)
     centroids = seeds.select(
@@ -85,27 +101,14 @@ def kmeans_lite(
         .alias("cluster"),
         F.col("qv").alias("cv"),
     )
-    # assign = map-only HOF argmin against the centroid set folded into
-    # ONE broadcast row: array_min over struct(dist, cluster) is the
-    # (dist, cluster) tie-break with zero shuffle — the N×k expansion
-    # a crossJoin+window would re-shuffle by id never materializes.
-    dist_c = _dist_expr("qv", "c.cv", dim, "spark")
-    argmin = (
-        f"array_min(transform(cs, c -> struct({dist_c} as dist,"
-        f" c.cluster as cluster))).cluster"
-    )
     assign = None
     for _ in range(iters):
-        cs = centroids.agg(
-            F.expr("array_sort(collect_list(struct(cluster, cv)))").alias("cs")
-        )
+        cs = _fold_centroids(centroids)
         assign = qt.crossJoin(F.broadcast(cs)).select(
-            id_col, F.expr(argmin).alias("cluster"), "qv"
+            id_col, F.expr(_argmin_expr("cs", "qv", dim)).alias("cluster"), "qv"
         )
         centroids = (
-            assign.select(
-                id_col, "cluster", F.posexplode("qv").alias("pos", "v")
-            )
+            assign.select(id_col, "cluster", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .withColumn("c", F.expr("s div n"))  # nonneg by QOFF: trunc == floor
@@ -116,7 +119,183 @@ def kmeans_lite(
                 ).alias("cv")
             )
         )
-    return assign.select(id_col, "cluster")
+    return assign, centroids
+
+
+def _quantize(
+    df: DataFrame, vec_col: str, id_col: str, quant: int, persist: bool
+) -> DataFrame:
+    qt = df.select(
+        F.col(id_col), F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")
+    )
+    return qt.persist() if persist else qt
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+    persist_input: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(assignment (id, cluster), centroids (cluster, cv)) after
+    ``iters`` Lloyd iterations — centroids are in quantized space."""
+    qt = _quantize(df, vec_col, id_col, quant, persist_input)
+    assign, centroids = _lloyd(qt, k, iters, dim, id_col)
+    return assign.select(id_col, "cluster"), centroids
+
+
+def kmeans_lite(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+    persist_input: bool = True,
+) -> DataFrame:
+    """Final (``id_col``, cluster:int) assignment after ``iters`` Lloyd
+    iterations from the deterministic md5 seeding."""
+    return kmeans_fit(df, k, iters, dim, vec_col, id_col, quant, persist_input)[0]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def pq_fit_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Train ``m`` independent sub-codebooks (Lloyd, shared seeding ids)
+    and encode every vector as ``m`` codes.
+
+    Returns (codes (id, codes array<int> length m),
+    codebook (m, cluster, cv) — quantized-space sub-centroids).
+    """
+    if dim % m:
+        raise ValueError("dim must divide into m equal subspaces")
+    sub = dim // m
+    qt = _quantize(df, vec_col, id_col, quant, persist=True)
+    books = []
+    folded = []
+    for mi in range(m):
+        qt_m = qt.select(
+            id_col, F.expr(f"slice(qv, {mi * sub + 1}, {sub})").alias("qv")
+        )
+        _, cents = _lloyd(qt_m, k, iters, sub, id_col)
+        books.append(
+            cents.select(F.lit(mi).cast("int").alias("m"), "cluster", "cv")
+        )
+        folded.append(_fold_centroids(cents, alias=f"cs{mi}"))
+    codebook = books[0]
+    for b in books[1:]:
+        codebook = codebook.unionByName(b)
+    codes = qt
+    for fr in folded:
+        codes = codes.crossJoin(F.broadcast(fr))
+    code_exprs = [
+        _argmin_expr(f"cs{mi}", f"slice(qv, {mi * sub + 1}, {sub})", sub)
+        for mi in range(m)
+    ]
+    codes = codes.select(
+        id_col, F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes")
+    )
+    return codes, codebook
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_df: DataFrame,
+    k_results: int = 5,
+    dim: int = 64,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, distance tables to
+    every sub-centroid are built once (Q×m×k rows, BROADCAST); the data
+    side pays m integer lookups per vector. query_df: (query_id,
+    ``vec_col``). Returns (query_id, id, adist, rank) ranked by
+    (adist, id) — total order, deterministic."""
+    sub = dim // m
+    q = query_df.select(
+        "query_id", F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")
+    )
+    dsub = _dist_expr(f"slice(qv, m * {sub} + 1, {sub})", "cv", sub, "spark")
+    dtab = q.crossJoin(codebook).select(
+        "query_id", "m", F.col("cluster").alias("code"), F.expr(dsub).alias("d")
+    )
+    datax = codes.select(
+        id_col, F.posexplode("codes").alias("m", "code")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy("adist", id_col)
+    return (
+        datax.join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d").alias("adist"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k_results)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle generators (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_oracle_ctes(
+    prefix: str,
+    qt_cte: str,
+    k: int,
+    iters: int,
+    dim: int,
+    id_col: str,
+    final_centroids: bool,
+) -> tuple[list[str], str, str]:
+    """CTE chain for one Lloyd run over ``qt_cte`` (id, qv). Returns
+    (ctes, last_assign_name, last_centroid_name)."""
+    d = _dist_expr("q.qv", "c.cv", dim, "duckdb")
+    p = prefix
+    ctes = [
+        f"{p}seeds as (select qv, row_number() over (order by"
+        f" md5('km:' || cast({id_col} as varchar)), {id_col}) as rn from {qt_cte})",
+        f"{p}c0 as (select cast(rn - 1 as int) as cluster, qv as cv from {p}seeds"
+        f" where rn <= {k})",
+    ]
+
+    def update(i: int) -> str:
+        return (
+            f"{p}c{i} as (select cluster, list(s // n order by pos) as cv from ("
+            f" select cluster, pos, sum(v) as s, count(*) as n from ("
+            f" select cluster, unnest(qv) as v,"
+            f" unnest(range(1, {dim} + 1)) as pos from {p}a{i})"
+            f" group by 1, 2) group by 1)"
+        )
+
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"{p}a{i} as (select {id_col}, cluster, qv from ("
+            f" select q.{id_col}, c.cluster, q.qv, row_number() over ("
+            f" partition by q.{id_col} order by {d}, c.cluster) as rn"
+            f" from {qt_cte} q cross join {p}c{i - 1} c) where rn = 1)"
+        )
+        if i < iters or final_centroids:
+            ctes.append(update(i))
+    return ctes, f"{p}a{iters}", f"{p}c{iters}"
 
 
 def kmeans_oracle_sql(
@@ -128,32 +307,85 @@ def kmeans_oracle_sql(
     id_col: str = "vec_id",
     quant: int = 1000,
 ) -> str:
-    """DuckDB twin: the same seeding, assignment, and integer floor-mean
-    update unrolled as a CTE chain (one a{i}/c{i} pair per iteration)."""
-    d = _dist_expr("q.qv", "c.cv", dim, "duckdb")
-    parts = [
+    """DuckDB twin of kmeans_lite: the same seeding, assignment, and
+    integer floor-mean update unrolled as a CTE chain."""
+    qt = (
         f"qt as (select {id_col}, {_quant_expr(vec_col, quant, 'duckdb')} as qv"
-        f" from ({source_sql}))",
-        f"seeds as (select qv, row_number() over (order by"
-        f" md5('km:' || cast({id_col} as varchar)), {id_col}) as rn from qt)",
-        "c0 as (select cast(rn - 1 as int) as cluster, qv as cv from seeds"
-        f" where rn <= {k})",
-    ]
-    for i in range(1, iters + 1):
-        parts.append(
-            f"a{i} as (select {id_col}, cluster, qv from ("
-            f" select q.{id_col}, c.cluster, q.qv, row_number() over ("
-            f" partition by q.{id_col} order by {d}, c.cluster) as rn"
-            f" from qt q cross join c{i - 1} c) where rn = 1)"
-        )
-        if i < iters:
-            parts.append(
-                f"c{i} as (select cluster, list(s // n order by pos) as cv from ("
-                f" select cluster, pos, sum(v) as s, count(*) as n from ("
-                f" select cluster, unnest(qv) as v,"
-                f" unnest(range(1, {dim} + 1)) as pos from a{i})"
-                f" group by 1, 2) group by 1)"
-            )
+        f" from ({source_sql}))"
+    )
+    ctes, last_a, _ = _lloyd_oracle_ctes(
+        "", "qt", k, iters, dim, id_col, final_centroids=False
+    )
     return (
-        "with " + ",\n".join(parts) + f"\nselect {id_col}, cluster from a{iters}"
+        "with " + ",\n".join([qt] + ctes) + f"\nselect {id_col}, cluster from {last_a}"
+    )
+
+
+def pq_topk_oracle_sql(
+    source_sql: str,
+    queries_sql: str,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    k_results: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> str:
+    """DuckDB twin of pq_fit_encode + pq_topk: m unrolled Lloyd chains
+    over the subvector slices, argmin encode, per-query ADC tables,
+    summed lookups, (adist, id) rank. ``queries_sql`` must yield
+    (query_id, ``vec_col``)."""
+    sub = dim // m
+    ctes = [
+        f"qt as (select {id_col}, {_quant_expr(vec_col, quant, 'duckdb')} as qv"
+        f" from ({source_sql}))"
+    ]
+    book_selects, enc_cols = [], []
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        ctes.append(
+            f"qt{mi} as (select {id_col}, qv[{lo}:{hi}] as qv from qt)"
+        )
+        chain, _, last_c = _lloyd_oracle_ctes(
+            f"m{mi}_", f"qt{mi}", k, iters, sub, id_col, final_centroids=True
+        )
+        ctes.extend(chain)
+        book_selects.append(
+            f"select cast({mi} as int) as m, cluster, cv from {last_c}"
+        )
+        enc_d = _dist_expr("q.qv", "c.cv", sub, "duckdb")
+        ctes.append(
+            f"enc{mi} as (select {id_col}, cluster as code from ("
+            f" select q.{id_col}, c.cluster, row_number() over ("
+            f" partition by q.{id_col} order by {enc_d}, c.cluster) as rn"
+            f" from qt{mi} q cross join {last_c} c) where rn = 1)"
+        )
+        enc_cols.append(f"select {id_col}, cast({mi} as int) as m, code from enc{mi}")
+    ctes.append("codebook as (" + " union all ".join(book_selects) + ")")
+    ctes.append("datax as (" + " union all ".join(enc_cols) + ")")
+    dq = _dist_expr(f"q.qv[b.m * {sub} + 1 : (b.m + 1) * {sub}]", "b.cv", sub, "duckdb")
+    ctes.append(
+        f"qq as (select query_id, {_quant_expr(vec_col, quant, 'duckdb')} as qv"
+        f" from ({queries_sql}))"
+    )
+    ctes.append(
+        f"dtab as (select q.query_id, b.m, b.cluster as code, {dq} as d"
+        f" from qq q cross join codebook b)"
+    )
+    ctes.append(
+        f"adist as (select t.query_id, x.{id_col}, sum(t.d) as adist"
+        f" from datax x join dtab t on x.m = t.m and x.code = t.code"
+        f" group by 1, 2)"
+    )
+    ctes.append(
+        f"ranked as (select query_id, {id_col}, adist, cast(row_number() over ("
+        f" partition by query_id order by adist, {id_col}) as int) as rank"
+        f" from adist)"
+    )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect query_id, {id_col}, adist, rank from ranked"
+        + f" where rank <= {k_results}"
     )

@@ -2016,6 +2016,40 @@ def _poly_buffer_oracle() -> str:
 _register_fn("polygon_buffer_cells", _poly_buffer, _poly_buffer_oracle())
 
 
+# PQ / ADC top-k (operators/clustering.pq_fit_encode + pq_topk):
+# 4 sub-codebooks × 8 codes trained with 2 Lloyd iterations, ADC
+# search for 3 queries. The oracle unrolls the ENTIRE pipeline —
+# 4 training chains, encode, distance tables, rank — in integer
+# arithmetic, so codebooks, codes, and rankings are all value-checked.
+_PQ_DATA = "select cast(vec_id as bigint) as vec_id, embedding from embeddings"
+_PQ_QUERIES = (
+    "select cast(vec_id as string) as query_id, embedding"
+    " from embeddings where vec_id in (0, 7, 42)"
+)
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_fit_encode, pq_topk
+
+    _load(spark, sf_dir, "embeddings")
+    codes, codebook = pq_fit_encode(spark.sql(_PQ_DATA), m=4, k=8, iters=2)
+    return pq_topk(
+        codes, codebook, spark.sql(_PQ_QUERIES), k_results=5
+    ).orderBy("query_id", "rank")
+
+
+def _pq_topk_oracle() -> str:
+    from ..operators.clustering import pq_topk_oracle_sql
+
+    return (
+        pq_topk_oracle_sql(_PQ_DATA, _PQ_QUERIES, m=4, k=8, iters=2, k_results=5)
+        + " order by query_id, rank"
+    )
+
+
+_register_fn("similarity_pq_topk", _pq_topk, _pq_topk_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the

@@ -104,3 +104,86 @@ def test_more_clusters_than_points(spark):
     out = kmeans_lite(df, k=5, iters=2, dim=2).toPandas()
     assert len(out) == 3
     assert out.cluster.between(0, 2).all()
+
+
+def py_pq_topk(vecs, queries, m, k, iters, k_results, quant=1000):
+    """Pure-Python PQ: per-subspace py_kmeans-style training + ADC."""
+    dim = len(next(iter(vecs.values())))
+    sub = dim // m
+    q = {
+        i: (np.round(v.astype(np.float64) * quant) + QOFF).astype(np.int64)
+        for i, v in vecs.items()
+    }
+    seed_ids = sorted(q, key=lambda i: (hashlib.md5(f"km:{i}".encode()).hexdigest(), i))
+    books = []
+    for mi in range(m):
+        sl = slice(mi * sub, (mi + 1) * sub)
+        cents = {c: q[i][sl].copy() for c, i in enumerate(seed_ids[:k])}
+        for _ in range(iters):
+            assign = {
+                i: min((int(((v[sl] - cv) ** 2).sum()), c) for c, cv in cents.items())[1]
+                for i, v in q.items()
+            }
+            cents = {}
+            for c in sorted(set(assign.values())):
+                mm = np.stack([q[i][sl] for i in q if assign[i] == c])
+                cents[c] = mm.sum(axis=0) // len(mm)
+        books.append(cents)
+    codes = {
+        i: [
+            min(
+                (int(((q[i][mi * sub : (mi + 1) * sub] - cv) ** 2).sum()), c)
+                for c, cv in books[mi].items()
+            )[1]
+            for mi in range(m)
+        ]
+        for i in q
+    }
+    out = {}
+    for qid, qv in queries.items():
+        qq = (np.round(qv.astype(np.float64) * quant) + QOFF).astype(np.int64)
+        dt = [
+            {c: int(((qq[mi * sub : (mi + 1) * sub] - cv) ** 2).sum()) for c, cv in books[mi].items()}
+            for mi in range(m)
+        ]
+        scored = sorted(
+            (sum(dt[mi][codes[i][mi]] for mi in range(m)), i) for i in q
+        )
+        out[qid] = [(i, d) for d, i in scored[:k_results]]
+    return out
+
+
+class TestPQ:
+    def test_matches_python_pq(self, spark, vec_df, vec_rows):
+        from htrc_ingester_spark.operators.clustering import pq_fit_encode, pq_topk
+
+        queries = {"q0": vec_rows[0], "q1": vec_rows[55]}
+        qdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": list(queries), "embedding": [v.tolist() for v in queries.values()]}
+            )
+        )
+        codes, book = pq_fit_encode(vec_df, m=2, k=4, iters=2, dim=8)
+        got = pq_topk(codes, book, qdf, k_results=5, dim=8, m=2).toPandas()
+        want = py_pq_topk(vec_rows, queries, m=2, k=4, iters=2, k_results=5)
+        for qid, pairs in want.items():
+            rows = got[got.query_id == qid].sort_values("rank")
+            assert list(rows.vec_id) == [i for i, _ in pairs]
+            assert list(rows.adist) == [d for _, d in pairs]
+
+    def test_self_query_ranks_first(self, spark, vec_df, vec_rows):
+        from htrc_ingester_spark.operators.clustering import pq_fit_encode, pq_topk
+
+        qdf = spark.createDataFrame(
+            pd.DataFrame({"query_id": ["s"], "embedding": [vec_rows[3].tolist()]})
+        )
+        codes, book = pq_fit_encode(vec_df, m=2, k=4, iters=2, dim=8)
+        got = pq_topk(codes, book, qdf, k_results=3, dim=8, m=2).toPandas()
+        # the query IS vector 3: nothing can have smaller ADC distance
+        assert got[got["rank"] == 1].adist.iloc[0] <= got.adist.min()
+
+    def test_dim_must_divide(self, spark, vec_df):
+        from htrc_ingester_spark.operators.clustering import pq_fit_encode
+
+        with pytest.raises(ValueError, match="subspaces"):
+            pq_fit_encode(vec_df, m=3, k=4, iters=1, dim=8)
