@@ -680,12 +680,24 @@ def repetition_stats(
     — it is the minimal reduce any exact mode computation pays.
     """
     bi = shingles_sql(text_col, 2, "spark")
+    frac = F.round(
+        1 - F.expr(f"size(array_distinct({bi}))") / F.expr(f"size({bi})"), 6
+    )
+    # CollapseProject would inline the O(words) HOF into the Generate's
+    # projection, re-evaluating it once PER EXPLODED ROW (measured 45×
+    # slower at sf0.1). array_repeat evaluates it exactly once per doc
+    # and ships the scalar through the explode alongside each word.
+    w = f"split({text_col}, ' ')"
     exploded = df.select(
         F.col(id_col),
-        F.round(
-            1 - F.expr(f"size(array_distinct({bi}))") / F.expr(f"size({bi})"), 6
-        ).alias("dup_bigram_frac"),
-        F.explode(F.expr(f"split({text_col}, ' ')")).alias("word"),
+        F.explode(
+            F.arrays_zip(
+                F.expr(w).alias("word"),
+                F.array_repeat(frac, F.expr(f"size({w})")).alias("bf"),
+            )
+        ).alias("z"),
+    ).select(
+        id_col, F.col("z.word").alias("word"), F.col("z.bf").alias("dup_bigram_frac")
     )
     per_doc = (
         exploded.groupBy(id_col, "dup_bigram_frac", "word")
