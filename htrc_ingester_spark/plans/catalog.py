@@ -2050,6 +2050,67 @@ def _pq_topk_oracle() -> str:
 _register_fn("similarity_pq_topk", _pq_topk, _pq_topk_oracle())
 
 
+# Interval overlap join (operators/intervals.interval_join): 30-min
+# incident windows around error events × click sessions (value-minutes
+# long), exact microsecond-epoch overlap. The Spark side is the binned
+# reference-bin plan (one equi-join, no distinct); the oracle is the
+# direct quadratic overlap join — the gate certifies the binning loses
+# and duplicates nothing.
+_INT_BIN_US = 1_800_000_000  # 30-minute bins
+
+
+def _interval_a_sql(dialect: str) -> str:
+    # ts is TIMESTAMP_NTZ: timestampdiff from the NTZ epoch is the
+    # timezone-independent twin of DuckDB's epoch_us
+    us = (
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        if dialect == "spark"
+        else "epoch_us(ts)"
+    )
+    return (
+        f"select event_id as id, {us} as s, {us} + 1800000000 as e"
+        f" from events where event_type = 'error'"
+    )
+
+
+def _interval_b_sql(dialect: str) -> str:
+    # ts is TIMESTAMP_NTZ: timestampdiff from the NTZ epoch is the
+    # timezone-independent twin of DuckDB's epoch_us
+    us = (
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        if dialect == "spark"
+        else "epoch_us(ts)"
+    )
+    return (
+        f"select event_id as id, {us} as s,"
+        f" {us} + cast(round(value * 60 * 1000000) as bigint) as e"
+        f" from events where event_type = 'click'"
+    )
+
+
+def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import interval_join
+
+    _load(spark, sf_dir, "events")
+    a = spark.sql(_interval_a_sql("spark"))
+    b = spark.sql(_interval_b_sql("spark"))
+    return interval_join(a, b, bin_us=_INT_BIN_US).orderBy("a_id", "b_id")
+
+
+def _interval_join_oracle() -> str:
+    return f"""
+    with a as ({_interval_a_sql('duckdb')}),
+    b as ({_interval_b_sql('duckdb')})
+    select a.id as a_id, b.id as b_id,
+           least(a.e, b.e) - greatest(a.s, b.s) as overlap_us
+    from a join b on a.s < b.e and b.s < a.e
+    order by a_id, b_id
+    """
+
+
+_register_fn("interval_overlap_join", _interval_join, _interval_join_oracle())
+
+
 def _s2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-lite encode (Arrow pandas_udf — the numpy kernel, exercising
     the Arrow path) → per-face counts. The DuckDB oracle is the
