@@ -257,3 +257,23 @@ class TestRound2PlanShapes:
         )
         # tiny candidate set → the auto decision must be 'broadcast'
         assert TD._BROADCAST_VERIFY_MAX_PAIRS > 10
+
+
+class TestCatalogWidePlanAudit:
+    """Every catalog entry's physical plan is free of row-at-a-time
+    Python UDFs (BatchEvalPython). Arrow-vectorized Python
+    (ArrowEvalPython — the PIP refine / S2 encode kernels) and
+    mapInPandas (image/METS batch parsers) are the sanctioned Python
+    paths; per-row pickling in a hot path is never acceptable and this
+    sweep makes that a standing invariant for all current AND future
+    entries."""
+
+    def test_no_row_wise_python_udf_anywhere(self, spark):
+        import __spark_entry__ as E
+
+        offenders = []
+        for name, fn in sorted(E.queries().items()):
+            plan = plan_of(fn(spark, SF_DIR))
+            if "BatchEvalPython" in plan:
+                offenders.append(name)
+        assert offenders == []
