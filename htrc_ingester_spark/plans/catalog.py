@@ -3661,7 +3661,10 @@ def _phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(imgs).orderBy("id_a", "id_b")
 
 
-def _phash_neardup_oracle() -> str:
+def _phash_pairs_oracle_ctes() -> str:
+    """DuckDB CTE block: banded phash candidate pairs → hamming ≤3
+    verified pairs (shared by dedup_image_phash and the cluster
+    entry)."""
     from ..operators.embedding import N_PHASH_BANDS, hamming64_sql, phash_band_sql
 
     bands = " union all ".join(
@@ -3671,7 +3674,7 @@ def _phash_neardup_oracle() -> str:
     )
     ham = hamming64_sql("a.phash", "b.phash", "duckdb")
     return f"""
-    with imgs as ({_phash_images_sql('duckdb')}),
+    imgs as ({_phash_images_sql('duckdb')}),
     sig as ({bands}),
     sizes as (select band, bucket from sig group by 1, 2 having count(*) <= 100),
     kept as (select sig.* from sig join sizes using (band, bucket)),
@@ -3679,13 +3682,64 @@ def _phash_neardup_oracle() -> str:
       select distinct a.image_id as id_a, b.image_id as id_b,
              cast({ham} as int) as hamming
       from kept a join kept b using (band, bucket)
-      where a.image_id < b.image_id)
-    select id_a, id_b, hamming from pairs
-    where hamming <= 3 order by id_a, id_b
+      where a.image_id < b.image_id),
+    ppairs as (select id_a, id_b, hamming from pairs where hamming <= 3)"""
+
+
+def _phash_neardup_oracle() -> str:
+    return f"""
+    with {_phash_pairs_oracle_ctes()}
+    select id_a, id_b, hamming from ppairs order by id_a, id_b
     """
 
 
 _register_fn("dedup_image_phash", _phash_neardup, _phash_neardup_oracle())
+
+
+# Image near-dup CLUSTERS: the full image-dedup pipeline composed from
+# existing machinery — banded phash pairs (embedding.phash_neardup_pairs)
+# → general-graph connected components (dissolve.connected_components_edges)
+# → per-image canonical-min-id cluster label (singletons label
+# themselves) — the J3 keep-one discipline applied to perceptual
+# duplicates. Oracle: the shared pair CTEs + recursive reachability.
+def _phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dissolve import connected_components_edges
+    from ..operators.embedding import phash_neardup_pairs
+
+    _load(spark, sf_dir, "lineitem")
+    imgs = spark.sql(_phash_images_sql("spark"))
+    pairs = phash_neardup_pairs(imgs).select("id_a", "id_b")
+    cc = connected_components_edges(pairs, "id_a", "id_b")
+    return (
+        imgs.join(cc, imgs["image_id"] == cc["node"], "left")
+        .select(
+            "image_id", F.coalesce("cluster", "image_id").alias("cluster")
+        )
+        .orderBy("image_id")
+    )
+
+
+def _phash_clusters_oracle() -> str:
+    return f"""
+    with recursive {_phash_pairs_oracle_ctes()},
+    vedges as (
+      select id_a as src, id_b as dst from ppairs
+      union
+      select id_b, id_a from ppairs),
+    vwalk(node, label) as (
+      select distinct src, src from vedges
+      union
+      select e.dst, w.label from vwalk w join vedges e on e.src = w.node),
+    vlab as (select node, min(label) as cluster from vwalk group by node)
+    select i.image_id, coalesce(l.cluster, i.image_id) as cluster
+    from imgs i left join vlab l on l.node = i.image_id
+    order by i.image_id
+    """
+
+
+_register_fn("dedup_image_clusters", _phash_clusters, _phash_clusters_oracle())
 
 
 # phash radius search (operators/embedding.phash_search): find every
