@@ -3742,6 +3742,64 @@ def _phash_clusters_oracle() -> str:
 _register_fn("dedup_image_clusters", _phash_clusters, _phash_clusters_oracle())
 
 
+# Mutual (reciprocal) kNN graph: a↔b kept only when each is in the
+# other's top-k — the standard symmetric-graph construction for
+# clustering / duplicate triage (cuts hub artifacts that plain kNN
+# graphs suffer). Self-kNN over the customer point set at k=3,
+# self-matches excluded, composed on knn_join_many (the distributed
+# kNN: the query side here is the WHOLE point set, so the
+# collect-queries-to-driver variant would not scale).
+def _knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.knn_join import knn_join_many
+
+    _load(spark, sf_dir, "customer")
+    pts = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
+    qs = pts.select(
+        F.col("image_id").alias("query_id"), "lon", "lat", F.lit(4).alias("k")
+    )  # k+1: rank 1 is the point itself (distinct coords by fixture)
+    knn = (
+        knn_join_many(spark, pts, qs, res=5)
+        .where(F.col("image_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").cast("bigint").alias("src"),
+            F.col("image_id").cast("bigint").alias("dst"),
+        )
+    )
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        knn.intersect(rev)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _knn_mutual_oracle() -> str:
+    from ..functions import haversine_sql_expr
+
+    dist = haversine_sql_expr("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+    with p as ({_POINTS_SQL}),
+    ranked as (
+      select cast(q.point_id as bigint) as src,
+             cast(p.point_id as bigint) as dst,
+             row_number() over (partition by q.point_id
+                                order by {dist}, cast(p.point_id as bigint)) as rank
+      from p q join p on q.point_id <> p.point_id
+    ),
+    e as (select src, dst from ranked where rank <= 3)
+    select a.src as id_a, a.dst as id_b
+    from e a join e b on a.src = b.dst and a.dst = b.src
+    where a.src < a.dst
+    order by id_a, id_b
+    """
+
+
+_register_fn("knn_mutual_pairs", _knn_mutual, _knn_mutual_oracle())
+
+
 # phash radius search (operators/embedding.phash_search): find every
 # image within hamming ≤3 of each query phash, top-5 per query. The
 # banded equi-join is pigeonhole-COMPLETE at radius 3, so the oracle is
