@@ -429,3 +429,45 @@ def dedup_stream(
     """
     keys = key_cols or ["image_id"]
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def click_view_stream_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join — the attribution query (view →
+    click within ``max_delay``) that completes the streaming taxonomy
+    next to the stateless PIP probe, the windowed aggs, and the
+    applyInPandasWithState collapse.
+
+    views: (view_id, user_id, view_ts); clicks: (click_id, user_id,
+    click_ts). Emits one row per (view, click) pair of the same user
+    with ``view_ts <= click_ts < view_ts + max_delay`` — the classic
+    interval-bounded equi-join. Both sides carry watermarks and the
+    join condition bounds event time in BOTH directions, so Spark can
+    size the state store exactly: each side buffers only rows inside
+    the watermark horizon (state ∝ rate × horizon, never corpus), and
+    evicts as the watermark advances — the stream-stream analog of
+    interval_join's bin discipline.
+
+    Late rows beyond the watermark are dropped by the state store (the
+    standard contract; test pins it across checkpointed drains). The
+    batch twin is the same join predicate on static frames
+    (test_streaming: stream == batch on the common rows).
+    """
+    v = views.withWatermark("view_ts", watermark).alias("v")
+    c = clicks.withWatermark("click_ts", watermark).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"""
+            v.user_id = c.user_id
+            and c.click_ts >= v.view_ts
+            and c.click_ts < v.view_ts + interval {max_delay}
+            """
+        ),
+    ).select(
+        "v.view_id", "c.click_id", "v.user_id", "v.view_ts", "c.click_ts"
+    )

@@ -548,3 +548,137 @@ def test_dedup_stream_collapses_redelivery_within_watermark(spark, tmp_path):
     assert (repeats.payload.str.startswith("a-")).all()
     # fresh keys from the second file survive
     assert set(got[got.image_id >= 100].image_id) == set(range(100, 140))
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream attribution join: availableNow drain
+    of two file-source streams == the same predicate in batch."""
+    import pandas as pd
+
+    vsrc, csrc = tmp_path / "views", tmp_path / "clicks"
+    vsrc.mkdir(), csrc.mkdir()
+    views = pd.DataFrame(
+        {
+            "view_id": range(60),
+            "user_id": [i % 7 for i in range(60)],
+            "ts_s": [f"2026-01-01 00:{i % 20:02d}:{(i * 13) % 60:02d}" for i in range(60)],
+        }
+    )
+    clicks = pd.DataFrame(
+        {
+            "click_id": range(40),
+            "user_id": [i % 7 for i in range(40)],
+            "ts_s": [f"2026-01-01 00:{(i + 3) % 22:02d}:{(i * 7) % 60:02d}" for i in range(40)],
+        }
+    )
+    vdf = (
+        spark.createDataFrame(views)
+        .withColumn("view_ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    cdf = (
+        spark.createDataFrame(clicks)
+        .withColumn("click_ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    vdf.coalesce(2).write.parquet(str(vsrc / "f"))
+    cdf.coalesce(2).write.parquet(str(csrc / "f"))
+
+    vb, cb = spark.read.parquet(str(vsrc / "f")), spark.read.parquet(str(csrc / "f"))
+    want = (
+        S.click_view_stream_join(vb, cb, max_delay="5 minutes")
+        .toPandas()
+        .sort_values(["view_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0  # fixture sanity: the join is non-trivial
+
+    vs = (
+        spark.readStream.schema(vb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vsrc / "f"))
+    )
+    cs = (
+        spark.readStream.schema(cb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(csrc / "f"))
+    )
+    q = (
+        S.click_view_stream_join(vs, cs, max_delay="5 minutes")
+        .writeStream.format("memory")
+        .queryName("ss_join_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ss_join_t")
+        .toPandas()
+        .sort_values(["view_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_stream_join_state_is_bounded_and_late_clicks_drop(spark, tmp_path):
+    """Second drain from the same checkpoint: a click arriving far
+    behind the advanced watermark pairs with nothing (its matching
+    view's state was evicted)."""
+    import pandas as pd
+
+    vsrc, csrc = tmp_path / "v2", tmp_path / "c2"
+    vsrc.mkdir(), csrc.mkdir()
+    vschema = "view_id long, user_id long, view_ts timestamp"
+    cschema = "click_id long, user_id long, click_ts timestamp"
+
+    def write(df, d, name):
+        df.coalesce(1).write.parquet(str(d / name))
+
+    write(
+        spark.createDataFrame(
+            [(1, 1, "2026-01-01 00:01:00"), (2, 1, "2026-01-01 02:00:00")],
+            "view_id long, user_id long, ts string",
+        ).select("view_id", "user_id", F.to_timestamp("ts").alias("view_ts")),
+        vsrc, "f1",
+    )
+    write(
+        spark.createDataFrame(
+            [(10, 1, "2026-01-01 02:00:30")],
+            "click_id long, user_id long, ts string",
+        ).select("click_id", "user_id", F.to_timestamp("ts").alias("click_ts")),
+        csrc, "f1",
+    )
+
+    emitted: list = []
+
+    def drain():
+        vs = spark.readStream.schema(vschema).parquet(str(vsrc) + "/*")
+        cs = spark.readStream.schema(cschema).parquet(str(csrc) + "/*")
+        q = (
+            S.click_view_stream_join(vs, cs, max_delay="5 minutes", watermark="10 minutes")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ssl"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert {r["click_id"] for r in emitted} == {10}  # view 2 ⋈ click 10
+
+    # late click at 00:02 — watermark has advanced past 01:50; its
+    # matching view (id 1) was evicted from state → no pair emitted
+    write(
+        spark.createDataFrame(
+            [(11, 1, "2026-01-01 00:02:00")],
+            "click_id long, user_id long, ts string",
+        ).select("click_id", "user_id", F.to_timestamp("ts").alias("click_ts")),
+        csrc, "f2",
+    )
+    drain()
+    assert {r["click_id"] for r in emitted} == {10}  # late click dropped
