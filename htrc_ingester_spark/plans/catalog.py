@@ -3800,6 +3800,89 @@ def _knn_mutual_oracle() -> str:
 _register_fn("knn_mutual_pairs", _knn_mutual, _knn_mutual_oracle())
 
 
+# Funnel analysis: per user, the earliest view → first click strictly
+# after it (within 30 min) → first purchase strictly after that
+# (within 48 h — sized to the fixture's ~10 h inter-event spacing so
+# every stage is populated); report how many users reach each stage. Spark side:
+# ONE user-keyed exchange (sorted collect_list) + HOF array probes —
+# the per-entity-fold discipline of trajectory_stats applied to
+# event-sequence matching. Oracle: three chained min-aggregations.
+_FUNNEL_GAP_US = 172_800_000_000  # 48 hours
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "events")
+    us = "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+    ev = spark.sql(
+        f"select user_id, event_type, {us} as t from events"
+        " where event_type in ('view', 'click', 'purchase')"
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.expr("array_sort(collect_list(struct(t, event_type)))").alias("a")
+    )
+    first = "try_element_at(filter(a, x -> x.event_type = 'view'), 1).t"
+    nxt = (
+        "try_element_at(filter(a, x -> x.event_type = '{typ}'"
+        " and x.t > {prev} and x.t <= {prev} + " + str(_FUNNEL_GAP_US) + "), 1).t"
+    )
+    staged = (
+        arr.withColumn("t_view", F.expr(first))
+        .withColumn("t_click", F.expr(nxt.format(typ="click", prev="t_view")))
+        .withColumn("t_buy", F.expr(nxt.format(typ="purchase", prev="t_click")))
+        .select(
+            "user_id",
+            (
+                F.when(F.col("t_buy").isNotNull(), 3)
+                .when(F.col("t_click").isNotNull(), 2)
+                .when(F.col("t_view").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("stage"),
+        )
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    with ev as (
+      select user_id, event_type, epoch_us(ts) as t from events
+      where event_type in ('view', 'click', 'purchase')),
+    v as (select user_id, min(t) as t_view from ev
+          where event_type = 'view' group by 1),
+    c as (select e.user_id, min(e.t) as t_click
+          from ev e join v on e.user_id = v.user_id
+          where e.event_type = 'click' and e.t > v.t_view
+            and e.t <= v.t_view + {_FUNNEL_GAP_US}
+          group by 1),
+    p as (select e.user_id, min(e.t) as t_buy
+          from ev e join c on e.user_id = c.user_id
+          where e.event_type = 'purchase' and e.t > c.t_click
+            and e.t <= c.t_click + {_FUNNEL_GAP_US}
+          group by 1),
+    staged as (
+      select u.user_id,
+             case when p.user_id is not null then 3
+                  when c.user_id is not null then 2
+                  when v.user_id is not null then 1
+                  else 0 end as stage
+      from (select distinct user_id from ev) u
+      left join v on u.user_id = v.user_id
+      left join c on u.user_id = c.user_id
+      left join p on u.user_id = p.user_id)
+    select stage, cast(count(*) as bigint) as n_users
+    from staged group by stage order by stage
+    """
+
+
+_register_fn("events_funnel_stages", _funnel, _funnel_oracle())
+
+
 # phash radius search (operators/embedding.phash_search): find every
 # image within hamming ≤3 of each query phash, top-5 per query. The
 # banded equi-join is pigeonhole-COMPLETE at radius 3, so the oracle is
