@@ -171,3 +171,110 @@ def segment_intersect_join(
     ).drop("cell")
     helper = [f"{p}{c}" for p in ("a_", "b_") for c in ("lon_min", "lon_max", "lat_min", "lat_max")]
     return out.drop(*helper)
+
+
+# ---------------------------------------------------------------------------
+# Line-density rasterization (length-weighted segment→cell rollup)
+# ---------------------------------------------------------------------------
+
+
+def clip_frac_sql(res: int) -> str:
+    """Fraction of segment (x0,y0)→(x1,y1) inside grid cell (cx, cy)
+    at ``res`` — Liang-Barsky parametric clipping against the cell
+    bbox as ONE SQL expression, identical text in Spark SQL and DuckDB
+    (case/least/greatest arithmetic only, no structs). An axis-parallel
+    segment (zero extent on an axis) is unconstrained on that axis when
+    its coordinate lies inside the slab and empty otherwise."""
+    from ..geo import h3lite as H
+
+    nxr, nyr = H.nx(res), H.ny(res)
+    wx, wy = 360.0 / nxr, 180.0 / nyr
+
+    def d(v: float) -> str:
+        return f"cast('{v!r}' as double)"
+
+    lo_x = f"(-180.0 + cx * {d(wx)})"
+    hi_x = f"({lo_x} + {d(wx)})"
+    lo_y = f"(-90.0 + cy * {d(wy)})"
+    hi_y = f"({lo_y} + {d(wy)})"
+    dx, dy = "(x1 - x0)", "(y1 - y0)"
+
+    def lohi(lo, hi, p0, dd):
+        ta, tb = f"(({lo} - {p0}) / {dd})", f"(({hi} - {p0}) / {dd})"
+        t_lo = (
+            f"(case when {dd} = 0.0 then"
+            f" (case when {p0} >= {lo} and {p0} <= {hi} then 0.0 else 1.0 end)"
+            f" else least({ta}, {tb}) end)"
+        )
+        t_hi = (
+            f"(case when {dd} = 0.0 then"
+            f" (case when {p0} >= {lo} and {p0} <= {hi} then 1.0 else 0.0 end)"
+            f" else greatest({ta}, {tb}) end)"
+        )
+        return t_lo, t_hi
+
+    tx_lo, tx_hi = lohi(lo_x, hi_x, "x0", dx)
+    ty_lo, ty_hi = lohi(lo_y, hi_y, "y0", dy)
+    return (
+        f"greatest(least({tx_hi}, {ty_hi}, 1.0)"
+        f" - greatest({tx_lo}, {ty_lo}, 0.0), 0.0)"
+    )
+
+
+def seg_len_m_sql() -> str:
+    """Flat-earth equirectangular segment length in meters at the
+    segment's mean latitude — the map_match metric, portable text."""
+    from ..geo import h3lite as H
+
+    k = "cos(radians((y0 + y1) / 2.0))"
+    return (
+        f"sqrt(((x1 - x0) * {k}) * ((x1 - x0) * {k})"
+        f" + (y1 - y0) * (y1 - y0))"
+        f" * cast('{float(H.M_PER_DEG_LAT)!r}' as double)"
+    )
+
+
+def segment_density(segments: DataFrame, res: int) -> DataFrame:
+    """(cell, n_segments, len_m): total clipped segment length and
+    contributing-segment count per grid cell — line rasterization (road
+    density, coastline load, trajectory heat), completing the
+    rasterize trio next to tile_assign (points) and polygon_buffer
+    (polygons).
+
+    Plan: each segment explodes to its bbox cell cover (two nested
+    ``sequence`` generators — map-side), the Liang-Barsky fraction
+    clips it exactly to every covered cell, and ONE (cell) aggregate
+    sums meters. Corner-graze cells (clip fraction 0) are dropped, so
+    per-cell sums add back to exactly the total length. Fan-out per
+    segment is its bbox cover at ``res`` — continent-spanning
+    diagonals should be split upstream (bbox_join's contract).
+
+    ``segments``: (seg_id, x0, y0, x1, y1) lon/lat degrees, no
+    antimeridian crossing.
+    """
+    box = _with_bbox(segments)
+    cand = (
+        box.withColumn("_xa", _x_idx(F.col("lon_min"), res))
+        .withColumn("_xb", _x_idx(F.col("lon_max"), res))
+        .withColumn("_ya", _y_idx(F.col("lat_min"), res))
+        .withColumn("_yb", _y_idx(F.col("lat_max"), res))
+        .withColumn("cx", F.explode(F.expr("sequence(_xa, _xb)")))
+        .withColumn("cy", F.explode(F.expr("sequence(_ya, _yb)")))
+    )
+    frac = clip_frac_sql(res)
+    length = seg_len_m_sql()
+    return (
+        cand.withColumn("_len_in", F.expr(f"({frac}) * ({length})"))
+        .where(F.col("_len_in") > 0)
+        .groupBy(
+            (
+                F.lit(res).cast("long") * F.lit(1 << 56)
+                + F.col("cx") * F.lit(1 << 28)
+                + F.col("cy")
+            ).alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.round(F.sum("_len_in"), 3).alias("len_m"),
+        )
+    )

@@ -3883,6 +3883,7 @@ def _funnel_oracle() -> str:
 _register_fn("events_funnel_stages", _funnel, _funnel_oracle())
 
 
+
 # phash radius search (operators/embedding.phash_search): find every
 # image within hamming ≤3 of each query phash, top-5 per query. The
 # banded equi-join is pigeonhole-COMPLETE at radius 3, so the oracle is
@@ -4656,3 +4657,64 @@ def _pip_convex_oracle() -> str:
 
 
 _register_fn("pip_join_convex_oracle", _pip_convex, _pip_convex_oracle())
+
+
+# Line-density rasterization (operators/segments.segment_density):
+# total road+path meters per res-8 cell via exact Liang-Barsky
+# clipping. Oracle: the same cover enumerated by generate_series and
+# the same clip/length expression templates.
+_SEGDEN_RES = 8
+
+
+def _seg_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.segments import segment_density
+
+    _load(spark, sf_dir, "lineitem")
+    segs = spark.sql(_segments_sql("roads")).unionByName(
+        spark.sql(_segments_sql("paths"))
+    )
+    return segment_density(segs, res=_SEGDEN_RES).orderBy("cell")
+
+
+def _seg_density_oracle() -> str:
+    from ..geo import h3lite as HH
+    from ..operators.segments import clip_frac_sql, seg_len_m_sql
+
+    nxr, nyr = HH.nx(_SEGDEN_RES), HH.ny(_SEGDEN_RES)
+
+    def idx(col: str, lo: float, span: float, n: int) -> str:
+        return (
+            f"least(greatest(cast(floor(({col} + {-lo!r})"
+            f" / {span!r} * {n}) as bigint),"
+            f" cast(0 as bigint)), cast({n - 1} as bigint))"
+        )
+
+    return f"""
+    with segs as (
+      select * from ({_segments_sql('roads')})
+      union all select * from ({_segments_sql('paths')})),
+    box as (
+      select *, least(x0, x1) as lon_min, greatest(x0, x1) as lon_max,
+             least(y0, y1) as lat_min, greatest(y0, y1) as lat_max
+      from segs),
+    cand as (
+      select box.*, gx.cx, gy.cy
+      from box
+      cross join lateral (select unnest(generate_series(
+        {idx('lon_min', -180.0, 360.0, nxr)},
+        {idx('lon_max', -180.0, 360.0, nxr)})) as cx) gx
+      cross join lateral (select unnest(generate_series(
+        {idx('lat_min', -90.0, 180.0, nyr)},
+        {idx('lat_max', -90.0, 180.0, nyr)})) as cy) gy),
+    clipped as (
+      select cast({_SEGDEN_RES} as bigint) * {1 << 56} + cx * {1 << 28} + cy as cell,
+             ({clip_frac_sql(_SEGDEN_RES)}) * ({seg_len_m_sql()}) as len_in
+      from cand)
+    select cell, cast(count(*) as bigint) as n_segments,
+           round(sum(len_in), 3) as len_m
+    from clipped where len_in > 0
+    group by cell order by cell
+    """
+
+
+_register_fn("segment_density_cells", _seg_density, _seg_density_oracle())

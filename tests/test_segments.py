@@ -116,3 +116,65 @@ class TestSegmentPredicate:
             if _py_intersects(a, b)
         )
         assert got == want and len(want) > 50
+
+
+class TestSegmentDensity:
+    """segment_density (Liang-Barsky line rasterization): length
+    conservation, hand-clipped fractions, degenerate segments."""
+
+    def _total_len_m(self, rows):
+        import numpy as np
+
+        from htrc_ingester_spark.geo import h3lite as H
+
+        tot = 0.0
+        for _, x0, y0, x1, y1 in rows:
+            k = np.cos(np.radians((y0 + y1) / 2.0))
+            tot += float(
+                np.hypot((x1 - x0) * k, y1 - y0) * float(H.M_PER_DEG_LAT)
+            )
+        return tot
+
+    def test_length_conserved_across_cells(self, spark):
+        import random
+
+        from htrc_ingester_spark.operators.segments import segment_density
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(50):
+            x0, y0 = rng.uniform(-10, 10), rng.uniform(40, 50)
+            rows.append(
+                (i, x0, y0, x0 + rng.uniform(-2, 2), y0 + rng.uniform(-2, 2))
+            )
+        df = spark.createDataFrame(
+            rows, "seg_id long, x0 double, y0 double, x1 double, y1 double"
+        )
+        out = segment_density(df, res=7).toPandas()
+        assert abs(out.len_m.sum() - self._total_len_m(rows)) < 1.0  # meters
+
+    def test_hand_clipped_two_cell_split(self, spark):
+        from htrc_ingester_spark.geo import h3lite as H
+        from htrc_ingester_spark.operators.segments import segment_density
+
+        res = 7
+        wx = 360.0 / H.nx(res)
+        # horizontal segment on the equator straddling one vertical
+        # cell boundary at lon=0, 25% left / 75% right
+        rows = [(0, -0.25 * wx, 0.3 * (180.0 / H.ny(res)), 0.75 * wx, 0.3 * (180.0 / H.ny(res)))]
+        out = segment_density(spark.createDataFrame(
+            rows, "seg_id long, x0 double, y0 double, x1 double, y1 double"
+        ), res=res).toPandas().sort_values("cell").reset_index(drop=True)
+        assert len(out) == 2
+        assert out.len_m.iloc[0] == round(out.len_m.sum() * 0.25, 3) or (
+            abs(out.len_m.iloc[0] - out.len_m.sum() * 0.25) < 0.01
+        )
+
+    def test_degenerate_point_segment_contributes_zero(self, spark):
+        from htrc_ingester_spark.operators.segments import segment_density
+
+        rows = [(0, 5.0, 5.0, 5.0, 5.0)]
+        out = segment_density(spark.createDataFrame(
+            rows, "seg_id long, x0 double, y0 double, x1 double, y1 double"
+        ), res=7).toPandas()
+        assert len(out) == 0  # zero length → frac*len = 0 → dropped
