@@ -4718,3 +4718,61 @@ def _seg_density_oracle() -> str:
 
 
 _register_fn("segment_density_cells", _seg_density, _seg_density_oracle())
+
+
+# Cohort retention: users cohorted by the epoch-week of their FIRST
+# signup event; n distinct users of each cohort active again k weeks
+# later (any event type). Epoch-week = integer division of the µs
+# epoch — exact in both engines, no date_trunc week-start conventions.
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _cohort_sqls(dialect: str) -> tuple[str, str]:
+    us = (
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        if dialect == "spark"
+        else "epoch_us(ts)"
+    )
+    dv = "div" if dialect == "spark" else "//"
+    su = (
+        f"select user_id, min({us}) {dv} {_WEEK_US} as cohort_week"
+        f" from events where event_type = 'signup' group by user_id"
+    )
+    act = f"select user_id, {us} {dv} {_WEEK_US} as week from events"
+    return su, act
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "events")
+    su_sql, act_sql = _cohort_sqls("spark")
+    su, act = spark.sql(su_sql), spark.sql(act_sql)
+    return (
+        act.join(su, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def _cohort_retention_oracle() -> str:
+    su_sql, act_sql = _cohort_sqls("duckdb")
+    return f"""
+    with su as ({su_sql}), act as ({act_sql})
+    select su.cohort_week, act.week - su.cohort_week as week_offset,
+           cast(count(distinct act.user_id) as bigint) as n_users
+    from act join su on act.user_id = su.user_id
+    where act.week >= su.cohort_week
+    group by 1, 2 order by 1, 2
+    """
+
+
+_register_fn("events_cohort_retention", _cohort_retention, _cohort_retention_oracle())
