@@ -58,12 +58,16 @@ def shortest_paths(
     if hops < 0:
         raise ValueError("hops must be >= 0")
     spark = edges.sparkSession
+    # the collapsed adjacency is re-joined EVERY round: persist it, or
+    # each round re-derives the full upstream lineage and the unrolled
+    # plan (and task binaries) grow with the hop count
     e = (
         edges.groupBy(
             F.col(src_col).cast("long").alias("_src"),
             F.col(dst_col).cast("long").alias("_dst"),
         )
         .agg(F.min(F.col(weight_col).cast("long")).alias("_w"))
+        .persist()
     )
     best = spark.createDataFrame(
         [(int(s), 0) for s in sources], "node long, dist long"

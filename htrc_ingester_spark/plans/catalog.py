@@ -4776,3 +4776,76 @@ def _cohort_retention_oracle() -> str:
 
 
 _register_fn("events_cohort_retention", _cohort_retention, _cohort_retention_oracle())
+
+
+# Raster cost-distance: bounded-hop least-cost paths over the occupied
+# image-count raster — graph.shortest_paths composed onto the raster's
+# rook adjacency (edge weight = cost(src) + cost(dst), integer). The
+# source is the densest cell (tie-break min cell id; one driver-side
+# scalar collect, documented trivial). 6 hops, exact-integer mins.
+_COST_RES, _COST_HOPS = 10, 6
+
+
+def _cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import shortest_paths
+    from ..operators.tiles import neighbor_sql_expr, neighbor_valid_sql, rasterize
+
+    r = rasterize(FS.load_images(spark, sf_dir), res=_COST_RES).persist()
+    offs = (
+        "array(struct(1 as dx, 0 as dy), struct(-1 as dx, 0 as dy),"
+        " struct(0 as dx, 1 as dy), struct(0 as dx, -1 as dy))"
+    )
+    nb = (
+        r.select(
+            F.col("cell").alias("src"),
+            F.col("value").alias("vs"),
+            F.explode(F.expr(offs)).alias("o"),
+        )
+        .select("src", "vs", F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"))
+        .withColumn("dst", F.expr(neighbor_sql_expr("src", "dx", "dy", "spark")))
+        .where(F.expr(neighbor_valid_sql("src", "dy", "spark")))
+    )
+    edges = nb.join(
+        r.select(F.col("cell").alias("dst"), F.col("value").alias("vd")), "dst"
+    ).select("src", "dst", (F.col("vs") + F.col("vd")).alias("w"))
+    src_cell = int(
+        r.orderBy(F.desc("value"), "cell").limit(1).collect()[0]["cell"]
+    )
+    return shortest_paths(
+        edges, [src_cell], hops=_COST_HOPS, persist_every=4
+    ).orderBy("node")
+
+
+def _cost_distance_oracle() -> str:
+    from ..geo import h3lite as HH
+    from ..operators.tiles import neighbor_sql_expr, neighbor_valid_sql
+
+    cell = HH.h3_sql_expr("lon", "lat", _COST_RES)
+    tgt = neighbor_sql_expr("cell", "dx", "dy", "duckdb")
+    valid = neighbor_valid_sql("cell", "dy", "duckdb")
+    return f"""
+    with recursive img as ({FS.images_sql('lineitem')}),
+    r as (select {cell} as cell, cast(count(*) as bigint) as value
+          from img group by 1),
+    nb as (
+      select cell as src, value as vs, {tgt} as dst
+      from r
+      cross join (select unnest([1, -1, 0, 0]) as dx,
+                         unnest([0, 0, 1, -1]) as dy) offs
+      where {valid}),
+    e as (select nb.src, nb.dst, nb.vs + r.value as w
+          from nb join r on nb.dst = r.cell),
+    s as (select cell from r order by value desc, cell limit 1),
+    walk(node, dist, hops) as (
+      select cell, cast(0 as bigint), 0 from s
+      union all
+      select e.dst, walk.dist + e.w, walk.hops + 1
+      from walk join e on e.src = walk.node
+      where walk.hops < {_COST_HOPS})
+    select node, min(dist) as dist from walk group by 1 order by 1
+    """
+
+
+_register_fn("raster_cost_distance", _cost_distance, _cost_distance_oracle())
