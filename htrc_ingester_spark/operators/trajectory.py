@@ -251,3 +251,51 @@ def trajectory_resample(
         (F.col(lon_col) + frac * (F.col("__lon1") - F.col(lon_col))).alias("lon"),
         (F.col(lat_col) + frac * (F.col("__lat1") - F.col(lat_col))).alias("lat"),
     )
+
+
+def trajectory_od(
+    points: DataFrame,
+    res: int,
+    id_col: str = "entity_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    gap_s: float | None = None,
+) -> DataFrame:
+    """Origin-destination matrix: one (o_cell, d_cell, n) row per pair
+    of grid cells, counting track segments that START in o_cell and
+    END in d_cell — the flow summary behind commute maps and transfer
+    matrices.
+
+    Same single entity-window as trajectory_stats (gap rule included),
+    then per-(entity, segment) endpoint extraction via min/max over
+    struct(t, lon, lat) — an ordinary aggregate with map-side combine
+    (deterministic: ts unique per entity is the module contract), and
+    one final (o_cell, d_cell) count. Single-point segments emit their
+    self-pair (o == d), preserving Σn == number of segments.
+    """
+    from ..geo import h3lite as H
+
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    t = F.col(ts_col).cast("double")
+    df = points.select(id_col, ts_col, lon_col, lat_col).withColumn("__t", t)
+    keys = [id_col]
+    if gap_s is not None:
+        dt = t - F.lag(t).over(w)
+        brk = F.when(dt > float(gap_s), 1).otherwise(0)
+        df = df.withColumn(
+            "segment",
+            F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        keys.append("segment")
+    ends = df.groupBy(*keys).agg(
+        F.min(F.struct("__t", F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"))).alias("o"),
+        F.max(F.struct("__t", F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"))).alias("d"),
+    )
+    o_cell = F.expr(H.h3_sql_expr("o.lon", "o.lat", res))
+    d_cell = F.expr(H.h3_sql_expr("d.lon", "d.lat", res))
+    return (
+        ends.select(o_cell.alias("o_cell"), d_cell.alias("d_cell"))
+        .groupBy("o_cell", "d_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -4849,3 +4849,60 @@ def _cost_distance_oracle() -> str:
 
 
 _register_fn("raster_cost_distance", _cost_distance, _cost_distance_oracle())
+
+
+# Origin-destination matrix (operators/trajectory.trajectory_od): per
+# (origin res-5 cell, destination cell) count of track segments —
+# the commute-map rollup over the same deterministic tracks as
+# trajectory_stats_entities. Oracle: identical segmentation window +
+# arg_min/arg_max endpoint extraction (t unique per entity).
+_OD_RES = 5
+
+
+def _trajectory_od(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.trajectory import trajectory_od
+
+    pts = FS.load_images(spark, sf_dir).select(
+        (F.col("image_id") % _TRAJ_ENTITIES).alias("entity_id"),
+        F.col("image_id").cast("double").alias("t"),
+        "lon",
+        "lat",
+    )
+    return trajectory_od(
+        pts, res=_OD_RES, ts_col="t", gap_s=_TRAJ_GAP_S
+    ).orderBy("o_cell", "d_cell")
+
+
+def _trajectory_od_oracle() -> str:
+    from ..geo import h3lite as HH
+
+    o_cell = HH.h3_sql_expr("o_lon", "o_lat", _OD_RES)
+    d_cell = HH.h3_sql_expr("d_lon", "d_lat", _OD_RES)
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    pts as (
+      select image_id % {_TRAJ_ENTITIES} as entity_id,
+             cast(image_id as double) as t, lon, lat
+      from img),
+    lagd as (
+      select *, t - lag(t) over (partition by entity_id order by t) as dt
+      from pts),
+    seg as (
+      select *, sum(case when dt > {_TRAJ_GAP_S} then 1 else 0 end) over (
+        partition by entity_id order by t
+        rows between unbounded preceding and current row) as segment
+      from lagd),
+    ends as (
+      select entity_id, segment,
+             arg_min(lon, t) as o_lon, arg_min(lat, t) as o_lat,
+             arg_max(lon, t) as d_lon, arg_max(lat, t) as d_lat
+      from seg group by 1, 2)
+    select {o_cell} as o_cell, {d_cell} as d_cell,
+           cast(count(*) as bigint) as n
+    from ends group by 1, 2 order by 1, 2
+    """
+
+
+_register_fn("trajectory_od_matrix", _trajectory_od, _trajectory_od_oracle())
