@@ -4906,3 +4906,29 @@ def _trajectory_od_oracle() -> str:
 
 
 _register_fn("trajectory_od_matrix", _trajectory_od, _trajectory_od_oracle())
+
+
+# Semi-structured JSON extraction (the C-family string/parse axis
+# applied to nested payloads): pull props.k out of the events JSON
+# column, validate, and histogram. Spark get_json_object (codegen,
+# no Python) vs DuckDB json_extract — a cross-dialect parse twin;
+# unparseable / missing keys land in a counted error bucket, the
+# reference's error-channel discipline (C6) on JSON.
+_JSON_HIST = {
+    "spark": """
+      select coalesce(cast(get_json_object(props, '$.k') as bigint) % 10, -1)
+               as k_bucket,
+             cast(count(*) as bigint) as n
+      from events group by 1 order by 1""",
+    "duckdb": """
+      select coalesce(cast(json_extract_string(props, '$.k') as bigint) % 10, -1)
+               as k_bucket,
+             cast(count(*) as bigint) as n
+      from events group by 1 order by 1""",
+}
+_register(
+    "events_json_extract",
+    ["events"],
+    _JSON_HIST["spark"],
+    _JSON_HIST["duckdb"],
+)
