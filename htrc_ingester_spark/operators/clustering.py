@@ -375,7 +375,10 @@ def pq_topk_oracle_sql(
         f" from qq q cross join codebook b)"
     )
     ctes.append(
-        f"adist as (select t.query_id, x.{id_col}, sum(t.d) as adist"
+        # DuckDB list_sum yields DOUBLE: cast the ADC total back to
+        # bigint so the column type matches Spark's integer sum
+        f"adist as (select t.query_id, x.{id_col},"
+        f" cast(sum(t.d) as bigint) as adist"
         f" from datax x join dtab t on x.m = t.m and x.code = t.code"
         f" group by 1, 2)"
     )
