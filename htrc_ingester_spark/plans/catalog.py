@@ -4932,3 +4932,52 @@ _register(
     _JSON_HIST["spark"],
     _JSON_HIST["duckdb"],
 )
+
+
+# Relational-surface sweep: rolling window, grouping sets (CUBE),
+# ntile quartiles, and a conditional-aggregation pivot — the SQL
+# analytics shapes a reference user expects, each dialect-identical.
+_MOVAVG = """
+    select event_id,
+           round(avg(value) over (partition by user_id
+                 order by ts, event_id
+                 rows between 6 preceding and current row), 6) as mov_avg
+    from events order by event_id limit 2000"""
+_register("events_moving_avg", ["events"], _MOVAVG, _MOVAVG)
+
+_CUBE = """
+    select coalesce(event_type, 'ALL') as event_type,
+           coalesce(cast(hour(ts) as bigint), -1) as hr,
+           cast(count(*) as bigint) as n,
+           round(sum(value), 2) as total
+    from events group by cube(event_type, hour(ts))
+    order by event_type, hr"""
+_CUBE_DUCK = """
+    select coalesce(event_type, 'ALL') as event_type,
+           coalesce(cast(hour(ts) as bigint), -1) as hr,
+           cast(count(*) as bigint) as n,
+           round(sum(value), 2) as total
+    from events group by cube(event_type, hour(ts))
+    order by event_type, hr"""
+_register("events_cube_rollup", ["events"], _CUBE, _CUBE_DUCK)
+
+_NTILE = """
+    select event_type, quartile,
+           cast(count(*) as bigint) as n,
+           round(avg(value), 6) as avg_value
+    from (
+      select event_type, value,
+             ntile(4) over (partition by event_type
+                            order by value, event_id) as quartile
+      from events) t
+    group by event_type, quartile order by event_type, quartile"""
+_register("events_value_ntile", ["events"], _NTILE, _NTILE)
+
+_PIVOT = """
+    select cast(hour(ts) as bigint) as hr,
+           cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as clicks,
+           cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as views,
+           cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as purchases,
+           cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as errors
+    from events group by 1 order by 1"""
+_register("events_type_pivot", ["events"], _PIVOT, _PIVOT)
