@@ -4981,3 +4981,35 @@ _PIVOT = """
            cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as errors
     from events group by 1 order by 1"""
 _register("events_type_pivot", ["events"], _PIVOT, _PIVOT)
+
+
+# Attribution join — the BATCH twin of streaming.click_view_stream_join
+# (same predicate on static frames): every (view, click) pair of one
+# user with the click inside [view_ts, view_ts + 30 min). The streaming
+# tests pin stream==batch; this entry value-checks the predicate
+# itself against DuckDB.
+def _attribution_sqls(dialect: str) -> str:
+    us = (
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        if dialect == "spark"
+        else "epoch_us(ts)"
+    )
+    return f"""
+    with v as (select event_id as view_id, user_id, {us} as vt
+               from events where event_type = 'view'),
+    c as (select event_id as click_id, user_id, {us} as ct
+          from events where event_type = 'click')
+    select v.view_id, c.click_id, v.user_id,
+           c.ct - v.vt as delay_us
+    from v join c on v.user_id = c.user_id
+      and c.ct >= v.vt and c.ct < v.vt + 1800000000
+    order by view_id, click_id
+    """
+
+
+def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "events")
+    return spark.sql(_attribution_sqls("spark"))
+
+
+_register_fn("attribution_click_view", _attribution, _attribution_sqls("duckdb"))
