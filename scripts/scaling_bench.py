@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Two-parallelism scaling benchmark → BENCH.md (north-rule evidence).
+"""Two-parallelism scaling benchmark → BENCH_SCALING.md (north-rule evidence).
 
 The rule's two-cluster-size criterion (throughput scaling efficiency
 ≥0.8 from N to 4N executors) can't use a real cluster in this sandbox;
@@ -162,7 +162,10 @@ manifests (manifest.py) + a streaming write-then-swap snapshot flip.
 On a cluster with Iceberg these map 1:1 to
 `writeTo(...).overwritePartitions()` / `MERGE INTO`.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH.md is hand-curated (the generated table was merged into a
+    # larger analysis doc); write the raw report alongside it instead
+    # of clobbering — update BENCH.md's table from this by hand.
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write(md)
 
 
