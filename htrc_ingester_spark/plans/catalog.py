@@ -5013,3 +5013,45 @@ def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_fn("attribution_click_view", _attribution, _attribution_sqls("duckdb"))
+
+
+# Sliding-window aggregation (10-min window, 5-min slide): each event
+# lands in exactly window/slide = 2 windows. Spark uses the native
+# window(ts, w, s) generator; the oracle derives the same two aligned
+# starts by integer epoch arithmetic — window starts are epoch-aligned
+# in both. Output keys are epoch-µs bigints (no timestamp formatting).
+_SLIDE_US = 300_000_000  # 5 minutes
+
+
+def _sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "events")
+    ws_us = (
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00',"
+        " window.start)"
+    )
+    return (
+        spark.table("events")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("window"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .selectExpr(f"{ws_us} as window_start_us", "event_type", "n")
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+def _sliding_counts_oracle() -> str:
+    return f"""
+    with e as (select event_type, epoch_us(ts) as t from events),
+    w as (
+      select (t // {_SLIDE_US}) * {_SLIDE_US} as window_start_us, event_type from e
+      union all
+      select ((t // {_SLIDE_US}) - 1) * {_SLIDE_US}, event_type from e)
+    select window_start_us, event_type, cast(count(*) as bigint) as n
+    from w group by 1, 2 order by 1, 2
+    """
+
+
+_register_fn("events_sliding_window", _sliding_counts, _sliding_counts_oracle())
