@@ -471,3 +471,32 @@ def click_view_stream_join(
     ).select(
         "v.view_id", "c.click_id", "v.user_id", "v.view_ts", "c.click_ts"
     )
+
+
+def kmeans_score_stream(
+    stream: DataFrame,
+    centroids: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> DataFrame:
+    """Score a stream of embedding rows against a BATCH-trained k-means
+    codebook (clustering.kmeans_fit's centroids) — the train-offline /
+    score-online split every production clusterer runs.
+
+    The static centroid set folds into one broadcast row and the
+    assignment is the same integer HOF argmin as the batch operator:
+    stateless, map-only per micro-batch — no state store, no watermark,
+    and stream==batch on the same rows by construction (pinned in
+    test_streaming). Late data needs no handling (a late row is a late
+    score)."""
+    from ..operators.clustering import _argmin_expr, _fold_centroids, _quant_expr
+
+    cs = _fold_centroids(centroids)
+    q = stream.select(
+        F.col(id_col), F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")
+    )
+    return q.crossJoin(F.broadcast(cs)).select(
+        id_col, F.expr(_argmin_expr("cs", "qv", dim)).alias("cluster")
+    )

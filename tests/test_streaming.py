@@ -682,3 +682,51 @@ def test_stream_stream_join_state_is_bounded_and_late_clicks_drop(spark, tmp_pat
     )
     drain()
     assert {r["click_id"] for r in emitted} == {10}  # late click dropped
+
+
+def test_kmeans_score_stream_equals_batch(spark, tmp_path):
+    """Train k-means in batch, score a file-source stream with the
+    frozen centroids: stream assignments == batch assignments."""
+    import numpy as np
+    import pandas as pd
+
+    from htrc_ingester_spark.operators.clustering import kmeans_fit
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(150),
+            "embedding": [rng.normal(scale=0.3, size=8).tolist() for _ in range(150)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    _, cents = kmeans_fit(df, k=4, iters=2, dim=8)
+    cents = cents.persist()
+    cents.count()  # freeze the codebook (stream side must not retrain)
+
+    want = {
+        r.vec_id: r.cluster
+        for r in S.kmeans_score_stream(df, cents, dim=8).collect()
+    }
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    df.coalesce(3).write.parquet(str(src / "f"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f"))
+    )
+    q = (
+        S.kmeans_score_stream(stream, cents, dim=8)
+        .writeStream.format("memory")
+        .queryName("km_score_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_km"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.vec_id: r.cluster for r in spark.table("km_score_t").collect()}
+    assert got == want
+    assert len(set(got.values())) > 1  # non-degenerate codebook
