@@ -133,3 +133,68 @@ class TestHolesAndCaps:
         caps = [p for p in data.polygons() if p["kind"] == "polar_cap"]
         with pytest.raises(ValueError, match="polar-cap"):
             polygon_buffer(spark, caps, 1000.0, RES)
+
+
+class TestBufferFuzz:
+    """Hypothesis: random quads + radius vs a brute-force numpy oracle
+    replicating the operator's exact flat-earth distance spec."""
+
+    @staticmethod
+    def _seg_dist_m(px, py, ax, ay, bx, by):
+        k = np.cos(np.radians(py))
+        dxab, dyab = (bx - ax) * k, by - ay
+        dxap, dyap = (px - ax) * k, py - ay
+        len2 = dxab * dxab + dyab * dyab
+        t = 0.0 if len2 == 0.0 else min(max((dxap * dxab + dyap * dyab) / len2, 0.0), 1.0)
+        cx, cy = ax + t * (bx - ax), ay + t * (by - ay)
+        return float(np.hypot((px - cx) * k, py - cy) * float(H.M_PER_DEG_LAT))
+
+    def _brute(self, ring, radius_m, res):
+        from htrc_ingester_spark.geo.geometry import points_in_rings
+
+        r_deg = radius_m / float(H.M_PER_DEG_LAT)
+        lons = np.array([p[0] for p in ring])
+        lats = np.array([p[1] for p in ring])
+        lon_exp = r_deg / np.cos(np.radians(min(abs(lats).max() + r_deg, 89.0)))
+        nxr, nyr = H.nx(res), H.ny(res)
+        x0 = int(np.floor((lons.min() - lon_exp + 180) / 360 * nxr))
+        x1 = int(np.floor((lons.max() + lon_exp + 180) / 360 * nxr))
+        y0 = max(int(np.floor((lats.min() - r_deg + 90) / 180 * nyr)), 0)
+        y1 = min(int(np.floor((lats.max() + r_deg + 90) / 180 * nyr)), nyr - 1)
+        rings = [np.array(ring + [ring[0]], dtype=np.float64)]
+        edges = list(zip(ring, ring[1:] + [ring[0]]))
+        out = set()
+        for x in range(x0, x1 + 1):
+            for y in range(y0, y1 + 1):
+                lon = -180.0 + (x % nxr + 0.5) * 360.0 / nxr
+                lat = -90.0 + (y + 0.5) * 180.0 / nyr
+                inside = points_in_rings(np.array([lon]), np.array([lat]), rings)[0]
+                near = any(
+                    self._seg_dist_m(lon, lat, a[0], a[1], b[0], b[1]) <= radius_m
+                    for a, b in edges
+                )
+                if inside or near:
+                    out.add(res * (1 << 56) + (x % nxr) * (1 << 28) + y)
+        return out
+
+    def test_random_quads_match_bruteforce(self, spark):
+        import random
+
+        res = 8
+        for seed in range(4):
+            rng = random.Random(seed)
+            clon, clat = rng.uniform(-150, 150), rng.uniform(-55, 55)
+            w, h = rng.uniform(0.3, 1.5), rng.uniform(0.3, 1.5)
+            # convex quad (jittered rectangle, consistent winding)
+            jit = lambda: rng.uniform(-0.1, 0.1)  # noqa: E731
+            ring = [
+                (clon - w + jit(), clat - h + jit()),
+                (clon + w + jit(), clat - h + jit()),
+                (clon + w + jit(), clat + h + jit()),
+                (clon - w + jit(), clat + h + jit()),
+            ]
+            radius = rng.uniform(5_000, 120_000)
+            poly = {"poly_id": f"fz{seed}", "ring": [(float(a), float(b)) for a, b in ring]}
+            got = _cells(spark, [poly], radius, res=res).get(f"fz{seed}", set())
+            want = self._brute(ring, radius, res)
+            assert got == want, (seed, len(got), len(want))
