@@ -5055,3 +5055,51 @@ def _sliding_counts_oracle() -> str:
 
 
 _register_fn("events_sliding_window", _sliding_counts, _sliding_counts_oracle())
+
+
+# Adaptive multi-resolution histogram (operators/tiles.adaptive_cells):
+# res 5 → 8, split cells above 500 points — hotspot clusters drill to
+# fine cells, the sparse tail stays coarse. Oracle: the same
+# level-unrolled decomposition in CTEs.
+_ADAPT = dict(base=5, mx=8, thr=500)
+
+
+def _adaptive_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tiles import adaptive_cells
+
+    img = FS.load_images(spark, sf_dir)
+    return adaptive_cells(
+        img, _ADAPT["base"], _ADAPT["mx"], _ADAPT["thr"]
+    ).orderBy("res", "cell")
+
+
+def _adaptive_hist_oracle() -> str:
+    from ..geo import h3lite as HH
+
+    base, mx, thr = _ADAPT["base"], _ADAPT["mx"], _ADAPT["thr"]
+    ctes = [f"p{base} as ({FS.images_sql('lineitem')})"]
+    outs = []
+    for r in range(base, mx + 1):
+        cell = HH.h3_sql_expr("lon", "lat", r)
+        ctes.append(
+            f"c{r} as (select {cell} as cell, cast(count(*) as bigint) as n"
+            f" from p{r} group by 1)"
+        )
+        if r == mx:
+            outs.append(f"select cell, cast({r} as int) as res, n from c{r}")
+            break
+        outs.append(
+            f"select cell, cast({r} as int) as res, n from c{r} where n <= {thr}"
+        )
+        ctes.append(
+            f"p{r + 1} as (select p.* from p{r} p"
+            f" join (select cell from c{r} where n > {thr}) h"
+            f" on {cell} = h.cell)"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        + " union all ".join(outs) + " order by res, cell"
+    )
+
+
+_register_fn("adaptive_multires_hist", _adaptive_hist, _adaptive_hist_oracle())

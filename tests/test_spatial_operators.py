@@ -1325,3 +1325,48 @@ class TestTileSample:
 
         plan = tile_sample(images_df, res=5, k=3)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestAdaptiveCells:
+    """adaptive_cells quadtree decomposition: levels partition the
+    points, non-leaf output cells are below threshold, every max-res
+    leaf's coarser ancestors were hot."""
+
+    def test_partition_and_threshold_invariants(self, spark, images_df, images_pdf):
+        from htrc_ingester_spark.operators.tiles import adaptive_cells
+
+        base, mx, thr = 3, 5, 120
+        out = adaptive_cells(images_df, base, mx, thr).toPandas()
+        assert out.n.sum() == len(images_pdf)          # levels partition
+        assert (out[out.res < mx].n <= thr).all()      # stabilized cells
+        # every emitted cell is unique
+        assert out.cell.is_unique
+        # leaves exist only under hot ancestors: recompute base-level
+        # counts and check each max-res leaf's base cell was hot
+        cells_b = H.latlng_to_cell(images_pdf.lat.to_numpy(), images_pdf.lon.to_numpy(), base)
+        import collections
+
+        base_counts = collections.Counter(cells_b.tolist())
+        for c in out[out.res == mx].cell:
+            x = (int(c) >> 28) & ((1 << 28) - 1)
+            y = int(c) & ((1 << 28) - 1)
+            shift = mx - base
+            parent = base * (1 << 56) + (x >> shift) * (1 << 28) + (y >> shift)
+            assert base_counts[parent] > thr
+
+    def test_uniform_data_stays_coarse(self, spark):
+        import pandas as pd
+
+        rng = __import__("numpy").random.default_rng(3)
+        pdf = pd.DataFrame(
+            {
+                "image_id": range(400),
+                "lon": rng.uniform(-170, 170, 400),
+                "lat": rng.uniform(-80, 80, 400),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        from htrc_ingester_spark.operators.tiles import adaptive_cells
+
+        out = adaptive_cells(df, 2, 5, threshold=50).toPandas()
+        assert (out.res == 2).all()  # nothing hot → no splitting
