@@ -500,3 +500,33 @@ def kmeans_score_stream(
     return q.crossJoin(F.broadcast(cs)).select(
         id_col, F.expr(_argmin_expr("cs", "qv", dim)).alias("cluster")
     )
+
+
+def sessionized_counts_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: Spark's native ``session_window``
+    (dynamic-gap state merging) under a watermark — the streaming twin
+    of the batch events_sessionize entry. Append mode emits a session
+    only once the watermark passes its close (start of a session can
+    move as late rows merge windows — that is why session state is
+    special-cased by the engine and why the batch lag+cumsum twin
+    cannot be streamed directly).
+
+    State = open sessions inside the watermark horizon (∝ active keys,
+    not history). Output: (key, session_start, session_end, n)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )

@@ -730,3 +730,64 @@ def test_kmeans_score_stream_equals_batch(spark, tmp_path):
     got = {r.vec_id: r.cluster for r in spark.table("km_score_t").collect()}
     assert got == want
     assert len(set(got.values())) > 1  # non-degenerate codebook
+
+
+def test_session_window_stream_matches_batch_for_closed_sessions(spark, tmp_path):
+    """Streaming session_window (append mode): every session the
+    watermark closed matches the batch session_window run; the only
+    sessions missing from the stream output are those still open at
+    end-of-input (their end is within the watermark horizon)."""
+    import pandas as pd
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    rows = []
+    for u in range(6):
+        # three bursts per user, 2h apart (gap 30m → 3 sessions)
+        for b in range(3):
+            for i in range(4):
+                rows.append(
+                    {
+                        "user_id": u,
+                        "ts_s": f"2026-01-01 {2 * b:02d}:{(10 * u + i) % 60:02d}:00",
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.coalesce(2).write.parquet(str(src / "f"))
+    batch = spark.read.parquet(str(src / "f"))
+
+    want = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n")
+        .toPandas()
+    )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f"))
+    )
+    q = (
+        S.sessionized_counts_stream(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sess_t").toPandas()
+
+    key = ["user_id", "session_start", "session_end", "n"]
+    gset = set(map(tuple, got[key].to_numpy()))
+    wset = set(map(tuple, want[key].to_numpy()))
+    assert gset <= wset                      # nothing wrong ever emitted
+    # all sessions ending more than `watermark` before max ts are closed
+    max_ts = pd.Timestamp("2026-01-01 04:59:00")
+    horizon = max_ts - pd.Timedelta("1 hour")
+    closed = {t for t in wset if pd.Timestamp(t[2]) < horizon}
+    assert closed <= gset and len(closed) > 0
