@@ -5103,3 +5103,19 @@ def _adaptive_hist_oracle() -> str:
 
 
 _register_fn("adaptive_multires_hist", _adaptive_hist, _adaptive_hist_oracle())
+
+
+# Per-type z-score anomaly flags: population stddev per event_type,
+# |z| > 3 outliers listed. stddev_pop is the same accumulation in both
+# engines at this magnitude; z rounds to 6dp before the threshold in
+# BOTH so a borderline value cannot flip one side only.
+_ANOM = """
+    with stats as (
+      select event_type, avg(value) as mu, stddev_pop(value) as sigma
+      from events group by 1)
+    select e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 6) as z
+    from events e join stats s on e.event_type = s.event_type
+    where abs(round((e.value - s.mu) / s.sigma, 6)) > 3
+    order by e.event_id"""
+_register("events_value_anomalies", ["events"], _ANOM, _ANOM)
