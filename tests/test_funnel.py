@@ -40,3 +40,38 @@ def test_funnel_hand_fixture(spark, tmp_path):
     sf = _write_events(spark, tmp_path, rows)
     got = {r.stage: r.n_users for r in _funnel(spark, sf).collect()}
     assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_cohort_retention_hand_fixture(spark, tmp_path):
+    """Cohort = epoch-week of first signup; a user active k weeks later
+    counts once per (cohort, offset); pre-signup activity ignored by
+    the week >= cohort_week guard."""
+    from htrc_ingester_spark.plans.catalog import _cohort_retention
+
+    rows = [
+        # user 1 signs up week W, active W and W+2
+        (0, "2024-01-01 10:00:00", 1, "signup", 0.0, ""),
+        (1, "2024-01-02 10:00:00", 1, "click", 0.0, ""),
+        (2, "2024-01-16 10:00:00", 1, "view", 0.0, ""),
+        # user 2 signs up W+1, active only that week (signup itself counts)
+        (3, "2024-01-08 10:00:00", 2, "signup", 0.0, ""),
+        # user 3 never signs up -> excluded entirely
+        (4, "2024-01-01 10:00:00", 3, "click", 0.0, ""),
+        # user 4: activity BEFORE its signup week is ignored
+        (5, "2024-01-01 10:00:00", 4, "click", 0.0, ""),
+        (6, "2024-01-08 11:00:00", 4, "signup", 0.0, ""),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in _cohort_retention(spark, sf).collect()
+    }
+    # 2024-01-01 is a Monday; epoch-week boundaries are Thursdays
+    # (epoch day 0 = Thu), but RELATIVE offsets are what the assertions
+    # pin: user 1 contributes offsets {0, 2}; users 2 and 4 offset {0}
+    # one week later
+    w1 = [k for k, v in got.items()]
+    assert len(got) == 3
+    offs = sorted(o for (_, o) in got)
+    assert offs == [0, 0, 2]
+    assert all(v >= 1 for v in got.values())
