@@ -1,0 +1,50 @@
+"""S1 (remote tree-list scan) and S10 (full key scan / CLI `keys`) —
+the two rows the round-2 verdict marked 'untested (trivial)': a real
+pairtree fixture is listed by the recursive binaryFile scan, and the
+keys subcommand enumerates a versioned table."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from htrc_ingester_spark import tables as TB
+from htrc_ingester_spark.__main__ import main as cli_main
+from htrc_ingester_spark.sources.filesystem import read_pairtree, write_pairtree
+
+
+def test_tree_list_scan_finds_every_member_and_reports_missing(spark, tmp_path):
+    ids = spark.createDataFrame(
+        [("uc2.ark:/13960/t%d" % i,) for i in range(12)], "volume_id string"
+    )
+    root = str(tmp_path / "ptree")
+    write_pairtree(
+        ids.withColumn("content", F.encode(F.col("volume_id"), "utf-8")), root
+    )
+    # request the 12 written plus 2 absent ids
+    req = ids.union(
+        spark.createDataFrame([("uc2.ark:/13960/t98",), ("uc2.ark:/13960/t99",)],
+                              "volume_id string")
+    )
+    found, missing = read_pairtree(spark, root, req)
+    assert found.count() == 12
+    assert {r.volume_id for r in missing.collect()} == {
+        "uc2.ark:/13960/t98", "uc2.ark:/13960/t99"
+    }
+    # the tree list itself is recursive: every found path lives under root
+    assert all(r.path.startswith("file:") and "/ptree/" in r.path
+               for r in found.select("path").collect())
+
+
+def test_cli_keys_lists_table_keys(spark, tmp_path, capsys):
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"vol{i:03d}", i) for i in range(25)], "volume_id string, v int"
+    )
+    TB.commit(df, tdir, note="t")
+    rc = cli_main(["keys", "--table-dir", tdir, "--limit", "10"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, None)
+    assert out["job"] == "keys" and out["n_listed"] == 10
+    assert out["keys"] == [f"vol{i:03d}" for i in range(10)]
