@@ -5119,3 +5119,49 @@ _ANOM = """
     where abs(round((e.value - s.mu) / s.sigma, 6)) > 3
     order by e.event_id"""
 _register("events_value_anomalies", ["events"], _ANOM, _ANOM)
+
+
+# Buffer-zone rollup: images per 50 km polygon buffer — the
+# polygon_buffer ∘ cell-encode composition ("how many images within
+# 50 km of each region", the proximity analytics the buffer exists
+# for). Buffer cell set is small → broadcast; ONE cell equi-join, no
+# point ever tested against geometry.
+def _zonal_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .. import data
+    from ..geo import h3lite as HH
+    from ..operators.buffer import polygon_buffer
+
+    polys = [p for p in data.polygons() if p["kind"] != "polar_cap"]
+    buf = polygon_buffer(spark, polys, _BUF_R, _BUF_RES)
+    img = FS.load_images(spark, sf_dir).withColumn(
+        "cell", F.expr(HH.h3_sql_expr("lon", "lat", _BUF_RES))
+    )
+    return (
+        img.join(F.broadcast(buf), "cell")
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_images"))
+        .orderBy("poly_id")
+    )
+
+
+def _zonal_buffer_oracle() -> str:
+    from .. import data
+    from ..geo import h3lite as HH
+    from ..operators.buffer import polygon_buffer_oracle_sql
+
+    polys = [p for p in data.polygons() if p["kind"] != "polar_cap"]
+    buf_sql = polygon_buffer_oracle_sql(polys, _BUF_R, _BUF_RES)
+    cell = HH.h3_sql_expr("lon", "lat", _BUF_RES)
+    return f"""
+    with img as ({FS.images_sql('lineitem')}),
+    enc as (select {cell} as cell from img),
+    buf as ({buf_sql})
+    select b.poly_id, cast(count(*) as bigint) as n_images
+    from enc e join buf b on e.cell = b.cell
+    group by 1 order by 1
+    """
+
+
+_register_fn("zonal_buffer_counts", _zonal_buffer, _zonal_buffer_oracle())
