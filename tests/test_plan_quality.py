@@ -277,3 +277,14 @@ class TestCatalogWidePlanAudit:
             if "BatchEvalPython" in plan:
                 offenders.append(name)
         assert offenders == []
+
+
+class TestZonalBufferPlan:
+    def test_buffer_join_is_broadcast(self, spark):
+        from htrc_ingester_spark.plans.catalog import _zonal_buffer
+
+        plan = plan_of(_zonal_buffer(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        # image bytes/captions never reach the join: scan reads only
+        # the skeleton columns it needs
+        assert "caption" not in plan.split("BroadcastHashJoin")[0]
