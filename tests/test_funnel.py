@@ -75,3 +75,21 @@ def test_cohort_retention_hand_fixture(spark, tmp_path):
     offs = sorted(o for (_, o) in got)
     assert offs == [0, 0, 2]
     assert all(v >= 1 for v in got.values())
+
+
+def test_sliding_window_hand_fixture(spark, tmp_path):
+    """One event lands in exactly window/slide = 2 windows, with
+    epoch-aligned starts."""
+    from htrc_ingester_spark.plans.catalog import _SLIDE_US, _sliding_counts
+
+    rows = [(0, "2024-01-01 00:07:00", 1, "click", 1.0, "")]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.window_start_us, r.event_type): r.n
+        for r in _sliding_counts(spark, sf).collect()
+    }
+    import pandas as pd
+
+    t = int(pd.Timestamp("2024-01-01 00:07:00").value // 1000)
+    slot = (t // _SLIDE_US) * _SLIDE_US
+    assert got == {(slot, "click"): 1, (slot - _SLIDE_US, "click"): 1}
