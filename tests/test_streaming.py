@@ -791,3 +791,48 @@ def test_session_window_stream_matches_batch_for_closed_sessions(spark, tmp_path
     horizon = max_ts - pd.Timedelta("1 hour")
     closed = {t for t in wset if pd.Timestamp(t[2]) < horizon}
     assert closed <= gset and len(closed) > 0
+
+
+def test_session_window_state_survives_checkpointed_drains(spark, tmp_path):
+    """Two availableNow drains from one checkpoint: a session OPEN at
+    the end of drain 1 absorbs drain 2's rows (state recovered), then
+    closes once the watermark passes — emitted exactly once with the
+    merged count."""
+    import pandas as pd
+
+    src = tmp_path / "sess2"
+    src.mkdir()
+    schema = "user_id long, ts timestamp"
+
+    def write(name, ts_list):
+        df = spark.createDataFrame(
+            [(1, t) for t in ts_list], "user_id long, ts string"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"))
+        df.coalesce(1).write.parquet(str(src / name))
+
+    emitted: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            S.sessionized_counts_stream(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # drain 1: two rows 10 min apart — one session, still open
+    write("f1", ["2026-01-01 00:00:00", "2026-01-01 00:10:00"])
+    drain()
+    assert emitted == []  # nothing closed yet
+
+    # drain 2: a third row EXTENDS the recovered session, plus a far
+    # future row that pushes the watermark past the session's close
+    write("f2", ["2026-01-01 00:20:00", "2026-01-01 06:00:00"])
+    drain()
+    closed = [r for r in emitted if r["n"] == 3]
+    assert len(closed) == 1  # merged across drains, emitted once
+    assert str(closed[0]["session_start"]).startswith("2026-01-01 00:00")
