@@ -436,6 +436,7 @@ def click_view_stream_join(
     clicks: DataFrame,
     max_delay: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream join — the attribution query (view →
     click within ``max_delay``) that completes the streaming taxonomy
@@ -456,6 +457,11 @@ def click_view_stream_join(
     standard contract; test pins it across checkpointed drains). The
     batch twin is the same join predicate on static frames
     (test_streaming: stream == batch on the common rows).
+
+    ``how="leftOuter"`` additionally emits every UNMATCHED view (null
+    click columns) once the watermark proves no qualifying click can
+    still arrive — the "views that never converted" feed, generated
+    incrementally by state-store expiry rather than a batch anti-join.
     """
     v = views.withWatermark("view_ts", watermark).alias("v")
     c = clicks.withWatermark("click_ts", watermark).alias("c")
@@ -468,6 +474,7 @@ def click_view_stream_join(
             and c.click_ts < v.view_ts + interval {max_delay}
             """
         ),
+        how,
     ).select(
         "v.view_id", "c.click_id", "v.user_id", "v.view_ts", "c.click_ts"
     )

@@ -836,3 +836,43 @@ def test_session_window_state_survives_checkpointed_drains(spark, tmp_path):
     closed = [r for r in emitted if r["n"] == 3]
     assert len(closed) == 1  # merged across drains, emitted once
     assert str(closed[0]["session_start"]).startswith("2026-01-01 00:00")
+
+
+def test_stream_stream_left_outer_emits_unconverted_views(spark, tmp_path):
+    """leftOuter stream-stream join: a view with no qualifying click is
+    emitted with null click columns once the watermark passes its
+    horizon — state-store expiry as an incremental anti-join."""
+    vsrc, csrc = tmp_path / "v3", tmp_path / "c3"
+    vsrc.mkdir(), csrc.mkdir()
+    vdf = spark.createDataFrame(
+        [(1, 1, "2026-01-01 00:00:00"), (2, 1, "2026-01-01 03:00:00")],
+        "view_id long, user_id long, ts string",
+    ).select("view_id", "user_id", F.to_timestamp("ts").alias("view_ts"))
+    # one click matching view 2 only; view 1 never converts, and the
+    # late traffic advances the watermark far past view 1 + delay
+    cdf = spark.createDataFrame(
+        [(10, 1, "2026-01-01 03:01:00")],
+        "click_id long, user_id long, ts string",
+    ).select("click_id", "user_id", F.to_timestamp("ts").alias("click_ts"))
+    vdf.coalesce(1).write.parquet(str(vsrc / "f"))
+    cdf.coalesce(1).write.parquet(str(csrc / "f"))
+
+    vs = spark.readStream.schema(vdf.schema).parquet(str(vsrc / "f"))
+    cs = spark.readStream.schema(cdf.schema).parquet(str(csrc / "f"))
+    q = (
+        S.click_view_stream_join(
+            vs, cs, max_delay="5 minutes", watermark="10 minutes", how="leftOuter"
+        )
+        .writeStream.format("memory")
+        .queryName("ssj_outer_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj_outer_t").toPandas()
+    matched = got[got.click_id.notna()]
+    unmatched = got[got.click_id.isna()]
+    assert set(matched.view_id) == {2}
+    assert set(unmatched.view_id) == {1}  # expired without a match
