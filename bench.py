@@ -72,6 +72,14 @@ def main() -> None:
         fn(spark, sf_dir).count()  # warmup, untimed
         reps: list[float] = []
         for _ in range(n_runs):
+            # cold-pipeline discipline: operators legitimately persist
+            # shared intermediates (e.g. pip_join's candidate set) and
+            # successive invocations of the same query canonicalize to
+            # the same cache entry — without this, reps 2..n would
+            # measure a cache read, not the H3-encode→PIP-join→tile
+            # pipeline the headline metric claims. Same protocol as
+            # scripts/scaling_bench.py.
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
             reps.append(time.monotonic() - t0)
