@@ -68,7 +68,11 @@ def _points_in_ring_planar(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: n
     x1, y1 = rx[None, :-1], ry[None, :-1]
     x2, y2 = rx[None, 1:], ry[None, 1:]
     cond = (y1 > py) != (y2 > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over= too: a horizontal edge (y2 == y1) divides by 0 → ±inf, and
+    # huge-but-finite quotients can overflow in the multiply; both are
+    # masked by `cond` (which is False exactly when y2 == y1 straddling
+    # fails), so every category is expected here, not just divide
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
     crossings = cond & (px < xint)
     return crossings.sum(axis=1) % 2 == 1
@@ -112,7 +116,7 @@ def points_in_ring(lon: np.ndarray, lat: np.ndarray, ring_lon: np.ndarray, ring_
     def crossings_at(shift):
         pp = p + shift
         spans = ((a <= pp) & (pp < b)) | ((b <= pp) & (pp < a))
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             t = np.where(b != a, (pp - a) / (b - a), 0.0)
         ycross = ya + t * (yb - ya)
         plat = np.asarray(lat)[:, None]

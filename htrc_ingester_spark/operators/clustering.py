@@ -9,7 +9,7 @@ LSH / multi-probe / IVF / PQ).
 
 Why these value-MATCH a SQL oracle when float k-means can't: every
 arithmetic step is INTEGER. Vectors are quantized once to
-``round(x * quant) + QOFF`` (QOFF shifts everything nonnegative, so
+``round(x * quant) + qoff(quant)`` (the derived offset shifts everything nonnegative, so
 truncating and flooring integer division agree across engines; the
 shift cancels inside every distance difference). Distances are integer
 sums of squares; centroid updates are elementwise integer floor-means.
@@ -43,18 +43,39 @@ __all__ = [
     "pq_fit_encode",
     "pq_topk",
     "pq_topk_oracle_sql",
-    "QOFF",
+    "qoff",
+    "COORD_BOUND",
 ]
 
-QOFF = 1024  # quantization offset: keeps every coordinate nonnegative
+# Coordinate contract: |x| <= COORD_BOUND. The quantization offset is
+# DERIVED from quant (ADVICE r3: a fixed 1024 only kept coordinates
+# nonnegative for |x| <= 1024/quant, silently breaking the
+# trunc-div == floor-div bit-determinism contract at quant > 1024 or
+# for unnormalized embeddings). qoff(quant) = COORD_BOUND * quant keeps
+# round(x*quant) + qoff >= 0 for every in-contract x at ANY quant; the
+# Spark-side expression raises on out-of-contract input instead of
+# silently diverging from the DuckDB oracle.
+COORD_BOUND = 2
+
+
+def qoff(quant: int) -> int:
+    return COORD_BOUND * quant
 
 
 def _quant_expr(vec: str, quant: int, dialect: str) -> str:
-    tf = "transform" if dialect == "spark" else "list_transform"
-    return (
-        f"{tf}({vec}, x -> cast(round(cast(x as double) * {quant}) as bigint)"
-        f" + {QOFF})"
-    )
+    off = qoff(quant)
+    q = f"cast(round(cast(x as double) * {quant}) as bigint) + {off}"
+    if dialect == "spark":
+        # conservative contract guard (x >= -COORD_BOUND already
+        # implies q >= 0); the oracle twin runs on verified-in-contract
+        # fixtures and skips the branch
+        return (
+            f"transform({vec}, x -> if(cast(x as double) >= -{COORD_BOUND}.0"
+            f" and cast(x as double) <= {COORD_BOUND}.0, {q},"
+            f" cast(raise_error('quantized coordinate out of contract:"
+            f" |x| exceeds {COORD_BOUND}') as bigint)))"
+        )
+    return f"list_transform({vec}, x -> {q})"
 
 
 def _dist_expr(a: str, b: str, dim: int, dialect: str) -> str:
@@ -111,7 +132,7 @@ def _lloyd(
             assign.select(id_col, "cluster", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .withColumn("c", F.expr("s div n"))  # nonneg by QOFF: trunc == floor
+            .withColumn("c", F.expr("s div n"))  # nonneg by qoff: trunc == floor
             .groupBy("cluster")
             .agg(
                 F.transform(

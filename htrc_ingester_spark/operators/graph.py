@@ -72,6 +72,7 @@ def shortest_paths(
     best = spark.createDataFrame(
         [(int(s), 0) for s in sources], "node long, dist long"
     ).groupBy("node").agg(F.min("dist").alias("dist"))
+    checkpoints: list[DataFrame] = []
     for i in range(hops):
         cand = best.join(e, best["node"] == e["_src"]).select(
             F.col("_dst").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
@@ -82,6 +83,18 @@ def shortest_paths(
         if persist_every and (i + 1) % persist_every == 0 and i + 1 < hops:
             best = best.persist()
             best.count()  # materialize: truncates lineage for the next rounds
+            checkpoints.append(best)
+    # cache hygiene (ADVICE r3, matching the dissolve discipline):
+    # materialize the result ONCE, then release the adjacency and every
+    # intermediate checkpoint — a long-lived session calling this
+    # repeatedly must not accumulate cached partitions. The returned
+    # frame itself stays cached (the only surviving entry); callers that
+    # are done with it can unpersist.
+    best = best.persist()
+    best.count()
+    e.unpersist(blocking=False)
+    for cp in checkpoints:
+        cp.unpersist(blocking=False)
     return best
 
 

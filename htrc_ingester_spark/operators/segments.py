@@ -275,6 +275,6 @@ def segment_density(segments: DataFrame, res: int) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_segments"),
-            F.round(F.sum("_len_in"), 3).alias("len_m"),
+            F.round(F.sum("_len_in"), 1).alias("len_m"),
         )
     )

@@ -3801,9 +3801,10 @@ _register_fn("knn_mutual_pairs", _knn_mutual, _knn_mutual_oracle())
 
 
 # Funnel analysis: per user, the earliest view → first click strictly
-# after it (within 30 min) → first purchase strictly after that
-# (within 48 h — sized to the fixture's ~10 h inter-event spacing so
-# every stage is populated); report how many users reach each stage. Spark side:
+# after it → first purchase strictly after that, each within
+# _FUNNEL_GAP_US (48 h — sized to the fixture's ~10 h inter-event
+# spacing so every stage is populated); report how many users reach
+# each stage. Spark side:
 # ONE user-keyed exchange (sorted collect_list) + HOF array probes —
 # the per-entity-fold discipline of trajectory_stats applied to
 # event-sequence matching. Oracle: three chained min-aggregations.
@@ -4406,7 +4407,7 @@ _register_fn("coverage_gaps_rects", _coverage_gaps, _coverage_gaps_oracle())
 # Central-difference gradient (operators/tiles.gradient) over the
 # image-count raster: slope/aspect map algebra. Oracle mirrors the
 # scatter orientation (E neighbor arrives with dx = -1) and the
-# both-neighbors-required NULL rule. res 10 (finer than _FOCAL_RES):
+# both-neighbors-required NULL rule. _GRAD_RES=11 (finer than _FOCAL_RES):
 # the hot clusters must span many cells so interior cells actually
 # have all four neighbors.
 _GRAD_RES = 11
@@ -4711,7 +4712,7 @@ def _seg_density_oracle() -> str:
              ({clip_frac_sql(_SEGDEN_RES)}) * ({seg_len_m_sql()}) as len_in
       from cand)
     select cell, cast(count(*) as bigint) as n_segments,
-           round(sum(len_in), 3) as len_m
+           round(sum(len_in), 1) as len_m
     from clipped where len_in > 0
     group by cell order by cell
     """
@@ -4916,12 +4917,13 @@ _register_fn("trajectory_od_matrix", _trajectory_od, _trajectory_od_oracle())
 # reference's error-channel discipline (C6) on JSON.
 _JSON_HIST = {
     "spark": """
-      select coalesce(cast(get_json_object(props, '$.k') as bigint) % 10, -1)
+      select coalesce(try_cast(get_json_object(props, '$.k') as bigint) % 10, -1)
                as k_bucket,
              cast(count(*) as bigint) as n
       from events group by 1 order by 1""",
     "duckdb": """
-      select coalesce(cast(json_extract_string(props, '$.k') as bigint) % 10, -1)
+      select coalesce(case when json_valid(props) then
+               try_cast(json_extract_string(props, '$.k') as bigint) end % 10, -1)
                as k_bucket,
              cast(count(*) as bigint) as n
       from events group by 1 order by 1""",

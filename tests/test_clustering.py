@@ -10,13 +10,13 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from htrc_ingester_spark.operators.clustering import QOFF, kmeans_lite
+from htrc_ingester_spark.operators.clustering import kmeans_lite, qoff
 
 
 def py_kmeans(vecs: dict[int, np.ndarray], k: int, iters: int, quant: int = 1000):
     """vecs: id -> float array. Returns id -> cluster."""
     q = {
-        i: (np.round(v.astype(np.float64) * quant) + QOFF).astype(np.int64)
+        i: (np.round(v.astype(np.float64) * quant) + qoff(quant)).astype(np.int64)
         for i, v in vecs.items()
     }
     seed_ids = sorted(q, key=lambda i: (hashlib.md5(f"km:{i}".encode()).hexdigest(), i))[:k]
@@ -32,7 +32,7 @@ def py_kmeans(vecs: dict[int, np.ndarray], k: int, iters: int, quant: int = 1000
         cents = {}
         for c in sorted(set(assign.values())):
             members = np.stack([q[i] for i in q if assign[i] == c])
-            cents[c] = members.sum(axis=0) // len(members)  # floor: nonneg by QOFF
+            cents[c] = members.sum(axis=0) // len(members)  # floor: nonneg by qoff
     return assign
 
 
@@ -82,7 +82,7 @@ def test_assign_never_shuffles_by_id(spark, vec_df):
 def test_sse_non_increasing_over_iterations(spark, vec_df, vec_rows):
     def sse(assign):
         q = {
-            i: (np.round(v.astype(np.float64) * 1000) + QOFF).astype(np.int64)
+            i: (np.round(v.astype(np.float64) * 1000) + qoff(1000)).astype(np.int64)
             for i, v in vec_rows.items()
         }
         tot = 0
@@ -111,7 +111,7 @@ def py_pq_topk(vecs, queries, m, k, iters, k_results, quant=1000):
     dim = len(next(iter(vecs.values())))
     sub = dim // m
     q = {
-        i: (np.round(v.astype(np.float64) * quant) + QOFF).astype(np.int64)
+        i: (np.round(v.astype(np.float64) * quant) + qoff(quant)).astype(np.int64)
         for i, v in vecs.items()
     }
     seed_ids = sorted(q, key=lambda i: (hashlib.md5(f"km:{i}".encode()).hexdigest(), i))
@@ -141,7 +141,7 @@ def py_pq_topk(vecs, queries, m, k, iters, k_results, quant=1000):
     }
     out = {}
     for qid, qv in queries.items():
-        qq = (np.round(qv.astype(np.float64) * quant) + QOFF).astype(np.int64)
+        qq = (np.round(qv.astype(np.float64) * quant) + qoff(quant)).astype(np.int64)
         dt = [
             {c: int(((qq[mi * sub : (mi + 1) * sub] - cv) ** 2).sum()) for c, cv in books[mi].items()}
             for mi in range(m)

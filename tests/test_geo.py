@@ -7,6 +7,12 @@ from htrc_ingester_spark.geo import geometry as G
 from htrc_ingester_spark.geo import h3lite as H
 from htrc_ingester_spark.geo import s2lite as S
 
+# kernels must be numerically silent: every expected inf/nan/overflow
+# site is wrapped in np.errstate at the source (VERDICT r3 #6 — at
+# production batch volume a leaking RuntimeWarning floods executor
+# logs); promote any leak to a hard failure so new kernels can't regress
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 
 class TestH3Lite:
     def test_known_vectors(self):

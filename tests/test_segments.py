@@ -166,9 +166,10 @@ class TestSegmentDensity:
             rows, "seg_id long, x0 double, y0 double, x1 double, y1 double"
         ), res=res).toPandas().sort_values("cell").reset_index(drop=True)
         assert len(out) == 2
-        assert out.len_m.iloc[0] == round(out.len_m.sum() * 0.25, 3) or (
-            abs(out.len_m.iloc[0] - out.len_m.sum() * 0.25) < 0.01
-        )
+        # len_m is rounded to 1 dp (ADVICE r3: 3 dp sat too close to
+        # double accumulation-order error over ~1e5-m cell sums for the
+        # cross-engine gate), so compare at that granularity
+        assert abs(out.len_m.iloc[0] - out.len_m.sum() * 0.25) < 0.2
 
     def test_degenerate_point_segment_contributes_zero(self, spark):
         from htrc_ingester_spark.operators.segments import segment_density
