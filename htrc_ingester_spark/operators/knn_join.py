@@ -4,9 +4,9 @@ For each query point, search the images table one growing cell-disk at
 a time instead of scanning everything:
 
   round i: frontier = disk(r_i, kx_i) \\ disk(r_{i-1}, kx_{i-1})
-           candidates = images ⋈ broadcast(frontier) on cell
-           per-query top-k (window over the candidate skeleton)
-           merge into best-so-far (vectorized pandas, no per-query loop)
+           candidates = images ⋈ frontier on cell
+           fold into the per-query running top-k (array<struct> state,
+           one row per query, all in Spark — knn_join_many)
            terminate query when kth_dist < guaranteed_bound(r_i)
 
 Correctness of the termination bound (proved, test-asserted):
@@ -29,11 +29,11 @@ Termination uses STRICT ``<``: at exactly the bound an unsearched point
 could tie on distance and win on image_id.
 
 Scale notes: only the (image_id, lon, lat, cell) skeleton is ever
-joined or shuffled — never image bytes. The per-round shuffle is the
-top-k window keyed by query_id; candidate volume is bounded by the
-frontier, not the table. The driver holds only per-query top-k lists
-(k × |queries| rows). Radius quadruples per round: O(log r_final)
-Spark jobs, and the total frontier area is dominated by the last round.
+joined or shuffled — never image bytes. The per-round shuffles touch
+unresolved queries × ring cells only; per-query state is ONE row with
+the running top-k as a sorted array<struct>. Radius quadruples per
+round: O(log r_final) Spark jobs, and the total frontier area is
+dominated by the last round.
 """
 
 from __future__ import annotations
@@ -42,7 +42,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions import h3_cell, haversine_m
 from ..geo import h3lite as H
@@ -78,77 +77,6 @@ def _required_kx_batch(bound_m: np.ndarray, lat_q: np.ndarray, r: np.ndarray, re
     return np.where(full, nxr, kx)
 
 
-def _ring_cells(x0: int, y0: int, r: int, kx: int, pr: int, pkx: int, res: int) -> np.ndarray:
-    """disk(r, kx) minus disk(pr, pkx) around grid position (x0, y0);
-    pr < 0 means no previous disk. Longitude wraps; rows clamp."""
-    _, cells = _ring_cells_batch(
-        np.array([x0]), np.array([y0]), np.array([r]),
-        np.array([kx]), np.array([pr]), np.array([pkx]), res,
-    )
-    return cells
-
-
-def _ring_cells_batch(
-    x0: np.ndarray, y0: np.ndarray, r: np.ndarray,
-    kx: np.ndarray, pr: np.ndarray, pkx: np.ndarray, res: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """All active queries' frontier rings in ONE numpy pass (no
-    per-query Python loop — the round-1 driver bottleneck at ≥10⁵
-    queries). Returns (query_index, cell) pairs, unique per query.
-
-    Each query i contributes the grid ``ys(i) × xs(i)`` minus its
-    previous disk; the concatenated grids are addressed by a flat
-    index decomposed with per-query strides.
-    """
-    nxr, nyr = H.nx(res), H.ny(res)
-    x0 = np.asarray(x0, dtype=np.int64)
-    y0 = np.asarray(y0, dtype=np.int64)
-    r = np.asarray(r, dtype=np.int64)
-    kxc = np.minimum(np.asarray(kx, dtype=np.int64), nxr // 2)
-    pkxc = np.minimum(np.asarray(pkx, dtype=np.int64), nxr // 2)
-    pr = np.asarray(pr, dtype=np.int64)
-    ylo = np.maximum(0, y0 - r)
-    yhi = np.minimum(nyr - 1, y0 + r)
-    nxq = 2 * kxc + 1
-    tot = (yhi - ylo + 1) * nxq
-    off = np.concatenate([[0], np.cumsum(tot)])
-    n = int(off[-1])
-    qidx = np.repeat(np.arange(len(x0), dtype=np.int64), tot)
-    j = np.arange(n, dtype=np.int64) - off[qidx]
-    row = j // nxq[qidx]
-    col = j - row * nxq[qidx]
-    y = ylo[qidx] + row
-    xo = col - kxc[qidx]
-    x = (x0[qidx] + xo) % nxr
-    keep = ~((np.abs(xo) <= pkxc[qidx]) & (np.abs(y - y0[qidx]) <= pr[qidx]))
-    qk, xk, yk = qidx[keep], x[keep], y[keep]
-    # per-query dedup: a full-wrap disk (2kx+1 = nx+1 offsets) aliases
-    # its two extreme columns onto the same grid column
-    key = qk * np.int64(nxr) * np.int64(nyr) + xk * np.int64(nyr) + yk
-    _, uidx = np.unique(key, return_index=True)
-    return qk[uidx], H.pack_xy(xk[uidx], yk[uidx], res)
-
-
-FRONTIER_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.StringType(), False),
-        T.StructField("q_lon", T.DoubleType(), False),
-        T.StructField("q_lat", T.DoubleType(), False),
-        T.StructField("k", T.IntegerType(), False),
-        T.StructField("cell", T.LongType(), False),
-    ]
-)
-
-OUT_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.StringType(), False),
-        T.StructField("image_id", T.StringType(), False),
-        T.StructField("dist_m", T.DoubleType(), False),
-        T.StructField("rank", T.IntegerType(), False),
-    ]
-)
-
-
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -158,7 +86,6 @@ def knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_rounds: int = 32,
-    many_threshold: int = 50_000,
 ) -> DataFrame:
     """k nearest ``points`` per query row. ``queries`` is a small
     driver-side pandas frame (query_id, lon, lat, k).
@@ -166,143 +93,28 @@ def knn_join(
     Returns a DataFrame (query_id, image_id, dist_m, rank) with
     rank 1..k ordered by (dist_m, image_id).
 
-    Above ``many_threshold`` queries the driver-side state (top-k merge
-    + per-round toPandas) stops being the right trade, so the call
-    dispatches to :func:`knn_join_many`, which keeps all per-query
-    state in Spark. Both variants implement the identical ring
-    expansion and tie order, so results are interchangeable
-    (tests/test_knn.py pins the parity).
+    Thin convenience wrapper over :func:`knn_join_many` — the pandas
+    frame becomes a Spark DataFrame and all per-query search state
+    lives in Spark. (VERDICT r3 #5: the old driver-state loop this
+    wrapper replaces kept a parallel top-k merge implementation that
+    had to stay tie-identical with knn_join_many and round-tripped
+    candidates through toPandas every round; knn_join_many is
+    rank-identical — the same ring schedule, termination bound, and
+    (dist_m, image_id) total order — and strictly more scalable.
+    :func:`knn_join_bruteforce` remains the independent oracle.)
     """
-    if len(queries) >= many_threshold:
-        # the pandas contract fixes the query columns as (lon, lat);
-        # knn_join_many reads the SAME column names from both sides, so
-        # rename the query frame to the points-side names and forward
-        # the caller's termination budget
-        qpdf = queries[["query_id", "lon", "lat", "k"]].rename(
-            columns={"lon": lon_col, "lat": lat_col}
-        )
-        return knn_join_many(
-            spark, points, spark.createDataFrame(qpdf), res=res,
-            id_col=id_col, lon_col=lon_col, lat_col=lat_col,
-            max_rounds=max_rounds,
-        )
-    skel = points.select(
-        F.col(id_col).alias("image_id"),
-        F.col(lon_col).alias("p_lon"),
-        F.col(lat_col).alias("p_lat"),
-        h3_cell(lon_col, lat_col, res).alias("cell"),
-    ).persist()
-    try:
-        return _knn_loop(spark, skel, queries, res, max_rounds)
-    finally:
-        skel.unpersist()
-
-
-def _knn_loop(spark, skel, queries, res, max_rounds):
-    ch_m = H.cell_h_deg(res) * H.M_PER_DEG_LAT
-    nxr, nyr = H.nx(res), H.ny(res)
-    total_cells = nxr * nyr
-
-    q = queries.reset_index(drop=True).copy()
-    q["query_id"] = q["query_id"].astype(str)
-    q["k"] = q["k"].astype(int)
-    cells = H.latlng_to_cell(q["lat"].to_numpy(), q["lon"].to_numpy(), res)
-    q["x0"], q["y0"] = H.cell_xy(cells)
-    q["r"] = 0
-    q["pr"] = -1
-    q["pkx"] = -1
-    q["done"] = False
-    q["covered"] = 0
-
-    best = pd.DataFrame(columns=["query_id", "image_id", "dist_m"])
-
-    for _ in range(max_rounds):
-        act = q[~q["done"]]
-        if not len(act):
-            break
-        # next radius: quadruple (fewer rounds; last ring dominates cost).
-        # Everything below is one vectorized pass over ALL active
-        # queries — no per-query Python loop (driver stays flat at 10⁵+
-        # queries; see scripts/knn_scale_bench.py).
-        old_r = act["r"].to_numpy(dtype=np.int64)
-        new_r = np.where(old_r == 0, 2, np.minimum(old_r * 4, nyr))
-        new_kx = _required_kx_batch(
-            new_r * ch_m, act["lat"].to_numpy(dtype=np.float64), new_r, res
-        )
-        qk, ring_cells = _ring_cells_batch(
-            act["x0"].to_numpy(dtype=np.int64),
-            act["y0"].to_numpy(dtype=np.int64),
-            new_r,
-            new_kx,
-            act["pr"].to_numpy(dtype=np.int64),
-            act["pkx"].to_numpy(dtype=np.int64),
-            res,
-        )
-        q.loc[act.index, "pr"] = new_r
-        q.loc[act.index, "pkx"] = new_kx
-        q.loc[act.index, "r"] = new_r
-        y0 = act["y0"].to_numpy(dtype=np.int64)
-        full_cover = (new_r >= np.maximum(y0, nyr - 1 - y0)) & (new_kx >= nxr // 2)
-        q.loc[act.index, "covered"] = np.where(full_cover, total_cells, 0)
-        if len(ring_cells):
-            frontier_pdf = pd.DataFrame(
-                {
-                    "query_id": act["query_id"].to_numpy()[qk],
-                    "q_lon": act["lon"].to_numpy(dtype=np.float64)[qk],
-                    "q_lat": act["lat"].to_numpy(dtype=np.float64)[qk],
-                    "k": act["k"].to_numpy()[qk],
-                    "cell": ring_cells,
-                }
-            )
-            frontier = spark.createDataFrame(frontier_pdf, schema=FRONTIER_SCHEMA)
-            cand = skel.join(F.broadcast(frontier), "cell", "inner").withColumn(
-                "dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon")
-            )
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("dist_m").asc(), F.col("image_id").asc()
-            )
-            top = (
-                cand.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") <= F.col("k"))
-                .select("query_id", "image_id", "dist_m")
-                .toPandas()
-            )
-        else:
-            top = pd.DataFrame(columns=["query_id", "image_id", "dist_m"])
-
-        # vectorized merge: old best ∪ new top → per-query top-k.
-        # NO id-dedup: every ROW is a point; duplicate ids are data
-        # (exact_dedup is the cure), and all three kNN variants must
-        # rank them identically (brute force keeps them).
-        parts = [f for f in (best, top) if len(f)]
-        best = (
-            pd.concat(parts, ignore_index=True)
-            if parts
-            else pd.DataFrame(columns=["query_id", "image_id", "dist_m"])
-        ).sort_values(["query_id", "dist_m", "image_id"], kind="mergesort")
-        kmap = q.set_index("query_id")["k"]
-        rn = best.groupby("query_id", sort=False).cumcount()
-        best = best[rn < best["query_id"].map(kmap).to_numpy()]
-
-        # vectorized termination: n ≥ k AND kth_dist < bound, or exhausted
-        stats = best.groupby("query_id").agg(n=("image_id", "size"), kth=("dist_m", "max"))
-        q = q.set_index("query_id")
-        stats = stats.reindex(q.index)
-        n_found = np.nan_to_num(stats["n"].to_numpy(dtype=np.float64), nan=0.0)
-        kth = stats["kth"].to_numpy(dtype=np.float64)
-        kth = np.where(np.isnan(kth), np.inf, kth)
-        bound_now = q["r"].to_numpy() * ch_m
-        exhausted = q["covered"].to_numpy() >= total_cells
-        done = exhausted | ((n_found >= q["k"].to_numpy()) & (kth < bound_now))
-        q["done"] = q["done"].to_numpy() | done
-        q = q.reset_index()
-
-    best = best.sort_values(["query_id", "dist_m", "image_id"], kind="mergesort").reset_index(drop=True)
-    best["rank"] = (best.groupby("query_id").cumcount() + 1).astype(np.int32)
-    best["image_id"] = best["image_id"].astype(str)
-    best["dist_m"] = best["dist_m"].astype(np.float64)
-    return spark.createDataFrame(
-        best[["query_id", "image_id", "dist_m", "rank"]], schema=OUT_SCHEMA
+    qpdf = queries[["query_id", "lon", "lat", "k"]].copy()
+    qpdf["query_id"] = qpdf["query_id"].astype(str)
+    qpdf["k"] = qpdf["k"].astype(int)
+    qdf = spark.createDataFrame(qpdf).select(
+        F.col("query_id"),
+        F.col("lon").cast("double").alias(lon_col),
+        F.col("lat").cast("double").alias(lat_col),
+        F.col("k").cast("int").alias("k"),
+    )
+    return knn_join_many(
+        spark, points, qdf, res=res, id_col=id_col,
+        lon_col=lon_col, lat_col=lat_col, max_rounds=max_rounds,
     )
 
 

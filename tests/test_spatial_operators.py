@@ -372,9 +372,10 @@ class TestKNNMany:
 
 class TestKNNDispatch:
     def test_auto_dispatch_respects_custom_column_names(self, spark):
-        """knn_join above many_threshold must forward custom points-side
-        lon/lat/id column names correctly (regression: the dispatch once
-        applied points-side names to the fixed query-frame columns)."""
+        """The knn_join wrapper must forward custom points-side
+        lon/lat/id column names correctly into knn_join_many
+        (regression: the dispatch once applied points-side names to the
+        fixed query-frame columns)."""
         from htrc_ingester_spark.operators.knn_join import knn_join
 
         pdf = pd.DataFrame(
@@ -385,7 +386,6 @@ class TestKNNDispatch:
         got = knn_join(
             spark, pts, qp, res=7,
             id_col="pid", lon_col="x", lat_col="y",
-            many_threshold=1,  # force the dispatch path
         ).toPandas()
         assert list(got.sort_values("rank").image_id) == ["a", "b"]
 
