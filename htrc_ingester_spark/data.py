@@ -193,6 +193,27 @@ def polygons_holes(seed: int = 42) -> list[dict]:
     ]
 
 
+def polygons_holes_wkt(seed: int = 42) -> list[tuple[str, str]]:
+    """The polygons_holes fixtures serialized to OGC-structured WKT:
+    shell+hole → POLYGON with two rings, disjoint parts → MULTIPOLYGON,
+    the nested island-in-lake → MULTIPOLYGON of (shell, hole) + island
+    (the OGC-valid grouping). Parsing these back through geo.wkt must
+    reproduce the ring lists bit-for-bit (tests) and the pip_join_holes
+    result exactly (pip_join_wkt_input catalog entry)."""
+    from .geo.wkt import rings_to_wkt
+
+    groups = {
+        "shell_hole": [[0, 1]],
+        "multipolygon": [[0], [1]],
+        "nested": [[0, 1], [2]],
+        "anti_hole": [[0, 1]],
+    }
+    return [
+        (p["poly_id"], rings_to_wkt(p["rings"], groups[p["kind"]]))
+        for p in polygons_holes(seed)
+    ]
+
+
 def polygons_pdf(seed: int = 42) -> pd.DataFrame:
     rows = polygons(seed)
     return pd.DataFrame(

@@ -338,6 +338,30 @@ def _pip_holes_oracle() -> str:
 _register_fn("pip_join_holes", _pip_holes, _pip_holes_oracle())
 
 
+def _pip_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT ingestion end-to-end (VERDICT r3 gap #1): the polygons_holes
+    fixtures serialized to OGC-structured WKT (POLYGON with holes +
+    MULTIPOLYGON), loaded from a Spark string column via
+    geo.wkt.polys_from_wkt_column, then through the SAME pip_join —
+    value-checked against the pip_join_holes oracle, so the text
+    round-trip must be float64-exact."""
+    from .. import data
+    from ..geo.wkt import polys_from_wkt_column
+    from ..operators.pip_join import pip_join
+
+    wdf = spark.createDataFrame(data.polygons_holes_wkt(), "poly_id string, wkt string")
+    polys = polys_from_wkt_column(wdf)
+    img = FS.load_images(spark, sf_dir)
+    return (
+        pip_join(spark, img, polys, res=7)
+        .select("image_id", "poly_id")
+        .orderBy("image_id", "poly_id")
+    )
+
+
+_register_fn("pip_join_wkt_input", _pip_wkt, _pip_holes_oracle())
+
+
 # ===========================================================================
 # Raster dissolve (adjacent-cell connected components) + region overlay —
 # the raster↔vector follow-ups tiles.vectorize names. Oracle = DuckDB

@@ -1,0 +1,171 @@
+"""WKT / GeoJSON polygon ingestion (geo/wkt.py): exact round-trips,
+parser robustness, and semantic equality of parsed vs original specs."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from htrc_ingester_spark import data
+from htrc_ingester_spark.geo import geometry as G
+from htrc_ingester_spark.geo.wkt import (
+    polys_from_geojson,
+    polys_from_geojson_file,
+    polys_from_wkt,
+    rings_to_wkt,
+    wkt_to_rings,
+)
+
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
+
+class TestRoundTrip:
+    def test_every_holes_fixture_roundtrips_exactly(self):
+        """repr-float serialization must reproduce every ring list
+        bit-for-bit, including the MultiPolygon-with-holes grouping."""
+        parsed = dict(
+            (p["poly_id"], p["rings"])
+            for p in polys_from_wkt(data.polygons_holes_wkt())
+        )
+        for p in data.polygons_holes():
+            want = [[(float(a), float(b)) for a, b in r] for r in p["rings"]]
+            assert parsed[p["poly_id"]] == want
+
+    def test_single_ring_polygons_roundtrip(self):
+        for p in data.polygons():
+            ring = [(float(a), float(b)) for a, b in p["ring"]]
+            assert wkt_to_rings(rings_to_wkt([ring])) == [ring]
+
+    def test_multipolygon_with_holes_grouping(self):
+        shell1 = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        hole1 = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+        shell2 = [(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0), (10.0, 10.0)]
+        wkt = rings_to_wkt([shell1, hole1, shell2], groups=[[0, 1], [2]])
+        assert wkt.startswith("MULTIPOLYGON")
+        assert wkt_to_rings(wkt) == [shell1, hole1, shell2]
+
+
+class TestParserRobustness:
+    def test_whitespace_case_and_scientific_notation(self):
+        wkt = "  polygon ( ( 1e1 -2.5E-1 , 2e1 0.0,\n 15 5 , 1e1 -2.5e-1 ) ) "
+        assert wkt_to_rings(wkt) == [
+            [(10.0, -0.25), (20.0, 0.0), (15.0, 5.0), (10.0, -0.25)]
+        ]
+
+    def test_empty_geometries(self):
+        assert wkt_to_rings("POLYGON EMPTY") == []
+        assert wkt_to_rings("MULTIPOLYGON EMPTY") == []
+        assert rings_to_wkt([]) == "POLYGON EMPTY"
+        # empty geometries drop out of the spec list entirely
+        assert polys_from_wkt([("a", "POLYGON EMPTY")]) == []
+
+    def test_rejects_other_geometries_and_garbage(self):
+        for bad in ("POINT (1 2)", "LINESTRING (0 0, 1 1)", "POLYGON Z ((0 0 0, 1 0 0, 1 1 0, 0 0 0))", "nonsense", "POLYGON ((0 0, 1 1)"):
+            with pytest.raises(ValueError):
+                wkt_to_rings(bad)
+
+    def test_rejects_short_ring(self):
+        with pytest.raises(ValueError):
+            wkt_to_rings("POLYGON ((0 0, 1 1))")
+
+
+class TestSemanticEquality:
+    def test_even_odd_membership_preserved_through_wkt(self):
+        """Point membership of the parsed flat ring list must equal the
+        original spec everywhere — including inside holes, on islands,
+        and across the antimeridian."""
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-180.0, 180.0, 4000)
+        lat = rng.uniform(-60.0, 60.0, 4000)
+        parsed = {p["poly_id"]: p for p in polys_from_wkt(data.polygons_holes_wkt())}
+        for p in data.polygons_holes():
+            a = G.points_in_rings(lon, lat, [np.asarray(r, float) for r in p["rings"]])
+            b = G.points_in_rings(
+                lon, lat, [np.asarray(r, float) for r in parsed[p["poly_id"]]["rings"]]
+            )
+            assert np.array_equal(a, b)
+
+
+class TestGeoJSON:
+    def _fc(self):
+        return {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "properties": {"poly_id": "hole"},
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                            [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],
+                        ],
+                    },
+                },
+                {
+                    "type": "Feature",
+                    "properties": {"poly_id": "multi"},
+                    "geometry": {
+                        "type": "MultiPolygon",
+                        "coordinates": [
+                            [[[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]]],
+                            [[[20, 20], [21, 20], [21, 21], [20, 21], [20, 20]]],
+                        ],
+                    },
+                },
+            ],
+        }
+
+    def test_feature_collection(self):
+        polys = polys_from_geojson(self._fc())
+        byid = {p["poly_id"]: p for p in polys}
+        assert len(byid["hole"]["rings"]) == 2
+        assert len(byid["multi"]["rings"]) == 2
+        assert byid["hole"]["rings"][1][0] == (1.0, 1.0)
+
+    def test_bare_geometry_and_feature_id_fallback(self):
+        g = {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]]}
+        assert polys_from_geojson(g)[0]["poly_id"] == "0"
+        f = {"type": "Feature", "id": "f7", "properties": {}, "geometry": g}
+        assert polys_from_geojson(f)[0]["poly_id"] == "f7"
+
+    def test_third_coordinate_ignored(self):
+        g = {"type": "Polygon", "coordinates": [[[0, 0, 5], [1, 0, 5], [1, 1, 5], [0, 0, 5]]]}
+        assert polys_from_geojson(g)[0]["rings"][0][0] == (0.0, 0.0)
+
+    def test_file_loader(self, tmp_path):
+        p = tmp_path / "fc.geojson"
+        p.write_text(json.dumps(self._fc()))
+        assert {x["poly_id"] for x in polys_from_geojson_file(str(p))} == {"hole", "multi"}
+
+    def test_unsupported_geometry_raises(self):
+        with pytest.raises(ValueError):
+            polys_from_geojson({"type": "Point", "coordinates": [0, 0]})
+
+
+class TestSparkColumnIngestion:
+    def test_wkt_column_to_pip_join_matches_direct_spec(self, spark):
+        """End-to-end: WKT in a Spark string column → parsed spec →
+        pip_join equals pip_join on the original dict spec."""
+        from htrc_ingester_spark.geo.wkt import polys_from_wkt_column
+        from htrc_ingester_spark.operators.pip_join import pip_join
+
+        pdf = data.images_meta_pdf(300)
+        pts = spark.createDataFrame(pdf[["image_id", "lon", "lat"]])
+        wdf = spark.createDataFrame(
+            data.polygons_holes_wkt(), "poly_id string, wkt string"
+        )
+        parsed = polys_from_wkt_column(wdf)
+        a = (
+            pip_join(spark, pts, data.polygons_holes(), res=7)
+            .select("image_id", "poly_id").toPandas()
+            .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
+        )
+        b = (
+            pip_join(spark, pts, parsed, res=7)
+            .select("image_id", "poly_id").toPandas()
+            .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
