@@ -1,0 +1,237 @@
+"""Pluggable hierarchical-cell-index backend: h3lite (hermetic default)
+or the real Uber ``h3`` wheel when it is importable.
+
+SURVEY.md §7(c) sanctioned geo/h3lite.py — an equirectangular
+aperture-4 quantizer with the H3 API *shape* — because no ``h3`` wheel
+ships in this container. Its cell ids are internally consistent but do
+not interoperate with externally-produced H3 data (the VERDICT r3
+adoption caveat). This module closes that gap:
+
+- :func:`get_backend` returns a backend object exposing ONE API —
+  ``latlng_to_cell / cell_to_parent / grid_disk / cells_to_children /
+  cell_corners / cover_bbox / encode_col / res_max / aperture`` —
+  implemented by :class:`H3LiteBackend` (pure numpy + codegen SQL
+  exprs, bit-stable, what every catalog oracle pins) or
+  :class:`H3Backend` (real H3 indices via ``h3`` ≥ 4, hexagonal
+  aperture-7 tree, Arrow-vectorized encode UDF).
+- selection: explicit ``get_backend("h3lite"|"h3")``, or
+  ``get_backend()`` honoring ``$SPARK_GRAFT_H3_BACKEND``
+  (``h3lite`` default — the hermetic tests and DuckDB value oracles
+  REQUIRE the arithmetic backend; ``h3``/``auto`` opt in to real H3).
+
+pip_join's adaptive cover build + classification are parameterized
+over this API (cell corners are an N-vertex polygon — 4 for the
+rectangular grid, 5-6 for H3 hexagons/pentagons; the conservative
+full/partial test only needs corners + a bounding box, so it is sound
+for both). The H3 paths follow the published h3-py v4 API and are
+exercised by import-guarded tests (skipped where the wheel is absent).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import h3lite as H
+
+__all__ = ["get_backend", "H3LiteBackend", "H3Backend", "HAS_H3"]
+
+try:  # pragma: no cover - wheel absent in the hermetic container
+    import h3 as _h3
+
+    HAS_H3 = hasattr(_h3, "latlng_to_cell")  # v4 API required
+except Exception:  # pragma: no cover
+    _h3 = None
+    HAS_H3 = False
+
+
+class H3LiteBackend:
+    """The hermetic arithmetic backend (geo/h3lite.py). Encode is a
+    whole-stage-codegen SQL expression with a DuckDB twin — the
+    property every catalog value-oracle relies on."""
+
+    name = "h3lite"
+    aperture = 4
+    res_max = H.RES_MAX
+
+    @staticmethod
+    def latlng_to_cell(lat, lng, res: int):
+        return H.latlng_to_cell(lat, lng, res)
+
+    @staticmethod
+    def cell_to_parent(cell, parent_res: int):
+        return H.cell_to_parent(cell, parent_res)
+
+    @staticmethod
+    def grid_disk(cell: int, k: int):
+        return H.grid_disk(cell, k)
+
+    @staticmethod
+    def cell_res(cells):
+        return H.cell_res(cells)
+
+    @staticmethod
+    def num_cells(res: int) -> int:
+        return H.nx(res) * H.ny(res)
+
+    @staticmethod
+    def cells_to_children(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(children, parent_index): all aperture-4 children one res
+        finer, with the index of each child's parent row (pentagonal
+        H3 cells have 6 children, so the pairing is explicit in the
+        API)."""
+        res = int(H.cell_res(cells[:1])[0])
+        x, y = H.cell_xy(cells)
+        cx = np.repeat(x << 1, 4) + np.tile(np.array([0, 1, 0, 1]), len(cells))
+        cy = np.repeat(y << 1, 4) + np.tile(np.array([0, 0, 1, 1]), len(cells))
+        return H.pack_xy(cx, cy, res + 1), np.repeat(np.arange(len(cells)), 4)
+
+    @staticmethod
+    def cell_corners(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(lons, lats) of shape (len(cells), 4) — the rectangle
+        corners in CCW order."""
+        lon0, lat0, lon1, lat1 = H.cell_to_boundary(cells)
+        lons = np.stack([lon0, lon1, lon1, lon0], axis=1)
+        lats = np.stack([lat0, lat0, lat1, lat1], axis=1)
+        return lons, lats
+
+    @staticmethod
+    def cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float, res: int):
+        return H.cover_bbox(lon0, lat0, lon1, lat1, res)
+
+    @staticmethod
+    def encode_col(lon_col: str, lat_col: str, res: int):
+        from pyspark.sql import functions as F
+
+        return F.expr(H.h3_sql_expr(lon_col, lat_col, res))
+
+
+class H3Backend:  # pragma: no cover - requires the h3 wheel
+    """Real Uber H3 (hexagonal, aperture 7) via h3-py ≥ 4. Cell ids are
+    genuine H3 indices (interoperable with external H3 data); the
+    point-side encode is an Arrow-vectorized pandas UDF instead of a
+    SQL expression, so plans using it have no DuckDB twin — use the
+    h3lite backend wherever a value oracle is required."""
+
+    name = "h3"
+    aperture = 7
+    res_max = 15
+
+    def __init__(self):
+        if not HAS_H3:
+            raise ImportError(
+                "the 'h3' wheel (>=4) is not importable; "
+                "install h3 or use get_backend('h3lite')"
+            )
+
+    @staticmethod
+    def latlng_to_cell(lat, lng, res: int):
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+        lng = np.atleast_1d(np.asarray(lng, dtype=np.float64))
+        out = np.fromiter(
+            (_h3.str_to_int(_h3.latlng_to_cell(a, b, res)) for a, b in zip(lat, lng)),
+            dtype=np.int64,
+            count=len(lat),
+        )
+        return out if out.shape[0] > 1 else np.int64(out[0])
+
+    @staticmethod
+    def cell_to_parent(cell, parent_res: int):
+        c = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+        out = np.fromiter(
+            (
+                _h3.str_to_int(_h3.cell_to_parent(_h3.int_to_str(int(x)), parent_res))
+                for x in c
+            ),
+            dtype=np.int64,
+            count=len(c),
+        )
+        return out if out.shape[0] > 1 else np.int64(out[0])
+
+    @staticmethod
+    def grid_disk(cell: int, k: int):
+        return np.sort(
+            np.array(
+                [_h3.str_to_int(c) for c in _h3.grid_disk(_h3.int_to_str(int(cell)), k)],
+                dtype=np.int64,
+            )
+        )
+
+    @staticmethod
+    def cell_res(cells):
+        return (np.asarray(cells, dtype=np.int64) >> 52) & 0xF
+
+    @staticmethod
+    def num_cells(res: int) -> int:
+        return int(_h3.get_num_cells(res))
+
+    @staticmethod
+    def cells_to_children(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        out: list[int] = []
+        parent: list[int] = []
+        for i, x in enumerate(cells):
+            s = _h3.int_to_str(int(x))
+            kids = _h3.cell_to_children(s, _h3.get_resolution(s) + 1)
+            out.extend(_h3.str_to_int(c) for c in kids)
+            parent.extend([i] * len(kids))
+        return np.array(out, dtype=np.int64), np.array(parent, dtype=np.int64)
+
+    @staticmethod
+    def cell_corners(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Hexagon (or pentagon) vertices, padded to 6 by repeating the
+        last vertex — a repeated vertex adds a zero-length edge, which
+        changes neither the corner-parity test nor the bbox."""
+        lons = np.empty((len(cells), 6))
+        lats = np.empty((len(cells), 6))
+        for i, x in enumerate(cells):
+            b = _h3.cell_to_boundary(_h3.int_to_str(int(x)))  # ((lat, lng), ...)
+            v = list(b) + [b[-1]] * (6 - len(b))
+            lats[i] = [p[0] for p in v]
+            lons[i] = [p[1] for p in v]
+        return lons, lats
+
+    @staticmethod
+    def cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float, res: int):
+        # polygon_to_cells covers cells whose CENTER is inside; pad the
+        # box by one grid_disk ring so boundary-straddling cells join
+        # the frontier (the classifier prunes false positives).
+        poly = _h3.LatLngPoly(
+            [(lat0, lon0), (lat0, lon1), (lat1, lon1), (lat1, lon0), (lat0, lon0)]
+        )
+        seed = {_h3.str_to_int(c) for c in _h3.polygon_to_cells(poly, res)}
+        if not seed:
+            seed = {int(H3Backend.latlng_to_cell((lat0 + lat1) / 2, (lon0 + lon1) / 2, res))}
+        padded = set(seed)
+        for c in list(seed):
+            padded.update(int(x) for x in H3Backend.grid_disk(int(c), 1))
+        return np.array(sorted(padded), dtype=np.int64)
+
+    @staticmethod
+    def encode_col(lon_col: str, lat_col: str, res: int):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.LongType())
+        def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(
+                H3Backend.latlng_to_cell(
+                    lat.to_numpy(dtype=np.float64), lon.to_numpy(dtype=np.float64), res
+                )
+            )
+
+        return _enc(F.col(lon_col), F.col(lat_col))
+
+
+def get_backend(name: str | None = None):
+    """Resolve a backend by name, or from $SPARK_GRAFT_H3_BACKEND
+    (default ``h3lite``; ``auto`` = real h3 when importable)."""
+    name = name or os.environ.get("SPARK_GRAFT_H3_BACKEND", "h3lite")
+    if name == "auto":
+        name = "h3" if HAS_H3 else "h3lite"
+    if name == "h3lite":
+        return H3LiteBackend()
+    if name == "h3":
+        return H3Backend()
+    raise ValueError(f"unknown H3 backend {name!r} (h3lite | h3 | auto)")
