@@ -40,6 +40,11 @@ HEADLINE = [
     "image_validate_pipeline",
     "cdc_merge_apply",
     "salted_collect_skewed",
+    # VERDICT r3 #7: the heaviest operators rotate into the headline
+    # set so their wall-times are tracked round-over-round
+    "dedup_image_clusters",
+    "raster_cost_distance",
+    "similarity_pq_topk",
 ]
 
 

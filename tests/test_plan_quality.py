@@ -270,14 +270,19 @@ class TestRound2PlanShapes:
                 }
             )
         )
-        auto = lsh_near_dup_pairs(docs, max_bucket=50).toPandas()
+        auto_df = lsh_near_dup_pairs(docs, max_bucket=50)
+        auto = auto_df.toPandas()
         forced_off = lsh_near_dup_pairs(docs, max_bucket=50, broadcast_verify=False).toPandas()
         pd.testing.assert_frame_equal(
             auto.sort_values(["id_a", "id_b"]).reset_index(drop=True),
             forced_off.sort_values(["id_a", "id_b"]).reset_index(drop=True),
         )
-        # tiny candidate set → the auto decision must be 'broadcast'
-        assert TD._BROADCAST_VERIFY_MAX_PAIRS > 10
+        # tiny candidate set → AQE must convert the verify joins to
+        # broadcast at runtime (the auto decision is AQE's actual-size
+        # guard now — no scheduled decision job)
+        plan = auto_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert TD  # module imported for parity with the other shapes
 
 
 class TestCatalogWidePlanAudit:
