@@ -156,7 +156,12 @@ def _lloyd(
 def _quantize(
     df: DataFrame, vec_col: str, id_col: str, quant: int, persist: bool
 ) -> DataFrame:
-    qt = df.select(
+    from ..functions import ensure_parallelism
+
+    # parallelism floor BEFORE the interpreted HOF quantize and every
+    # downstream assign/encode projection: a sub-MB embeddings parquet
+    # arrives as 1-2 splits and pins the whole training to 1-2 threads
+    qt = ensure_parallelism(df).select(
         F.col(id_col), F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")
     )
     return qt.persist() if persist else qt
@@ -312,7 +317,9 @@ def pq_fit_encode(
             entries.append(f"struct(({d}) as dist, {c} as cluster)")
         return f"array_min(array({', '.join(entries)})).cluster"
 
-    codes = df.select(
+    from ..functions import ensure_parallelism
+
+    codes = ensure_parallelism(df).select(
         F.col(id_col),
         F.expr("array(" + ", ".join(_code_expr(mi) for mi in range(m)) + ")").alias(
             "codes"
@@ -332,27 +339,63 @@ def pq_topk(
     id_col: str = "vec_id",
     quant: int = 1000,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k: per query, distance tables to
-    every sub-centroid are built once (Q×m×k rows, BROADCAST); the data
-    side pays m integer lookups per vector. query_df: (query_id,
+    """Asymmetric-distance (ADC) top-k. query_df: (query_id,
     ``vec_col``). Returns (query_id, id, adist, rank) ranked by
-    (adist, id) — total order, deterministic."""
+    (adist, id) — total order, deterministic.
+
+    Plan (explode-free ADC): the codebook is k×m MODEL PARAMETERS —
+    collected once (same regime as pq_fit_encode) and inlined as
+    literal sub-centroids into per-query distance-table arrays
+    (Q rows, each an m·k flat int array, one tiny shuffle-free
+    projection). The vector side cross-joins the BROADCAST query table
+    and computes ``adist = Σ_mi qarr[mi·k + code_mi]`` — m dynamic
+    ``element_at`` lookups per (vector, query), which is the point of
+    PQ — then one per-query top-k window. No explode, no shuffle join,
+    no re-aggregation: the previous
+    ``posexplode → join → groupBy(sum)`` shape both re-evaluated the
+    encode projection once per EXPLODED row (the CollapseProject-into-
+    Generate recomputation documented at textdedup.repetition_stats)
+    and paid two extra exchanges."""
     sub = dim // m
+    book = sorted(
+        (int(r["m"]), int(r["cluster"]), [int(x) for x in r["cv"]])
+        for r in codebook.collect()
+    )
+    codes_per_book = max(c for _, c, _ in book) + 1 if book else 0
+
     q = query_df.select(
         "query_id", F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")
     )
-    dsub = _dist_expr(f"slice(qv, m * {sub} + 1, {sub})", "cv", sub, "spark")
-    dtab = q.crossJoin(codebook).select(
-        "query_id", "m", F.col("cluster").alias("code"), F.expr(dsub).alias("d")
+    # per-query flat distance table: entry (mi*k + c) = ||q_sub - cv||²
+    # with the centroid coordinates as literals (missing (mi, c) slots
+    # — empty clusters — get a sentinel larger than any real distance
+    # so they can never win; they are unreferenced anyway because no
+    # vector is coded to an empty cluster)
+    cv_by = {(mm, c): cv for mm, c, cv in book}
+    sentinel = str(2**62)
+    entries = []
+    for mi in range(m):
+        for c in range(codes_per_book):
+            cv = cv_by.get((mi, c))
+            if cv is None:
+                entries.append(sentinel)
+                continue
+            terms = [
+                f"(element_at(qv, {mi * sub + j + 1}) - {cv[j]}L)" for j in range(sub)
+            ]
+            entries.append(" + ".join(f"{t} * {t}" for t in terms))
+    qtab = q.select(
+        "query_id", F.expr("array(" + ", ".join(entries) + ")").alias("_qarr")
     )
-    datax = codes.select(
-        id_col, F.posexplode("codes").alias("m", "code")
+
+    lookups = " + ".join(
+        f"element_at(_qarr, {mi} * {codes_per_book} + element_at(codes, {mi + 1}) + 1)"
+        for mi in range(m)
     )
     rank_w = Window.partitionBy("query_id").orderBy("adist", id_col)
     return (
-        datax.join(F.broadcast(dtab), ["m", "code"])
-        .groupBy("query_id", id_col)
-        .agg(F.sum("d").alias("adist"))
+        codes.crossJoin(F.broadcast(qtab))
+        .select("query_id", id_col, F.expr(lookups).alias("adist"))
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k_results)
     )

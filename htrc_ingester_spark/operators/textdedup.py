@@ -166,19 +166,10 @@ def lang_id_sql(words: str, dialect: str) -> str:
 
 
 def _parallelism_floor(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input arrives with far fewer
-    partitions than the cluster has cores. A small parquet file (one
-    ~600 KB footer → 2 splits) otherwise pins the whole
-    shingle+hash+min-agg pipeline to 2 threads — measured 1.6 s → 0.49 s
-    for the sf0.1 shingle explode on local[32]. At 100-TB scale inputs
-    arrive with thousands of splits and this is a no-op; the guard
-    triggers only below half the default parallelism, so it never
-    inserts a shuffle into an already-parallel plan."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    """See functions.ensure_parallelism (shared guard)."""
+    from ..functions import ensure_parallelism
+
+    return ensure_parallelism(df)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
