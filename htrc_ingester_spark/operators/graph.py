@@ -99,25 +99,20 @@ def shortest_paths(
 
 
 def _materialize(spark, df: DataFrame) -> None:
-    """Execute an internal checkpoint/result count with AQE OFF for
-    the duration of the action. An iterative loop with bounded, small
-    per-round state is the anti-case for adaptive execution: every
-    round's shuffle becomes a materialize-then-replan query stage (a
-    scheduled job each), and there is nothing for the replanner to
-    learn — the state is a few thousand rows by construction. Measured
-    on the 6-hop raster cost-distance entry: 6.1 s → 4.7 s cold.
-    The flag is restored immediately; only this operator's INTERNAL
-    actions run static (the caller's downstream actions see their own
-    session conf — conf is read at action time). At real cluster scale
-    the same reasoning holds per round; callers who feed genuinely
-    skewed billion-edge graphs get their skew handling from the
-    persisted adjacency's one-time exchange, not from per-round AQE."""
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    """Execute an internal checkpoint/result count with AQE OFF
+    (session.static_plan): bounded small per-round state means there
+    is nothing for the replanner to learn — the per-stage
+    materialize-then-replan jobs are pure latency (measured 6.1→4.7 s
+    cold on the 6-hop raster cost-distance entry). Only this
+    operator's INTERNAL actions run static; the caller's downstream
+    actions see their own session conf (conf is read at action time).
+    Callers with genuinely skewed billion-edge graphs get their skew
+    handling from the persisted adjacency's one-time exchange, not
+    from per-round AQE."""
+    from ..session import static_plan
+
+    with static_plan(spark):
         df.count()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def shortest_paths_oracle_sql(

@@ -399,9 +399,21 @@ def knn_join_many(
                 F.col("done2").alias("done"),
                 F.col("topk2").alias("topk"),
             )
-            .localCheckpoint(True)
         )
-        n_active = new_state.where("not done").count()
+        if broadcast_skel:
+            # pinned-broadcast regime: the round plan is narrow + one
+            # groupBy over known-small state — AQE's per-stage
+            # materialize/replan jobs are pure latency here
+            # (session.static_plan). The huge-skel regimes keep AQE for
+            # per-round skew handling.
+            from ..session import static_plan
+
+            with static_plan(spark):
+                new_state = new_state.localCheckpoint(True)
+                n_active = new_state.where("not done").count()
+        else:
+            new_state = new_state.localCheckpoint(True)
+            n_active = new_state.where("not done").count()
         state = new_state
         if init_state is not None:
             init_state.unpersist()
