@@ -281,10 +281,16 @@ def pq_fit_encode(
     # the model-parameter exception to the no-driver-collect rule, the
     # same regime as pip_join's driver-built polygon cover.
     spark = df.sparkSession
-    book_rows = sorted(
-        ((int(r["m"]), int(r["cluster"]), [int(x) for x in r["cv"]])
-         for r in centroids.collect())
-    )
+    from ..session import static_plan
+
+    # the collect IS the training execution: 2 sequential Lloyd rounds
+    # of tiny barrier stages — run static (session.static_plan), AQE's
+    # per-stage replan jobs are pure latency on known-small state
+    with static_plan(spark):
+        book_rows = sorted(
+            (int(r["m"]), int(r["cluster"]), [int(x) for x in r["cv"]])
+            for r in centroids.collect()
+        )
     codebook = spark.createDataFrame(
         book_rows, "m int, cluster int, cv array<bigint>"
     )
