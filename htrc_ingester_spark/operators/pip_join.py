@@ -13,24 +13,33 @@ Scale design (the part that must survive 100 TB / 10^12 rows):
    bench pipeline this cut Python-side traffic ~30x vs a single-res
    cover whose cells were larger than the polygons (all-partial).
 
-2. The cover is a tiny DataFrame broadcast-joined per resolution level
-   on the point's cell id at that level (cell ids are pure-integer
-   column expressions — whole-stage codegen, no Python). Levels are
-   disjoint regions, so the per-level union has no duplicates. Zero
-   shuffle of the image side; image ``bytes`` never move — the join
-   runs on the (image_id, lon, lat) skeleton per the bounded-shuffle
-   rule in BASELINE.json.
+2. The cover is a tiny broadcast DataFrame probed in one of two
+   shapes, chosen at index-build time (round 4): covers expanding to
+   ≤2M cells at their finest level FLATTEN to a single-level table —
+   the point side computes ONE codegen cell encode and joins once, no
+   explode; larger (continental) covers keep the multi-level
+   ancestor-chain probe (array + explode — k levels multiply the probe
+   rows by k, but the cover stays O(perimeter)-bounded). Either way
+   there is zero shuffle of the image side; image ``bytes`` never
+   move — the join runs on the (image_id, lon, lat) skeleton per the
+   bounded-shuffle rule in BASELINE.json. Driver-side index artifacts
+   (cover, ring broadcast, refine UDF) are content-keyed and memoized
+   per session — built once, reused by every invocation.
 
 3. Partial candidates go through ONE Arrow-batched pandas UDF that
    groups the batch by poly_id and ray-casts each group vectorized
    (geo.geometry.points_in_ring).
 
-Classification is conservative-exact: ``full`` requires all four cell
-corners inside AND no ring-edge bbox overlapping the cell (checked in
-the ring's unwrapped longitude frame with ±360° shifts, so antimeridian
-polygons classify correctly); a cell is dropped only when provably
-disjoint (no corner inside and no edge-bbox overlap — a polygon wholly
-inside a cell always overlaps that cell's bbox with its edges).
+Classification is conservative-exact: ``full`` requires ALL cell
+corners inside AND no ring-edge bbox overlapping the cell's bbox
+(checked in the ring's unwrapped longitude frame with ±360° shifts, so
+antimeridian polygons classify correctly); a cell is dropped only when
+provably disjoint (no corner inside and no edge-bbox overlap — a
+polygon wholly inside a cell always overlaps that cell's bbox with its
+edges). The corner set comes from the pluggable cell-index backend
+(geo/backend.py): 4 rectangle corners for the default h3lite grid, 5-6
+hexagon vertices under the real-H3 backend — conservative soundness is
+corner-count-independent.
 
 Reference parity: this replaces the hand-rolled build+probe hash joins
 (DeltaLogProcessor.java:297-302 build, METSParser.java:375-407 probe)
