@@ -214,6 +214,39 @@ def polygons_holes_wkt(seed: int = 42) -> list[tuple[str, str]]:
     ]
 
 
+def polygons_holes_geojson(seed: int = 42) -> dict:
+    """The polygons_holes fixtures as a GeoJSON FeatureCollection with
+    the same OGC-structured grouping as polygons_holes_wkt (Polygon
+    with holes / MultiPolygon parts). Coordinates are emitted as plain
+    floats, so parsing back through geo.wkt.polys_from_geojson must be
+    float64-exact."""
+    groups = {
+        "shell_hole": [[0, 1]],
+        "multipolygon": [[0], [1]],
+        "nested": [[0, 1], [2]],
+        "anti_hole": [[0, 1]],
+    }
+    feats = []
+    for p in polygons_holes(seed):
+        g = groups[p["kind"]]
+        rings = [[[float(a), float(b)] for a, b in r] for r in p["rings"]]
+        if len(g) == 1:
+            geom = {"type": "Polygon", "coordinates": [rings[i] for i in g[0]]}
+        else:
+            geom = {
+                "type": "MultiPolygon",
+                "coordinates": [[rings[i] for i in part] for part in g],
+            }
+        feats.append(
+            {
+                "type": "Feature",
+                "properties": {"poly_id": p["poly_id"]},
+                "geometry": geom,
+            }
+        )
+    return {"type": "FeatureCollection", "features": feats}
+
+
 def polygons_pdf(seed: int = 42) -> pd.DataFrame:
     rows = polygons(seed)
     return pd.DataFrame(

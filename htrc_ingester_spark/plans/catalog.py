@@ -362,6 +362,28 @@ def _pip_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_fn("pip_join_wkt_input", _pip_wkt, _pip_holes_oracle())
 
 
+def _pip_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON ingestion end-to-end: the same fixtures as a
+    FeatureCollection (Polygon-with-holes + MultiPolygon geometries)
+    through geo.wkt.polys_from_geojson, value-checked against the
+    pip_join_holes oracle — like pip_join_wkt_input but for the other
+    interchange format real users arrive with."""
+    from .. import data
+    from ..geo.wkt import polys_from_geojson
+    from ..operators.pip_join import pip_join
+
+    polys = polys_from_geojson(data.polygons_holes_geojson())
+    img = FS.load_images(spark, sf_dir)
+    return (
+        pip_join(spark, img, polys, res=7)
+        .select("image_id", "poly_id")
+        .orderBy("image_id", "poly_id")
+    )
+
+
+_register_fn("pip_join_geojson_input", _pip_geojson, _pip_holes_oracle())
+
+
 # ===========================================================================
 # Raster dissolve (adjacent-cell connected components) + region overlay —
 # the raster↔vector follow-ups tiles.vectorize names. Oracle = DuckDB

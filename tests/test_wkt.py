@@ -144,6 +144,15 @@ class TestGeoJSON:
         with pytest.raises(ValueError):
             polys_from_geojson({"type": "Point", "coordinates": [0, 0]})
 
+    def test_holes_fixture_geojson_roundtrips_exactly(self):
+        parsed = {
+            p["poly_id"]: p["rings"]
+            for p in polys_from_geojson(data.polygons_holes_geojson())
+        }
+        for p in data.polygons_holes():
+            want = [[(float(a), float(b)) for a, b in r] for r in p["rings"]]
+            assert parsed[p["poly_id"]] == want
+
 
 class TestSparkColumnIngestion:
     def test_wkt_column_to_pip_join_matches_direct_spec(self, spark):
