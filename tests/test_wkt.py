@@ -47,6 +47,40 @@ class TestRoundTrip:
         assert wkt_to_rings(wkt) == [shell1, hole1, shell2]
 
 
+class TestRoundTripFuzz:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _coord = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    _ring = st.lists(st.tuples(_coord, _coord), min_size=3, max_size=12)
+    _rings = st.lists(_ring, min_size=1, max_size=5)
+    _groups = st.integers(min_value=1, max_value=3)
+
+    @given(rings=_rings)
+    @settings(max_examples=200, deadline=None)
+    def test_arbitrary_rings_roundtrip_bitexact(self, rings):
+        """repr-float WKT serialization must reproduce ANY float64 ring
+        list bit-for-bit (subnormals, negative zero, long mantissas)."""
+        got = wkt_to_rings(rings_to_wkt(rings))
+        assert got == [[(float(a), float(b)) for a, b in r] for r in rings]
+
+    @given(rings=_rings, n_groups=_groups)
+    @settings(max_examples=100, deadline=None)
+    def test_grouped_multipolygon_roundtrip(self, rings, n_groups):
+        """Any partition of the ring list into polygons parses back to
+        the same FLAT list in document order (grouping is presentation,
+        not semantics, under even-odd)."""
+        n_groups = min(n_groups, len(rings))
+        groups = [list(range(i, len(rings), n_groups)) for i in range(n_groups)]
+        flat_order = [i for g in groups for i in g]
+        got = wkt_to_rings(rings_to_wkt(rings, groups=groups))
+        assert got == [
+            [(float(a), float(b)) for a, b in rings[i]] for i in flat_order
+        ]
+
+
 class TestParserRobustness:
     def test_whitespace_case_and_scientific_notation(self):
         wkt = "  polygon ( ( 1e1 -2.5E-1 , 2e1 0.0,\n 15 5 , 1e1 -2.5e-1 ) ) "
