@@ -74,6 +74,15 @@ def main(argv: list[str] | None = None) -> int:
         "--invalidate-store); omit to invalidate ALL partitions",
     )
 
+    p = sub.add_parser("pip")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument(
+        "--polygons", required=True,
+        help="polygon file: .geojson/.json FeatureCollection, or text "
+        "with one 'poly_id<TAB>WKT' per line",
+    )
+    p.add_argument("--res", type=int, default=7)
+
     p = sub.add_parser("compact")
     p.add_argument("--table-dir", required=True)
     p.add_argument("--target-file-mb", type=int, default=128)
@@ -178,6 +187,34 @@ def main(argv: list[str] | None = None) -> int:
         ]
         print(json.dumps({"job": "knn", "neighbors": rows,
                           "wall_sec": round(time.monotonic() - t0, 3)}))
+    elif args.job == "pip":
+        # real-user entry: shapefile-derived polygons (WKT/GeoJSON) in,
+        # per-polygon image counts out
+        from pyspark.sql import functions as F
+
+        from .geo import wkt as W
+        from .operators.pip_join import pip_join
+        from .plans import flagship
+
+        if args.polygons.endswith((".geojson", ".json")):
+            polys = W.polys_from_geojson_file(args.polygons)
+        else:
+            with open(args.polygons) as fh:
+                rows = [ln.rstrip("\n").split("\t", 1) for ln in fh if ln.strip()]
+            polys = W.polys_from_wkt(rows)
+        img = flagship.load_images(spark, args.sf_dir)
+        hits = (
+            pip_join(spark, img, polys, res=args.res)
+            .groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_images"))
+            .orderBy("poly_id")
+            .collect()
+        )
+        print(json.dumps({
+            "job": "pip", "n_polygons": len(polys),
+            "counts": {r["poly_id"]: r["n_images"] for r in hits},
+            "wall_sec": round(time.monotonic() - t0, 3),
+        }))
     elif args.job == "compact":
         from . import tables as TB
 

@@ -48,3 +48,33 @@ def test_cli_keys_lists_table_keys(spark, tmp_path, capsys):
     assert rc in (0, None)
     assert out["job"] == "keys" and out["n_listed"] == 10
     assert out["keys"] == [f"vol{i:03d}" for i in range(10)]
+
+
+def test_cli_pip_wkt_and_geojson_agree(spark, tmp_path, capsys):
+    """The `pip` subcommand ingests polygons from a WKT TSV or a
+    GeoJSON FeatureCollection and produces identical per-polygon
+    counts (the two interchange paths share the even-odd ring spec)."""
+    import json as _json
+
+    from htrc_ingester_spark import data
+
+    wkt_path = tmp_path / "polys.wkt"
+    wkt_path.write_text(
+        "".join(f"{pid}\t{w}\n" for pid, w in data.polygons_holes_wkt())
+    )
+    gj_path = tmp_path / "polys.geojson"
+    gj_path.write_text(_json.dumps(data.polygons_holes_geojson()))
+
+    outs = []
+    for path in (wkt_path, gj_path):
+        rc = cli_main(
+            ["pip", "--sf-dir", "/root/testdata/sf0.001", "--polygons", str(path)]
+        )
+        assert rc == 0
+        line = [
+            ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+        ][-1]
+        outs.append(_json.loads(line))
+    assert outs[0]["counts"] == outs[1]["counts"]
+    assert outs[0]["n_polygons"] == 4
+    assert all(v > 0 for v in outs[0]["counts"].values())
