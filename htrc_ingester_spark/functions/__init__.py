@@ -30,6 +30,10 @@ def ensure_parallelism(df):
     arrive with thousands of splits and this is a no-op: the guard
     only fires below HALF the default parallelism, so it never inserts
     a shuffle into an already-parallel plan."""
+    if df.isStreaming:
+        # partition counts are per-micro-batch; .rdd is illegal on a
+        # streaming frame — leave streaming plans untouched
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
