@@ -171,7 +171,27 @@ def _cc_loop(nodes: DataFrame, edges: DataFrame, max_rounds: int) -> DataFrame:
     caching stores data but not the plan. Checkpoint blocks are freed
     by the ContextCleaner when the previous round's DataFrame drops
     out of scope. On a cluster where executor loss must be survivable
-    mid-loop, set a checkpoint dir and swap in ``.checkpoint()``."""
+    mid-loop, set a checkpoint dir and swap in ``.checkpoint()``.
+
+    Small edge sets (Catalyst estimate ≤ 64 MB) run their per-round
+    materializations static (session.static_plan): bounded state means
+    AQE's per-stage replan jobs are pure latency, the same finding as
+    knn_join_many/shortest_paths. Big or unknown-size graphs keep AQE
+    — that is where per-round skew handling has data to act on."""
+    from ..session import static_plan
+    from .knn_join import _plan_size_bytes
+
+    est = _plan_size_bytes(edges)
+    run_static = 0 <= est <= (64 << 20)
+
+    def _mat(df: DataFrame) -> tuple[DataFrame, int]:
+        if run_static:
+            with static_plan(df.sparkSession):
+                out = df.localCheckpoint(True)
+                return out, out.where("_chg").count()
+        out = df.localCheckpoint(True)
+        return out, out.where("_chg").count()
+
     state = nodes.localCheckpoint(True)
     for _ in range(max_rounds):
         nbr = (
@@ -186,16 +206,13 @@ def _cc_loop(nodes: DataFrame, edges: DataFrame, max_rounds: int) -> DataFrame:
         )
         # pointer jump: label := label(label) (labels are node ids)
         lut = s1.select(F.col("node").alias("_lc"), F.col("_l1").alias("_ll"))
-        new_state = (
-            s1.join(lut, s1["_l1"] == lut["_lc"], "left")
-            .select(
+        new_state, n_changed = _mat(
+            s1.join(lut, s1["_l1"] == lut["_lc"], "left").select(
                 "node",
                 F.coalesce("_ll", "_l1").alias("label"),
                 (F.coalesce("_ll", "_l1") != F.col("_prev")).alias("_chg"),
             )
-            .localCheckpoint(True)  # the round's materializing action
         )
-        n_changed = new_state.where("_chg").count()
         state = new_state
         if n_changed == 0:
             break
