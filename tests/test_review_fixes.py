@@ -180,3 +180,20 @@ def test_streaming_snapshots_are_versioned_with_history(spark, tmp_path):
     # time travel into the pre-batch-2 snapshot still works
     assert TB.read(spark, str(d / "snap"), version=0).count() == 1
     assert TB.read(spark, str(d / "snap")).count() == 2
+
+
+class TestStaticPlan:
+    def test_conf_restored_on_success_and_error(self, spark):
+        from htrc_ingester_spark.session import static_plan
+
+        before = spark.conf.get("spark.sql.adaptive.enabled")
+        with static_plan(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            spark.range(10).count()
+        assert spark.conf.get("spark.sql.adaptive.enabled") == before
+        try:
+            with static_plan(spark):
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get("spark.sql.adaptive.enabled") == before
