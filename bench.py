@@ -103,6 +103,13 @@ def main() -> None:
             flagship_sec = timings[name]
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparability: round 4 (a) rotated three heavy
+    # iterative entries into HEADLINE and (b) switched to the
+    # cold-pipeline protocol (clearCache per rep — r3 reps for
+    # cache-reusing entries measured a cache READ). The r3-comparable
+    # number is the 16-query subset total, emitted explicitly.
+    r3_subset = [q for q in HEADLINE if q not in (
+        "dedup_image_clusters", "raster_cost_distance", "similarity_pq_topk")]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
@@ -111,6 +118,8 @@ def main() -> None:
         "queries": timings,
         "query_mad": mads,
         "runs_per_query": n_runs,
+        "r3_subset_total": round(sum(timings[q] for q in r3_subset), 3),
+        "protocol": "cold-pipeline (clearCache before every timed rep)",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "images_per_sec_flagship": round(n_images / flagship_sec, 1) if n_images else None,
         "cpus": int(cpus),
