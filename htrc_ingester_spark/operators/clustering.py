@@ -367,7 +367,16 @@ def pq_topk(
         (int(r["m"]), int(r["cluster"]), [int(x) for x in r["cv"]])
         for r in codebook.collect()
     )
-    codes_per_book = max(c for _, c, _ in book) + 1 if book else 0
+    if not book:  # degenerate: nothing trained → nothing rankable
+        return codes.select(
+            "query_id" if "query_id" in codes.columns else F.lit(None).alias("query_id"),
+        ).where(F.lit(False)).select(
+            F.lit(None).cast("string").alias("query_id"),
+            F.lit(None).cast("string").alias(id_col),
+            F.lit(None).cast("bigint").alias("adist"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    codes_per_book = max(c for _, c, _ in book) + 1
 
     q = query_df.select(
         "query_id", F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")

@@ -229,8 +229,11 @@ def _polys_key(polys: list[dict], res: int, res_max: int, backend_name: str) -> 
 # builds the polygon index ONCE and reuses it for every micro-batch;
 # rebuilding the cover + re-broadcasting the rings + re-registering the
 # UDF per query invocation measured ~0.25-1.4 s of pure driver-side
-# fixed cost (the round-3 flagship bench regression).
+# fixed cost (the round-3 flagship bench regression). Bounded: a
+# long-lived service cycling through MANY distinct polygon sets evicts
+# oldest-first (dict order) and destroys the evicted ring broadcast.
 _ARTIFACT_MEMO: dict[tuple[str, str], dict] = {}
+_ARTIFACT_MEMO_MAX = 64
 
 # Flat-probe ceiling: when the cover expanded to its finest level stays
 # under this many cells, probe with ONE encode at that level instead of
@@ -321,7 +324,15 @@ def _cover_artifacts(
         else [],
         "frac": cover_area_fraction(cover, backend=be),
         "all_full": bool(cover["full"].all()) if len(cover) else True,
+        "_bc": bc_rings,
     }
+    while len(_ARTIFACT_MEMO) >= _ARTIFACT_MEMO_MAX:
+        oldest = next(iter(_ARTIFACT_MEMO))  # dicts preserve insertion order
+        old = _ARTIFACT_MEMO.pop(oldest)
+        try:
+            old["_bc"].destroy()
+        except Exception:
+            pass  # already destroyed / context gone
     _ARTIFACT_MEMO[key] = art
     return art
 
