@@ -876,3 +876,66 @@ def test_stream_stream_left_outer_emits_unconverted_views(spark, tmp_path):
     unmatched = got[got.click_id.isna()]
     assert set(matched.view_id) == {2}
     assert set(unmatched.view_id) == {1}  # expired without a match
+
+
+def test_geofence_stream_with_wkt_loaded_fences(spark, tmp_path):
+    """Interchange → streaming integration: fences arrive as WKT text
+    (the real user's shapefile-derived input), parse through geo.wkt,
+    and drive the SAME streaming geofence — hits equal the dict-spec
+    batch result on identical rows."""
+    import numpy as np
+    import pandas as pd
+
+    from htrc_ingester_spark.geo.wkt import polys_from_wkt, rings_to_wkt
+    from htrc_ingester_spark.operators.pip_join import pip_join
+
+    shell = [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]
+    spec = [{"poly_id": "donut", "rings": [shell, hole]}]
+    wkt_rows = [("donut", rings_to_wkt([shell, hole], groups=[[0, 1]]))]
+    polys = polys_from_wkt(wkt_rows)
+
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"w{i}" for i in range(300)],
+            "lon": rng.uniform(-1, 9, 300),
+            "lat": rng.uniform(-1, 9, 300),
+        }
+    )
+    src = tmp_path / "wkt_fence_pts"
+    src.mkdir()
+    df_all = spark.createDataFrame(pdf)
+    df_all.coalesce(1).write.parquet(str(src / "f1"))
+
+    want = (
+        pip_join(spark, df_all, spec, res=6)
+        .select("image_id", "poly_id")
+        .toPandas()
+        .sort_values(["image_id", "poly_id"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+
+    emitted = []
+    stream = (
+        spark.readStream.schema(df_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        S.geofence_stream(spark, stream, polys, res=6)
+        .select("image_id", "poly_id")
+        .writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wkt_fence"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        pd.DataFrame([r.asDict() for r in emitted])
+        .sort_values(["image_id", "poly_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
