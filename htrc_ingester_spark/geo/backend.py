@@ -97,6 +97,13 @@ class H3LiteBackend:
         return lons, lats
 
     @staticmethod
+    def bbox_pad_deg(c_lons: np.ndarray, c_lats: np.ndarray):
+        """Outward padding (degrees) the vertex min/max bbox needs to
+        contain the cell's true edges. h3lite cells are exact
+        lat/lon-aligned rectangles — the vertex bbox IS the cell."""
+        return 0.0
+
+    @staticmethod
     def cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float, res: int):
         return H.cover_bbox(lon0, lat0, lon1, lat1, res)
 
@@ -190,6 +197,24 @@ class H3Backend:  # pragma: no cover - requires the h3 wheel
             lats[i] = [p[0] for p in v]
             lons[i] = [p[1] for p in v]
         return lons, lats
+
+    @staticmethod
+    def bbox_pad_deg(c_lons: np.ndarray, c_lats: np.ndarray):
+        """Per-cell conservative pad: H3 hexagon edges are GEODESICS —
+        they bulge poleward past the straight chord between vertices,
+        so the vertex min/max box is not a true cell bbox. The bulge of
+        a great-circle edge vs linear lat/lon interpolation is bounded
+        by (Δλ_rad²/8) rad ≈ span_deg² · 0.00218°; pad by span² · 0.003
+        (+ε). Antimeridian-straddling cells degenerate the vertex lon
+        span to ~360°, which makes the pad (and the box) huge — grossly
+        over-conservative for those few cells, but over-conservative is
+        SOUND here (a larger bbox only demotes full→partial, and
+        partial goes through the exact refine)."""
+        span = np.maximum(
+            c_lons.max(axis=1) - c_lons.min(axis=1),
+            c_lats.max(axis=1) - c_lats.min(axis=1),
+        )
+        return span * span * 0.003 + 1e-12
 
     @staticmethod
     def cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float, res: int):

@@ -291,9 +291,23 @@ def pq_fit_encode(
             (int(r["m"]), int(r["cluster"]), [int(x) for x in r["cv"]])
             for r in centroids.collect()
         )
+    # the collect above was the LAST consumer of qt/qtm (the codebook is
+    # now driver-local literals and the encode below re-reads df) — drop
+    # the cached quantized corpus so long-lived sessions don't strand a
+    # copy per pq_fit_encode call
+    qt.unpersist(blocking=False)
     codebook = spark.createDataFrame(
         book_rows, "m int, cluster int, cv array<bigint>"
     )
+    if not book_rows:
+        # empty input: no codebook was trained. Short-circuit with an
+        # empty, explicitly-typed codes frame — the literal-codebook
+        # _code_expr below would otherwise emit array_min(array())
+        # which fails at plan analysis.
+        empty_codes = df.select(
+            F.col(id_col), F.expr("array(0)").cast("array<int>").alias("codes")
+        ).where(F.lit(False))
+        return empty_codes, codebook
 
     # encode with the FINAL centroids inlined as LITERALS, quantization
     # folded into them: higher-order functions (transform/aggregate

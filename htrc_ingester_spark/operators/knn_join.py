@@ -106,7 +106,12 @@ def knn_join(
     qpdf = queries[["query_id", "lon", "lat", "k"]].copy()
     qpdf["query_id"] = qpdf["query_id"].astype(str)
     qpdf["k"] = qpdf["k"].astype(int)
-    qdf = spark.createDataFrame(qpdf).select(
+    # explicit schema: an EMPTY pandas frame has object-dtype columns
+    # Spark cannot infer from — with the schema, zero queries return an
+    # empty typed (query_id, image_id, dist_m, rank) frame
+    qdf = spark.createDataFrame(
+        qpdf, schema="query_id string, lon double, lat double, k int"
+    ).select(
         F.col("query_id"),
         F.col("lon").cast("double").alias(lon_col),
         F.col("lat").cast("double").alias(lat_col),

@@ -83,17 +83,25 @@ def _classify(cells: np.ndarray, rings: list[np.ndarray], backend=None):
     partial: not full AND not provably disjoint. The corner set is the
     backend's cell polygon (4 rectangle corners for h3lite, 5-6 hexagon
     vertices for real H3); for non-rectangular cells the bbox test is
-    conservative (bbox ⊇ cell keeps soundness: no-edge-in-bbox ⇒
-    no-edge-in-cell, and a disjoint verdict still requires no bbox
-    overlap at all).
+    conservative PROVIDED the box really contains the cell — geodesic
+    hexagon edges bulge past the vertex min/max box, so the backend
+    supplies an outward pad (``bbox_pad_deg``) making bbox ⊇ cell hold;
+    then no-edge-in-bbox ⇒ no-edge-in-cell, and a disjoint verdict
+    still requires no bbox overlap at all.
     """
     be = backend or H3LiteBackend()
     c_lons, c_lats = be.cell_corners(cells)  # (n, C)
     n_corners = c_lons.shape[1]
-    c_lon0 = c_lons.min(axis=1)
-    c_lon1 = c_lons.max(axis=1)
-    c_lat0 = c_lats.min(axis=1)
-    c_lat1 = c_lats.max(axis=1)
+    # backend-specific outward pad: 0 for h3lite (cells ARE lat/lon
+    # rectangles), span²-scaled for real H3 whose geodesic hexagon
+    # edges bulge past the vertex min/max box (ADVICE r4) — a larger
+    # box only demotes full→partial / keeps provably-disjoint cells,
+    # both sound directions
+    pad = be.bbox_pad_deg(c_lons, c_lats) if hasattr(be, "bbox_pad_deg") else 0.0
+    c_lon0 = c_lons.min(axis=1) - pad
+    c_lon1 = c_lons.max(axis=1) + pad
+    c_lat0 = c_lats.min(axis=1) - pad
+    c_lat1 = c_lats.max(axis=1) + pad
     corners_in = np.ones(len(cells), dtype=bool)
     any_corner = np.zeros(len(cells), dtype=bool)
     corner_parity = [np.zeros(len(cells), dtype=bool) for _ in range(n_corners)]
@@ -330,9 +338,14 @@ def _cover_artifacts(
         oldest = next(iter(_ARTIFACT_MEMO))  # dicts preserve insertion order
         old = _ARTIFACT_MEMO.pop(oldest)
         try:
-            old["_bc"].destroy()
+            # unpersist, NOT destroy: previously returned pip_join plans
+            # (including persisted candidate lineages) may still hold the
+            # evicted broadcast in their refine UDF — unpersist frees the
+            # executor copies but lets a later recompute re-send the
+            # value; destroy() would fail such a recompute (ADVICE r4)
+            old["_bc"].unpersist(blocking=False)
         except Exception:
-            pass  # already destroyed / context gone
+            pass  # context gone
     _ARTIFACT_MEMO[key] = art
     return art
 
@@ -417,9 +430,11 @@ def pip_join(
         F.broadcast(art["cover_df"]), F.col("__cell") == F.col("cell"), "inner"
     )
     if persist_candidates is None:
-        points_bytes = int(
-            points._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        from .knn_join import _plan_size_bytes
+
+        # -1 (stats unavailable) falls into the no-persist branch — the
+        # cheap-recompute default — instead of raising (ADVICE r4)
+        points_bytes = _plan_size_bytes(points)
         persist_candidates = (
             art["frac"] <= _PERSIST_FRACTION and points_bytes >= _PERSIST_MIN_BYTES
         )

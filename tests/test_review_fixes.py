@@ -197,3 +197,55 @@ class TestStaticPlan:
         except RuntimeError:
             pass
         assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
+def test_knn_join_empty_query_frame_returns_typed_empty(spark):
+    """ADVICE r4: an empty pandas query frame (object-dtype columns) must
+    return an empty typed (query_id, image_id, dist_m, rank) frame, not
+    raise 'can not infer schema from empty dataset'."""
+    import pandas as pd
+
+    from htrc_ingester_spark.operators.knn_join import knn_join
+
+    pts = spark.createDataFrame(
+        [("a", 10.0, 10.0)], "image_id string, lon double, lat double"
+    )
+    q = pd.DataFrame({"query_id": [], "lon": [], "lat": [], "k": []})
+    out = knn_join(spark, pts, q)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "image_id", "dist_m", "rank",
+    ]
+
+
+def test_pq_fit_encode_empty_input_returns_typed_empty(spark):
+    """ADVICE r4: pq_fit_encode on an empty corpus short-circuits to an
+    empty typed codes frame instead of failing plan analysis on
+    array_min(array())."""
+    from htrc_ingester_spark.operators.clustering import pq_fit_encode
+
+    df = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    codes, codebook = pq_fit_encode(df, m=2, k=4, iters=1, dim=4)
+    assert codes.count() == 0
+    assert dict(codes.dtypes) == {"vec_id": "string", "codes": "array<int>"}
+    assert codebook.count() == 0
+
+
+def test_pq_fit_encode_unpersists_quantized_corpus(spark):
+    """ADVICE r4: the persisted quantized copy of the corpus is released
+    once training collects the codebook — repeated calls must not grow
+    the persistent-RDD census."""
+    from htrc_ingester_spark.operators.clustering import pq_fit_encode
+
+    rows = [
+        (f"v{i}", [((i * 7 + j) % 13) / 4.0 - 1.5 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(3):
+        codes, _ = pq_fit_encode(df, m=2, k=4, iters=1, dim=8)
+        codes.count()
+    # unpersist is async (blocking=False); allow at most one in flight
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before + 1
