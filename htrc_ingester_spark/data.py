@@ -247,6 +247,54 @@ def polygons_holes_geojson(seed: int = 42) -> dict:
     return {"type": "FeatureCollection", "features": feats}
 
 
+def polygons_grid(n: int = 10000) -> list[dict]:
+    """Deterministic many-polygon fixture (VERDICT r4 #1): ``n`` small
+    diamond quads gridded over the first three hot clusters — enough
+    polygons to trip pip_join's cover-as-table dispatch
+    (_TABLE_POLYS_BUDGET) and dense enough over the image clusters to
+    produce real hits. Every 10th polygon is a ~6×-larger AXIS-ALIGNED
+    square so the distributed cover build emits BOTH full and partial
+    cells (a diamond's diagonal edges have quadrant-sized bboxes, so
+    the conservative classifier never proves a cell full inside one —
+    the squares exercise the full-cell path). Pure arithmetic, no RNG —
+    the DuckDB crossing oracle embeds the same float64 vertices."""
+    step = 0.8 / 57.0
+    h_small = 0.45 * step
+    h_big = 2.5 * step
+    polys: list[dict] = []
+    per = [n // 3 + (1 if c < n % 3 else 0) for c in range(3)]
+    for c, (clon, clat) in enumerate(HOT_CENTERS[:3]):
+        side = int(np.ceil(np.sqrt(per[c])))
+        made = 0
+        for i in range(side):
+            for j in range(side):
+                if made >= per[c]:
+                    break
+                cx = clon + (i - (side - 1) / 2.0) * step
+                cy = clat + (j - (side - 1) / 2.0) * step
+                if (i * side + j) % 10 == 0:
+                    h = h_big
+                    ring = [
+                        (cx - h, cy - h),
+                        (cx + h, cy - h),
+                        (cx + h, cy + h),
+                        (cx - h, cy + h),
+                        (cx - h, cy - h),
+                    ]
+                else:
+                    h = h_small
+                    ring = [
+                        (cx, cy - h),
+                        (cx + h, cy),
+                        (cx, cy + h),
+                        (cx - h, cy),
+                        (cx, cy - h),
+                    ]
+                polys.append({"poly_id": f"grid_{c}_{i}_{j}", "ring": ring})
+                made += 1
+    return polys
+
+
 def polygons_pdf(seed: int = 42) -> pd.DataFrame:
     rows = polygons(seed)
     return pd.DataFrame(

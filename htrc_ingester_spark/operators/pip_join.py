@@ -132,6 +132,41 @@ def _classify(cells: np.ndarray, rings: list[np.ndarray], backend=None):
     return full, partial
 
 
+def _cover_rings(
+    rings: list[np.ndarray], res: int, res_max: int, be
+) -> tuple[np.ndarray, np.ndarray]:
+    """ONE polygon's adaptive cover → (cells int64[], full bool[]).
+    The shared kernel of the driver-side :func:`build_cell_cover` and
+    the distributed (cover-as-table) build in :func:`pip_join_table` —
+    both regimes classify identically by construction."""
+    # seed frontier: union of the rings' bbox covers (holes are
+    # inside their shells for valid input, but including every
+    # ring's cover is harmless — classification decides)
+    seeds = []
+    for ring in rings:
+        lon0, lat0, lon1, lat1 = G.ring_bbox(ring[:, 0], ring[:, 1])
+        seeds.append(be.cover_bbox(lon0, lat0, lon1, lat1, res))
+    frontier = np.unique(np.concatenate(seeds)) if seeds else np.array([], dtype=np.int64)
+    out_cells: list[np.ndarray] = []
+    out_full: list[np.ndarray] = []
+    for level in range(res, res_max + 1):
+        if len(frontier) == 0:
+            break
+        full, partial = _classify(frontier, rings, be)
+        if full.any():
+            out_cells.append(frontier[full])
+            out_full.append(np.ones(int(full.sum()), dtype=bool))
+        if level == res_max:
+            if partial.any():
+                out_cells.append(frontier[partial])
+                out_full.append(np.zeros(int(partial.sum()), dtype=bool))
+        else:
+            frontier, _ = be.cells_to_children(frontier[partial])
+    if not out_cells:
+        return np.array([], dtype=np.int64), np.array([], dtype=bool)
+    return np.concatenate(out_cells), np.concatenate(out_full)
+
+
 def build_cell_cover(
     polys: list[dict], res: int, res_max: int | None = None, backend=None
 ) -> pd.DataFrame:
@@ -152,32 +187,12 @@ def build_cell_cover(
     rows_cell: list[np.ndarray] = []
     rows_pid: list[str] = []
     rows_full: list[np.ndarray] = []
-
-    def emit(cells: np.ndarray, pid: str, full: bool) -> None:
+    for p in polys:
+        cells, full = _cover_rings(poly_rings(p), res, res_max, be)
         if len(cells):
             rows_cell.append(cells)
-            rows_pid.extend([pid] * len(cells))
-            rows_full.append(np.full(len(cells), full, dtype=bool))
-
-    for p in polys:
-        rings = poly_rings(p)
-        # seed frontier: union of the rings' bbox covers (holes are
-        # inside their shells for valid input, but including every
-        # ring's cover is harmless — classification decides)
-        seeds = []
-        for ring in rings:
-            lon0, lat0, lon1, lat1 = G.ring_bbox(ring[:, 0], ring[:, 1])
-            seeds.append(be.cover_bbox(lon0, lat0, lon1, lat1, res))
-        frontier = np.unique(np.concatenate(seeds)) if seeds else np.array([], dtype=np.int64)
-        for level in range(res, res_max + 1):
-            if len(frontier) == 0:
-                break
-            full, partial = _classify(frontier, rings, be)
-            emit(frontier[full], p["poly_id"], True)
-            if level == res_max:
-                emit(frontier[partial], p["poly_id"], False)
-            else:
-                frontier, _ = be.cells_to_children(frontier[partial])
+            rows_pid.extend([p["poly_id"]] * len(cells))
+            rows_full.append(full)
     if not rows_cell:
         return pd.DataFrame({"cell": np.array([], dtype=np.int64), "poly_id": [], "full": []})
     return pd.DataFrame(
@@ -403,6 +418,22 @@ def pip_join(
     be = get_backend(backend) if isinstance(backend, (str, type(None))) else backend
     if res_max is None:
         res_max = min(res + 5, be.res_max)
+    if len(polys) > _TABLE_POLYS_BUDGET:
+        # cover-as-table spill-over (SCALE.md): past the driver budget
+        # the serial cover build + broadcast is the wrong regime —
+        # build the cover distributed and probe with a cell-keyed
+        # shuffle join of the skeleton. Same classification + refine
+        # kernels, identical results.
+        return pip_join_table(
+            spark,
+            points,
+            polys_to_df(spark, polys),
+            res=res,
+            res_max=res_max,
+            lon_col=lon_col,
+            lat_col=lat_col,
+            backend=be,
+        )
     art = _cover_artifacts(spark, polys, res, res_max, backend=be)
 
     if art["cover_df"] is None:
@@ -459,3 +490,232 @@ def pip_join(
         .drop("cell", "full", "__cell")
     )
     return full_hits.unionByName(partial_hits)
+
+
+# ---------------------------------------------------------------------------
+# Cover-as-table regime: polygon sets past the driver/broadcast envelope
+# (VERDICT r4 #1; SCALE.md's documented spill-over for the broadcast
+# index). The polygon side becomes a DataFrame, the cover is built
+# DISTRIBUTED (mapInPandas over the same _cover_rings kernel the
+# broadcast regime uses), and the probe becomes a cell-keyed shuffle
+# join of the point SKELETON. A user with 10^6 parcels/census polygons
+# never touches the driver loop or the broadcast ceiling.
+# ---------------------------------------------------------------------------
+
+# past this many polygons, pip_join() auto-dispatches to the table
+# regime instead of the serial driver build + broadcast
+_TABLE_POLYS_BUDGET = 4096
+
+# refine="auto": polygons whose rings total more vertices than this
+# refine via cogroup (rings ship per poly); smaller rings refine via
+# the per-candidate join (no per-group scheduling overhead)
+_RING_JOIN_MAX_VERTS = 4096
+
+RINGS_SQL_TYPE = "array<array<array<double>>>"
+
+
+def polys_to_df(spark: SparkSession, polys: list[dict]) -> DataFrame:
+    """Polygon spec list → the (poly_id string, rings
+    array<array<array<double>>>) DataFrame shape pip_join_table (and
+    the WKT/GeoJSON/WKB loaders) speak. Rings keep even-odd semantics:
+    shells, holes, and MultiPolygon parts in one flat list."""
+    rows = [
+        (
+            str(p["poly_id"]),
+            [[[float(x), float(y)] for x, y in np.asarray(r, dtype=np.float64)] for r in poly_rings(p)],
+        )
+        for p in polys
+    ]
+    return spark.createDataFrame(rows, f"poly_id string, rings {RINGS_SQL_TYPE}")
+
+
+def _rings_from_cell(rr) -> list[np.ndarray]:
+    """One DataFrame ``rings`` cell (nested lists/arrays from Arrow) →
+    the list of (N, 2) float64 ring arrays the geometry kernel takes."""
+    return [np.asarray([list(v) for v in r], dtype=np.float64).reshape(-1, 2) for r in rr]
+
+
+def pip_join_table(
+    spark: SparkSession,
+    points: DataFrame,
+    polys_df: DataFrame,
+    res: int = 7,
+    res_max: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    backend=None,
+    refine: str = "auto",
+    refine_salt: int = 8,
+) -> DataFrame:
+    """points ⋈ polygons containment join with the polygon side as a
+    DataFrame (poly_id string, rings array<array<array<double>>>) —
+    the scale regime for polygon sets past the broadcast envelope.
+    Same semantics as :func:`pip_join` (even-odd over the ring list,
+    inner-join drop of non-matching points, identical classification
+    and refine kernels), different physical plan:
+
+    1. **Distributed cover build**: one mapInPandas over the polygon
+       table runs the SAME per-polygon adaptive kernel
+       (:func:`_cover_rings`) the broadcast regime runs on the driver —
+       per-polygon work, embarrassingly parallel, no driver loop. The
+       cover (cell, poly_id, full, res) is hash-partitioned on cell and
+       persisted: it IS the index, reused by both probe branches.
+    2. **Cell-keyed shuffle probe**: the point side encodes its cell(s)
+       (one codegen encode per cover level; single-level covers pay no
+       explode) and equi-joins the cover on cell — a plain shuffle
+       hash/sort-merge join Catalyst+AQE own (skew split, partition
+       coalescing). Pass the (id, lon, lat) SKELETON as ``points``:
+       this regime shuffles the point side, so payload columns (image
+       ``bytes``) must be joined back by id afterwards — the flagship
+       discipline per the bounded-shuffle rule in BASELINE.json.
+    3. **Two refine shapes, auto-chosen from ring size** (the refine
+       itself is the same vectorized even-odd ray cast either way —
+       geo.geometry.points_in_rings):
+       - ``join`` (parcel-sized rings, ≤ _RING_JOIN_MAX_VERTS total
+         vertices — the many-polygon use case): partial candidates
+         equi-join the polygon table on poly_id (AQE skew-splits a hot
+         polygon's shell) and ONE Arrow-batched UDF ray-casts each
+         batch grouped by poly_id. Ring payload rides per candidate
+         row — cheap for small rings, and there is no per-group
+         scheduling overhead.
+       - ``cogroup`` (vertex-heavy rings): candidates cogroup with the
+         polygon table on (poly_id, salt) — rings ship ``refine_salt``
+         times per POLYGON instead of per candidate, and a hot
+         polygon's shell spreads over ``refine_salt`` tasks. Per-group
+         Arrow overhead makes this wrong for 10^4+ small polygons
+         (measured 135 s vs ~3 s on the 10^4-poly entry), right for
+         coastline-grade rings.
+
+    At 10^12 points the plan is: one map-side encode, one shuffle of
+    the skeleton keyed by cell, one shuffle of the O(perimeter)
+    boundary-shell candidates keyed by poly_id (or (poly_id, salt)).
+    No driver-side polygon loop, no broadcast of the cover, nothing
+    quadratic.
+    """
+    be = get_backend(backend) if isinstance(backend, (str, type(None))) else backend
+    if res_max is None:
+        res_max = min(res + 5, be.res_max)
+    r_lo, r_hi = res, res_max
+
+    def _cover_map(batches):
+        for pdf in batches:
+            cells_l: list[np.ndarray] = []
+            pids: list[str] = []
+            fulls: list[np.ndarray] = []
+            for pid, rr in zip(pdf["poly_id"], pdf["rings"]):
+                rings = _rings_from_cell(rr)
+                c, f = _cover_rings(rings, r_lo, r_hi, be)
+                if len(c):
+                    cells_l.append(c)
+                    pids.extend([pid] * len(c))
+                    fulls.append(f)
+            if cells_l:
+                cells = np.concatenate(cells_l)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells,
+                        "poly_id": np.array(pids, dtype=object),
+                        "full": np.concatenate(fulls),
+                        "res": be.cell_res(cells).astype(np.int32),
+                    }
+                )
+
+    cover = polys_df.mapInPandas(
+        _cover_map, schema="cell long, poly_id string, full boolean, res int"
+    )
+    # the cover IS the index: partition it on the probe key once and
+    # persist, so both the full and partial branches (and successive
+    # micro-batches against the same polys_df lineage) reuse one
+    # materialization with the join-side distribution already in place
+    cover = cover.repartition("cell").persist()
+    levels = sorted(r["res"] for r in cover.select("res").distinct().collect())
+    if not levels:
+        cover.unpersist()
+        return points.withColumn("poly_id", F.lit(None).cast("string")).where(F.lit(False))
+
+    if len(levels) == 1:
+        probe = points.withColumn(
+            "__cell", be.encode_col(lon_col, lat_col, int(levels[0]))
+        )
+    else:
+        chain = F.array(*[be.encode_col(lon_col, lat_col, int(r)) for r in levels])
+        probe = points.withColumn("__cell", F.explode(chain))
+    cand = probe.join(
+        cover.drop("res").withColumnRenamed("cell", "__cell"), "__cell", "inner"
+    )
+    full_hits = cand.where(F.col("full")).drop("__cell", "full")
+    partial = cand.where(~F.col("full")).drop("__cell", "full")
+
+    out_schema = partial.schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    if refine == "auto":
+        # ONE tiny aggregate over the polygon table decides the refine
+        # shape: parcel-sized rings (the many-polygon use case) join
+        # per candidate row; vertex-heavy rings cogroup so the payload
+        # ships per (poly, salt), not per candidate
+        mv = polys_df.select(
+            F.max(F.expr("aggregate(rings, 0, (a, r) -> a + size(r))")).alias("mv")
+        ).first()["mv"]
+        refine = "cogroup" if (mv or 0) > _RING_JOIN_MAX_VERTS else "join"
+
+    if refine == "join":
+        # Equi-join the partial candidates with the polygon table on
+        # poly_id — a plain shuffle join AQE skew-splits when one
+        # polygon's boundary shell is hot — then ONE Arrow-batched
+        # refine that groups each batch by poly_id. The rings payload
+        # rides per candidate ROW, which is why this path is gated to
+        # small rings (≤ _RING_JOIN_MAX_VERTS vertices).
+        @F.pandas_udf(T.BooleanType())
+        def _refine_join(
+            lon: pd.Series, lat: pd.Series, pid: pd.Series, rings: pd.Series
+        ) -> pd.Series:
+            out = np.zeros(len(lon), dtype=bool)
+            lon_v = lon.to_numpy(dtype=np.float64)
+            lat_v = lat.to_numpy(dtype=np.float64)
+            for _p, ii in rings.groupby(pid.to_numpy()).indices.items():
+                rr = _rings_from_cell(rings.iloc[ii[0]])
+                out[ii] = G.points_in_rings(lon_v[ii], lat_v[ii], rr)
+            return pd.Series(out)
+
+        refined = (
+            partial.join(polys_df, "poly_id", "inner")
+            .where(
+                _refine_join(
+                    F.col(lon_col), F.col(lat_col), F.col("poly_id"), F.col("rings")
+                )
+            )
+            .select(*out_cols)
+        )
+        return full_hits.unionByName(refined)
+
+    # cogroup refine: rings ship refine_salt times per POLYGON (never
+    # per candidate), and a hot polygon's shell spreads over
+    # refine_salt tasks. Per-group Arrow overhead (~ms) makes this the
+    # wrong shape for 10^4+ SMALL polygons — measured 135 s vs ~3 s for
+    # the join refine on the many-polygon entry — hence the auto gate.
+    salt = int(max(1, refine_salt))
+    part_s = partial.withColumn(
+        "_salt", F.pmod(F.hash(F.col(lon_col), F.col(lat_col)), F.lit(salt)).cast("int")
+    )
+    rings_s = polys_df.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
+    )
+
+    def _refine_cg(cand_pdf: pd.DataFrame, rings_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf) or not len(rings_pdf):
+            return cand_pdf.iloc[0:0][out_cols]
+        rings = _rings_from_cell(rings_pdf["rings"].iloc[0])
+        mask = G.points_in_rings(
+            cand_pdf[lon_col].to_numpy(dtype=np.float64),
+            cand_pdf[lat_col].to_numpy(dtype=np.float64),
+            rings,
+        )
+        return cand_pdf.loc[mask, out_cols]
+
+    refined = (
+        part_s.groupBy("poly_id", "_salt")
+        .cogroup(rings_s.groupBy("poly_id", "_salt"))
+        .applyInPandas(_refine_cg, schema=out_schema)
+    )
+    return full_hits.unionByName(refined)

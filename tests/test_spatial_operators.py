@@ -1370,3 +1370,88 @@ class TestAdaptiveCells:
 
         out = adaptive_cells(df, 2, 5, threshold=50).toPandas()
         assert (out.res == 2).all()  # nothing hot → no splitting
+
+
+class TestPIPTable:
+    """Cover-as-table regime (VERDICT r4 #1): distributed cover build +
+    cell-keyed shuffle probe must be RESULT-IDENTICAL to the broadcast
+    regime on every fixture family, under both refine shapes."""
+
+    def _hits(self, df):
+        return (
+            df.select("image_id", "poly_id")
+            .toPandas()
+            .sort_values(["image_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+
+    def test_table_matches_broadcast_on_general_fixture(self, spark, images_df):
+        from htrc_ingester_spark.operators.pip_join import pip_join_table, polys_to_df
+
+        polys = data.polygons()
+        bc = self._hits(pip_join(spark, images_df, polys, res=7))
+        tb = self._hits(
+            pip_join_table(spark, images_df, polys_to_df(spark, polys), res=7)
+        )
+        pd.testing.assert_frame_equal(tb, bc)
+        assert len(bc) > 0
+
+    def test_table_matches_broadcast_on_holes_fixture_cogroup(self, spark, images_df):
+        from htrc_ingester_spark.operators.pip_join import pip_join_table, polys_to_df
+
+        polys = data.polygons_holes()
+        bc = self._hits(pip_join(spark, images_df, polys, res=7))
+        tb = self._hits(
+            pip_join_table(
+                spark, images_df, polys_to_df(spark, polys), res=7,
+                refine="cogroup", refine_salt=3,
+            )
+        )
+        pd.testing.assert_frame_equal(tb, bc)
+        assert len(bc) > 0
+
+    def test_auto_dispatch_past_polys_budget(self, spark, images_df, monkeypatch):
+        from htrc_ingester_spark.operators import pip_join as PJ
+
+        polys = data.polygons()
+        want = self._hits(pip_join(spark, images_df, polys, res=7))
+        monkeypatch.setattr(PJ, "_TABLE_POLYS_BUDGET", 3)
+        got = self._hits(pip_join(spark, images_df, polys, res=7))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_grid_fixture_cover_has_full_and_partial(self):
+        from htrc_ingester_spark.operators.pip_join import build_cell_cover
+
+        polys = data.polygons_grid(300)
+        cover = build_cell_cover(polys, 9, 12)
+        assert cover["full"].any()       # big diamonds produce full cells
+        assert (~cover["full"]).any()    # boundary shells exist
+
+    def test_table_probe_is_shuffle_join_without_bytes(self, spark):
+        """Plan pins for the table regime: the probe is a real
+        cell-keyed shuffle join (NOT a broadcast of the cover) and a
+        skeleton invocation never references the bytes column
+        anywhere (the bounded-shuffle rule)."""
+        from htrc_ingester_spark.operators.pip_join import pip_join_table, polys_to_df
+
+        pdf = data.images_pdf(50)
+        full = spark.createDataFrame(pdf)
+        skel = full.select("image_id", "lon", "lat")
+        hits = pip_join_table(
+            spark, skel, polys_to_df(spark, data.polygons()[:3]), res=7
+        )
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "bytes" not in plan
+        # the cover must be built DISTRIBUTED (mapInPandas over the
+        # polygon table), not on the driver (the broadcast regime's
+        # cover is a LocalTableScan of a driver-built pandas frame).
+        # The join flavor itself is Catalyst's choice: at test scale it
+        # rightly broadcasts the tiny materialized cover; at parcel
+        # scale the same plan shuffles the skeleton on __cell.
+        assert "MapInPandas" in plan
+        # no LocalTableScan may carry the cover columns: the ONLY
+        # local scans allowed are the test inputs (points skeleton,
+        # polygon table) — never a driver-materialized (cell, full)
+        for line in plan.splitlines():
+            if "LocalTableScan" in line:
+                assert not ("cell#" in line and "full#" in line), line
