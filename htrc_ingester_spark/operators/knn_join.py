@@ -154,8 +154,15 @@ def knn_join_bruteforce(
         .withColumn("dist_m", haversine_m("q_lat", "q_lon", "p_lat", "p_lon"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("image_id").asc())
+    # literal global bound FIRST: InferWindowGroupLimit only fires on a
+    # constant rank limit (rank <= col(k) is per-row, unplannable), and
+    # with it the map side ships at most kmax rows per (task, query)
+    # instead of the full N×Q candidate set — the partial top-k the
+    # per-query filter then trims to each query's own k
+    kmax = int(queries["k"].astype(int).max()) if len(queries) else 0
     return (
         cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(kmax))
         .where(F.col("rank") <= F.col("k"))
         .select(
             "query_id", F.col("image_id").cast("string").alias("image_id"),
