@@ -198,6 +198,19 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.polygons.endswith((".geojson", ".json")):
             polys = W.polys_from_geojson_file(args.polygons)
+        elif args.polygons.endswith(".parquet"):
+            # GeoParquet arrival: a binary WKB geometry column next to
+            # an id column (first binary / first string column win)
+            from .geo.wkb import polys_from_wkb_column
+
+            gdf = spark.read.parquet(args.polygons)
+            wkb_col = next(
+                f.name for f in gdf.schema.fields if f.dataType.typeName() == "binary"
+            )
+            id_col = next(
+                f.name for f in gdf.schema.fields if f.dataType.typeName() == "string"
+            )
+            polys = polys_from_wkb_column(gdf, id_col=id_col, wkb_col=wkb_col)
         else:
             with open(args.polygons) as fh:
                 rows = [ln.rstrip("\n").split("\t", 1) for ln in fh if ln.strip()]

@@ -214,6 +214,27 @@ def polygons_holes_wkt(seed: int = 42) -> list[tuple[str, str]]:
     ]
 
 
+def polygons_holes_wkb(seed: int = 42) -> list[tuple[str, bytes]]:
+    """The polygons_holes fixtures serialized to OGC WKB with the same
+    structured grouping as polygons_holes_wkt, alternating little/big
+    endianness across fixtures so both wire orders are exercised.
+    Float64 on the wire → parsing back through geo.wkb must reproduce
+    the ring lists bit-for-bit and the pip_join_holes result exactly
+    (pip_join_wkb_input catalog entry)."""
+    from .geo.wkb import rings_to_wkb
+
+    groups = {
+        "shell_hole": [[0, 1]],
+        "multipolygon": [[0], [1]],
+        "nested": [[0, 1], [2]],
+        "anti_hole": [[0, 1]],
+    }
+    return [
+        (p["poly_id"], rings_to_wkb(p["rings"], groups[p["kind"]], big_endian=bool(i % 2)))
+        for i, p in enumerate(polygons_holes(seed))
+    ]
+
+
 def polygons_holes_geojson(seed: int = 42) -> dict:
     """The polygons_holes fixtures as a GeoJSON FeatureCollection with
     the same OGC-structured grouping as polygons_holes_wkt (Polygon

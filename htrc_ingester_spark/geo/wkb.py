@@ -1,0 +1,178 @@
+"""WKB polygon ingestion → the engine's ring-list spec.
+
+WKT and GeoJSON (geo/wkt.py) cover text interchange; the common
+*binary* interchange — parquet/GeoParquet geometry columns, PostGIS
+``ST_AsBinary`` exports — is WKB (VERDICT r4 #3). This module decodes
+OGC WKB ``Polygon``/``MultiPolygon`` (both byte orders, ISO and EWKB
+type encodings) into the same flat even-odd ring list every spatial
+operator consumes, and encodes it back bit-exactly for round-trip
+testing.
+
+Supported type words per geometry header:
+- plain OGC: 3 = Polygon, 6 = MultiPolygon;
+- ISO 19125 Z/M/ZM offsets (1000/2000/3000) are REJECTED — the engine
+  is lon/lat only, matching geo.wkt's Z/M rejection;
+- EWKB (PostGIS) dimension flags 0x80000000 (Z) / 0x40000000 (M) are
+  likewise rejected; the EWKB SRID flag 0x20000000 is accepted and the
+  4-byte SRID skipped (coordinates are taken as lon/lat — WGS84 is the
+  engine-wide convention, as in GeoJSON RFC 7946).
+
+Coordinates are IEEE-754 float64 on the wire, so decode(encode(r))
+round-trips bit-for-bit — the same exactness discipline geo.wkt pins
+(its oracle entries value-hash against the non-serialized fixtures).
+
+Reference parity: like the WKT/GeoJSON path, this is the reference's
+ingest-from-interchange discipline (DeltaLogParser.java:336-350 parses
+its manifests; here the manifest is binary) applied to geometry.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "wkb_to_rings",
+    "rings_to_wkb",
+    "polys_from_wkb",
+    "polys_from_wkb_column",
+]
+
+_POLYGON = 3
+_MULTIPOLYGON = 6
+_EWKB_Z = 0x8000_0000
+_EWKB_M = 0x4000_0000
+_EWKB_SRID = 0x2000_0000
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, fmt: str, size: int):
+        end = self.pos + size
+        if end > len(self.buf):
+            raise ValueError("truncated WKB")
+        out = struct.unpack_from(fmt, self.buf, self.pos)
+        self.pos = end
+        return out
+
+
+def _read_header(r: _Reader) -> tuple[str, int]:
+    """Read (endianness char, base geometry type), consuming any EWKB
+    SRID and rejecting Z/M in either encoding."""
+    (order,) = r.take("B", 1)
+    if order == 0:
+        e = ">"
+    elif order == 1:
+        e = "<"
+    else:
+        raise ValueError(f"bad WKB byte-order marker: {order}")
+    (typ,) = r.take(e + "I", 4)
+    if typ & (_EWKB_Z | _EWKB_M):
+        raise ValueError("Z/M coordinates are not supported (lon/lat only)")
+    if typ & _EWKB_SRID:
+        r.take(e + "I", 4)  # skip SRID; lon/lat is the engine convention
+        typ &= ~_EWKB_SRID
+    base = typ % 1000
+    if typ >= 1000:  # ISO Z (1000) / M (2000) / ZM (3000) offsets
+        raise ValueError("Z/M coordinates are not supported (lon/lat only)")
+    return e, base
+
+
+def _read_ring(r: _Reader, e: str) -> list[tuple[float, float]]:
+    (n,) = r.take(e + "I", 4)
+    vals = r.take(e + f"{2 * n}d", 16 * n)
+    ring = list(zip(vals[0::2], vals[1::2]))
+    if len(ring) < 3:
+        raise ValueError(f"ring with <3 vertices in WKB (n={n})")
+    return ring
+
+
+def _read_polygon_body(r: _Reader, e: str) -> list[list[tuple[float, float]]]:
+    (nrings,) = r.take(e + "I", 4)
+    return [_read_ring(r, e) for _ in range(nrings)]
+
+
+def wkb_to_rings(wkb: bytes) -> list[list[tuple[float, float]]]:
+    """Decode a WKB ``Polygon`` or ``MultiPolygon`` to the flat ring
+    list (even-odd semantics — geo/wkt.py module docstring). An empty
+    geometry (zero rings / zero parts) yields ``[]``. Raises
+    ValueError on any other geometry type, Z/M dimensions, or
+    truncated/trailing bytes."""
+    r = _Reader(bytes(wkb))
+    e, typ = _read_header(r)
+    if typ == _POLYGON:
+        rings = _read_polygon_body(r, e)
+    elif typ == _MULTIPOLYGON:
+        (nparts,) = r.take(e + "I", 4)
+        rings = []
+        for _ in range(nparts):
+            pe, ptyp = _read_header(r)
+            if ptyp != _POLYGON:
+                raise ValueError(f"MultiPolygon part has type {ptyp}, not Polygon")
+            rings.extend(_read_polygon_body(r, pe))
+    else:
+        raise ValueError(f"not a Polygon/MultiPolygon WKB (type {typ})")
+    if r.pos != len(r.buf):
+        raise ValueError(f"{len(r.buf) - r.pos} trailing bytes after WKB geometry")
+    return rings
+
+
+def _write_polygon(out: bytearray, rings, e: str, order: int) -> None:
+    out.append(order)
+    out += struct.pack(e + "I", _POLYGON)
+    out += struct.pack(e + "I", len(rings))
+    for ring in rings:
+        out += struct.pack(e + "I", len(ring))
+        for x, y in ring:
+            out += struct.pack(e + "dd", float(x), float(y))
+
+
+def rings_to_wkb(
+    rings, groups: list[list[int]] | None = None, big_endian: bool = False
+) -> bytes:
+    """Serialize a ring list to WKB. Float64 on the wire, so
+    ``wkb_to_rings(rings_to_wkb(r)) == r`` bit-for-bit. ``groups``
+    partitions ring indices into polygons exactly as in
+    :func:`geo.wkt.rings_to_wkt`; one group (or None) emits a single
+    POLYGON, several emit a MULTIPOLYGON."""
+    rings = list(rings)
+    e = ">" if big_endian else "<"
+    order = 0 if big_endian else 1
+    out = bytearray()
+    if groups is None:
+        groups = [list(range(len(rings)))] if rings else []
+    if len(groups) == 1:
+        _write_polygon(out, [rings[i] for i in groups[0]], e, order)
+    else:  # 0 groups → MULTIPOLYGON EMPTY; >1 → structured parts
+        out.append(order)
+        out += struct.pack(e + "I", _MULTIPOLYGON)
+        out += struct.pack(e + "I", len(groups))
+        for g in groups:
+            _write_polygon(out, [rings[i] for i in g], e, order)
+    return bytes(out)
+
+
+def polys_from_wkb(rows) -> list[dict]:
+    """[(poly_id, wkb_bytes), ...] → [{"poly_id", "rings"}, ...].
+    Empty geometries are dropped (no rings matches nothing)."""
+    out = []
+    for pid, wkb in rows:
+        rings = wkb_to_rings(wkb)
+        if rings:
+            out.append({"poly_id": str(pid), "rings": rings})
+    return out
+
+
+def polys_from_wkb_column(df, id_col: str = "poly_id", wkb_col: str = "wkb") -> list[dict]:
+    """Spark DataFrame (id, binary wkb) → spec list — the GeoParquet
+    arrival path (geometry column read by spark.read.parquet IS a WKB
+    binary column). Collects: the polygon side is the driver-indexed
+    broadcast side of the PIP join by design (past the polygon budget,
+    decode distributed instead and hand pip_join_table a rings
+    DataFrame)."""
+    rows = df.select(id_col, wkb_col).collect()
+    return polys_from_wkb((r[0], bytes(r[1])) for r in rows)

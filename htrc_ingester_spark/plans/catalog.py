@@ -412,6 +412,32 @@ def _pip_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_fn("pip_join_geojson_input", _pip_geojson, _pip_holes_oracle())
 
 
+def _pip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB ingestion end-to-end (VERDICT r4 #3): the same fixtures as
+    OGC binary (Polygon-with-holes + MultiPolygon, both byte orders)
+    in a Spark BINARY column — the GeoParquet arrival shape — through
+    geo.wkb.polys_from_wkb_column, value-checked against the
+    pip_join_holes oracle. Float64 is bit-exact on the WKB wire, so
+    the binary round-trip must reproduce the text entries' hashes."""
+    from .. import data
+    from ..geo.wkb import polys_from_wkb_column
+    from ..operators.pip_join import pip_join
+
+    wdf = spark.createDataFrame(
+        data.polygons_holes_wkb(), "poly_id string, wkb binary"
+    )
+    polys = polys_from_wkb_column(wdf)
+    img = FS.load_images(spark, sf_dir)
+    return (
+        pip_join(spark, img, polys, res=7)
+        .select("image_id", "poly_id")
+        .orderBy("image_id", "poly_id")
+    )
+
+
+_register_fn("pip_join_wkb_input", _pip_wkb, _pip_holes_oracle())
+
+
 def _pip_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cover-as-table PIP regime (VERDICT r4 #1): 10^4 polygons trip
     pip_join's _TABLE_POLYS_BUDGET dispatch — the cover is built
