@@ -164,21 +164,24 @@ def _cc_loop(nodes: DataFrame, edges: DataFrame, max_rounds: int) -> DataFrame:
     convergence is a changed-label count over each round's
     materialized state.
 
-    Each round ends in ``localCheckpoint(eager=True)``, NOT persist():
+    Each round ends in ``session.materialize`` (eager localCheckpoint,
+    or reliable ``checkpoint()`` when a checkpoint dir /
+    ``spark.htrc.checkpointDir`` is configured), NOT persist():
     the round plan references the previous state twice (neighbor fold
     + pointer-jump LUT), so without truncation the ANALYZED plan
     doubles per round and Catalyst itself OOMs around round 5 —
-    caching stores data but not the plan. Checkpoint blocks are freed
-    by the ContextCleaner when the previous round's DataFrame drops
-    out of scope. On a cluster where executor loss must be survivable
-    mid-loop, set a checkpoint dir and swap in ``.checkpoint()``.
+    caching stores data but not the plan. localCheckpoint blocks are
+    freed by the ContextCleaner when the previous round's DataFrame
+    drops out of scope; on a cluster where executor loss must be
+    survivable mid-loop, set the checkpoint dir and the same loop
+    writes fault-tolerant blocks instead.
 
     Small edge sets (Catalyst estimate ≤ 64 MB) run their per-round
     materializations static (session.static_plan): bounded state means
     AQE's per-stage replan jobs are pure latency, the same finding as
     knn_join_many/shortest_paths. Big or unknown-size graphs keep AQE
     — that is where per-round skew handling has data to act on."""
-    from ..session import static_plan
+    from ..session import materialize, static_plan
     from .knn_join import _plan_size_bytes
 
     est = _plan_size_bytes(edges)
@@ -187,12 +190,12 @@ def _cc_loop(nodes: DataFrame, edges: DataFrame, max_rounds: int) -> DataFrame:
     def _mat(df: DataFrame) -> tuple[DataFrame, int]:
         if run_static:
             with static_plan(df.sparkSession):
-                out = df.localCheckpoint(True)
+                out = materialize(df)
                 return out, out.where("_chg").count()
-        out = df.localCheckpoint(True)
+        out = materialize(df)
         return out, out.where("_chg").count()
 
-    state = nodes.localCheckpoint(True)
+    state = materialize(nodes)
     for _ in range(max_rounds):
         nbr = (
             edges.join(state, edges["dst"] == state["node"], "inner")

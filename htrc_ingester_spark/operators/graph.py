@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import reliable_checkpoint_configured
+
 __all__ = ["shortest_paths"]
 
 
@@ -81,9 +83,15 @@ def shortest_paths(
             best.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
         )
         if persist_every and (i + 1) % persist_every == 0 and i + 1 < hops:
-            best = best.persist()
-            _materialize(spark, best)
-            checkpoints.append(best)
+            if reliable_checkpoint_configured(spark):
+                # cluster regime: the periodic cut goes to the
+                # fault-tolerant checkpoint dir (truncates the plan AND
+                # survives executor loss mid-walk); nothing to unpersist
+                best = best.checkpoint(True)
+            else:
+                best = best.persist()
+                _materialize(spark, best)
+                checkpoints.append(best)
     # cache hygiene (ADVICE r3, matching the dissolve discipline):
     # materialize the result ONCE, then release the adjacency and every
     # intermediate checkpoint — a long-lived session calling this

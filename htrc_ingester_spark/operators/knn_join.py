@@ -325,8 +325,11 @@ def knn_join_many(
     )
     init_state: DataFrame | None = state
 
-    # Each round materializes via localCheckpoint(eager=True), which
-    # also TRUNCATES the plan: the round plan references the previous
+    # Each round materializes via session.materialize (eager
+    # localCheckpoint, or reliable checkpoint when a checkpoint dir /
+    # spark.htrc.checkpointDir is configured — the executor-loss story
+    # at cluster scale), which also TRUNCATES the plan: the round plan
+    # references the previous
     # state twice (grow + merge join), so a persist-only loop doubles
     # the analyzed plan per round and Catalyst itself OOMs/stalls at
     # high round counts (found via dissolve._cc_loop; same shape
@@ -418,13 +421,15 @@ def knn_join_many(
             # materialize/replan jobs are pure latency here
             # (session.static_plan). The huge-skel regimes keep AQE for
             # per-round skew handling.
-            from ..session import static_plan
+            from ..session import materialize, static_plan
 
             with static_plan(spark):
-                new_state = new_state.localCheckpoint(True)
+                new_state = materialize(new_state)
                 n_active = new_state.where("not done").count()
         else:
-            new_state = new_state.localCheckpoint(True)
+            from ..session import materialize
+
+            new_state = materialize(new_state)
             n_active = new_state.where("not done").count()
         state = new_state
         if init_state is not None:

@@ -32,6 +32,49 @@ def static_plan(spark: SparkSession):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def materialize(df, eager: bool = True):
+    """Materialize one round of an iterative operator AND truncate its
+    plan (the loops below reference the previous state twice, so an
+    un-truncated analyzed plan doubles per round and Catalyst itself
+    stalls — persist() caches data but not the plan).
+
+    Two regimes, chosen by configuration, same semantics:
+
+    - ``localCheckpoint(eager)`` (default): blocks live in executor
+      storage. Fast — no DFS write — but NOT fault-tolerant: on a real
+      cluster, losing an executor mid-loop loses its blocks and fails
+      the job instead of recomputing. Right for local mode and for
+      short loops where a rare retry-from-scratch is acceptable.
+    - reliable ``checkpoint(eager)``: used when a checkpoint dir is
+      configured, either via ``SparkContext.setCheckpointDir`` or the
+      engine conf ``spark.htrc.checkpointDir`` (applied here on first
+      use). Blocks go to the fault-tolerant dir (HDFS/S3 on a
+      cluster), so executor loss recomputes only the lost tasks. This
+      is the 1000-executor deep-iteration setting; costs one DFS
+      round-trip per round.
+
+    Used by knn_join_many's ring-expansion loop, dissolve's
+    pointer-jumping CC loop, and graph.shortest_paths' periodic
+    lineage cuts.
+    """
+    if reliable_checkpoint_configured(df.sparkSession):
+        return df.checkpoint(eager)
+    return df.localCheckpoint(eager)
+
+
+def reliable_checkpoint_configured(spark: SparkSession) -> bool:
+    """True iff reliable checkpointing is available: a checkpoint dir
+    was set via ``SparkContext.setCheckpointDir`` or the engine conf
+    ``spark.htrc.checkpointDir`` (applied to the context here on first
+    use)."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        conf_dir = spark.conf.get("spark.htrc.checkpointDir", None)
+        if conf_dir:
+            sc.setCheckpointDir(conf_dir)
+    return sc.getCheckpointDir() is not None
+
+
 def get_spark(
     app_name: str = "htrc_ingester_spark",
     cores: int | None = None,
