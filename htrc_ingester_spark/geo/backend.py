@@ -32,10 +32,13 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints are stringized
+# by `from __future__ import annotations` and resolve against module
+# globals — a local `import pandas` leaves 'pd.Series' unresolvable
 
 from . import h3lite as H
 
-__all__ = ["get_backend", "H3LiteBackend", "H3Backend", "HAS_H3"]
+__all__ = ["get_backend", "reencode_cells", "H3LiteBackend", "H3Backend", "HAS_H3"]
 
 try:  # pragma: no cover - wheel absent in the hermetic container
     import h3 as _h3
@@ -112,6 +115,12 @@ class H3LiteBackend:
         from pyspark.sql import functions as F
 
         return F.expr(H.h3_sql_expr(lon_col, lat_col, res))
+
+    @staticmethod
+    def cells_to_latlng(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(lats, lngs) of cell centers — rectangle midpoints."""
+        lon0, lat0, lon1, lat1 = H.cell_to_boundary(np.asarray(cells, dtype=np.int64))
+        return (lat0 + lat1) / 2.0, (lon0 + lon1) / 2.0
 
 
 class H3Backend:  # pragma: no cover - requires the h3 wheel
@@ -234,7 +243,6 @@ class H3Backend:  # pragma: no cover - requires the h3 wheel
 
     @staticmethod
     def encode_col(lon_col: str, lat_col: str, res: int):
-        import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -247,6 +255,66 @@ class H3Backend:  # pragma: no cover - requires the h3 wheel
             )
 
         return _enc(F.col(lon_col), F.col(lat_col))
+
+    @staticmethod
+    def cells_to_latlng(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(lats, lngs) of true H3 cell centers."""
+        c = np.atleast_1d(np.asarray(cells, dtype=np.int64))
+        lats = np.empty(len(c), dtype=np.float64)
+        lngs = np.empty(len(c), dtype=np.float64)
+        for i, x in enumerate(c):
+            lats[i], lngs[i] = _h3.cell_to_latlng(_h3.int_to_str(int(x)))
+        return lats, lngs
+
+
+def reencode_cells(
+    df,
+    cell_col: str,
+    res: int,
+    source: str = "h3",
+    target: str = "h3lite",
+    out_col: str | None = None,
+):
+    """Re-tag a PRE-ENCODED cell-id column from one backend's grid to
+    another's: decode each source cell to its center (Arrow-vectorized
+    pandas UDF), re-encode on the target grid at ``res``.
+
+    This is the interop bridge for operators that consume raw cell ids
+    (``tiles.assign_tiles(cell_col=...)``, ``compact_cells``, the
+    pyramid builders, radius pre-bucketing): their parent/ring/tile
+    arithmetic assumes the h3lite bit packing, so external real-H3
+    data must cross this bridge first. Operators that take lon/lat
+    (``knn_join_many``, ``assign_tiles`` default path, radius/bbox
+    joins, ``pip_join`` probes) never need it — their cells are
+    internal pruning artifacts and results are backend-independent by
+    construction.
+
+    Exactness: a center-point re-tag assigns each source cell to the
+    target cell containing its centroid — the standard index re-tag.
+    Downstream exact operators (PIP refine, kNN haversine, radius
+    distance checks) re-verify true coordinates, so correctness does
+    not depend on the re-tag's boundary behavior; only pruning
+    granularity does. Pick a target ``res`` whose cell size is ≥ the
+    source cell size to keep pruning conservative.
+
+    Same-backend invariants (pinned in tests): h3lite → h3lite at the
+    source res is the identity; at a coarser res it equals
+    ``cell_to_parent``.
+    """
+    from pyspark.sql import functions as F
+
+    src = get_backend(source)
+    tgt = get_backend(target)
+
+    @F.pandas_udf("long")
+    def _re(c: pd.Series) -> pd.Series:
+        arr = c.to_numpy(dtype=np.int64)
+        if len(arr) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        lats, lngs = src.cells_to_latlng(arr)
+        return pd.Series(np.atleast_1d(tgt.latlng_to_cell(lats, lngs, res)))
+
+    return df.withColumn(out_col or cell_col, _re(F.col(cell_col).cast("long")))
 
 
 def get_backend(name: str | None = None):

@@ -79,3 +79,82 @@ class TestRealH3Backend:  # pragma: no cover - exercised only with the wheel
             .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestReencodeBridge:
+    """reencode_cells: the interop bridge for PRE-ENCODED cell columns
+    (tiles.assign_tiles(cell_col=...), compact_cells, pyramids assume
+    h3lite bit packing; external H3 data crosses here first)."""
+
+    def test_cells_to_latlng_centers_roundtrip(self):
+        be = H3LiteBackend()
+        rng = np.random.default_rng(7)
+        lons = rng.uniform(-179, 179, 50)
+        lats = rng.uniform(-89, 89, 50)
+        cells = H.latlng_to_cell(lats, lons, 6)
+        clats, clngs = be.cells_to_latlng(cells)
+        assert np.array_equal(H.latlng_to_cell(clats, clngs, 6), cells)
+
+    def test_same_res_is_identity(self, spark):
+        from htrc_ingester_spark.geo.backend import reencode_cells
+
+        pdf = data.images_meta_pdf(200)[["image_id", "lon", "lat"]]
+        df = spark.createDataFrame(pdf).withColumn(
+            "cell", H3LiteBackend.encode_col("lon", "lat", 6)
+        )
+        out = reencode_cells(df, "cell", 6, source="h3lite", target="h3lite", out_col="cell2")
+        assert out.where("cell2 != cell").count() == 0
+
+    def test_coarser_res_equals_parent(self, spark):
+        from htrc_ingester_spark.geo.backend import reencode_cells
+        from pyspark.sql import functions as F
+        from htrc_ingester_spark.operators.tiles import parent_sql_expr
+
+        pdf = data.images_meta_pdf(200)[["image_id", "lon", "lat"]]
+        df = spark.createDataFrame(pdf).withColumn(
+            "cell", H3LiteBackend.encode_col("lon", "lat", 8)
+        )
+        out = reencode_cells(df, "cell", 5, source="h3lite", target="h3lite", out_col="c5").withColumn(
+            "parent", F.expr(parent_sql_expr("cell", 5, dialect="spark"))
+        )
+        assert out.where("c5 != parent").count() == 0
+
+    def test_empty_input_typed(self, spark):
+        from htrc_ingester_spark.geo.backend import reencode_cells
+
+        df = spark.createDataFrame([], "cell long, image_id string")
+        out = reencode_cells(df, "cell", 6, source="h3lite", target="h3lite")
+        assert out.count() == 0 and dict(out.dtypes)["cell"] == "bigint"
+
+
+@pytest.mark.skipif(not HAS_H3, reason="h3 wheel not installed in this container")
+class TestReencodeRealH3:  # pragma: no cover - exercised only with the wheel
+    def test_h3_to_h3lite_center_containment(self, spark):
+        """The re-tagged h3lite cell must CONTAIN the true H3 cell
+        center — the property downstream pruning relies on."""
+        from htrc_ingester_spark.geo.backend import H3Backend, reencode_cells
+
+        pdf = data.images_meta_pdf(100)[["image_id", "lon", "lat"]]
+        df = spark.createDataFrame(pdf).withColumn(
+            "cell", H3Backend.encode_col("lon", "lat", 9)
+        )
+        out = reencode_cells(df, "cell", 7, source="h3", target="h3lite", out_col="lite").toPandas()
+        be = get_backend("h3")
+        lats, lngs = be.cells_to_latlng(out["cell"].to_numpy(dtype=np.int64))
+        lon0, lat0, lon1, lat1 = H.cell_to_boundary(out["lite"].to_numpy(dtype=np.int64))
+        assert np.all((lngs >= lon0) & (lngs < lon1) & (lats >= lat0) & (lats < lat1))
+
+    def test_h3_to_h3lite_feeds_tile_assign(self, spark):
+        """End-to-end: external H3 cells cross the bridge, then the
+        h3lite-arithmetic tile assigner consumes them without error and
+        agrees with the lon/lat path ON the re-tagged centers."""
+        from htrc_ingester_spark.geo.backend import H3Backend, reencode_cells
+        from htrc_ingester_spark.operators.tiles import assign_tiles
+
+        pdf = data.images_meta_pdf(100)[["image_id", "lon", "lat"]]
+        df = spark.createDataFrame(pdf).withColumn(
+            "cell", H3Backend.encode_col("lon", "lat", 9)
+        )
+        bridged = reencode_cells(df, "cell", 7, source="h3", target="h3lite")
+        got = assign_tiles(bridged, zoom_res=5, cell_col="cell").select("image_id", "tile_id")
+        assert got.count() == 100
