@@ -45,6 +45,13 @@ HEADLINE = [
     "dedup_image_clusters",
     "raster_cost_distance",
     "similarity_pq_topk",
+    # VERDICT r4 #6: rotate never-driver-sampled entries through the
+    # headline set so the sampler eventually exercises them
+    "ingest_pipeline_e2e",
+    "zorder_layout_buckets",
+    "events_funnel_stages",
+    "pip_join_wkb_input",
+    "pip_join_many_polys",
 ]
 
 
