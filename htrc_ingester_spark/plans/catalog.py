@@ -446,13 +446,19 @@ def _pip_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates with the polygon table on (poly_id, salt). Value-checked
     by the same crossing-count oracle as every other PIP entry (with
     the result-identical lat-band prefilter keeping DuckDB off the full
-    10^4-poly × points cross product)."""
+    10^4-poly × points cross product). res_max=14 so the adaptive cover
+    subdivides down to ~parcel scale: at 12 the cells are ~7x wider
+    than the polygons, nearly every cover cell is partial, and the
+    boundary shell overshoots the true hit set 3.4x — measured 11.4s
+    vs 4.7s at 14 for bit-identical output (the refine makes any
+    res_max exact; depth only moves work between the cell join and the
+    Arrow ray-cast)."""
     from ..data import polygons_grid
     from ..operators.pip_join import pip_join
 
     img = FS.load_images(spark, sf_dir)
     return (
-        pip_join(spark, img, polygons_grid(), res=9, res_max=12)
+        pip_join(spark, img, polygons_grid(), res=9, res_max=14)
         .select("image_id", "poly_id")
         .orderBy("image_id", "poly_id")
     )

@@ -68,6 +68,12 @@ def test_steady_state_job_count(spark, name, expected):
     q = catalog.queries()[name]
     warm = _run_counting(spark, lambda: q(spark, SF).collect())
     steady = _run_counting(spark, lambda: q(spark, SF).collect())
+    if steady != expected:
+        # one re-measure before failing: a loaded host can perturb a
+        # single run (e.g. a size-estimate flips a broadcast decision
+        # while another JVM owns the cores); a genuine plan rework
+        # reproduces the new count on the immediate retry
+        steady = _run_counting(spark, lambda: q(spark, SF).collect())
     assert steady == expected, (
         f"{name}: steady-state scheduled {steady} jobs, pinned {expected} "
         f"(warmup run: {warm}) — a plan/loop rework must update this pin"
