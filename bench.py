@@ -52,6 +52,9 @@ HEADLINE = [
     "events_funnel_stages",
     "pip_join_wkb_input",
     "pip_join_many_polys",
+    # r5: the GeoParquet scale path end-to-end (distributed WKB decode
+    # -> cover-as-table probe) tracked alongside its text/driver twins
+    "pip_join_wkb_table",
 ]
 
 
@@ -114,9 +117,16 @@ def main() -> None:
     # iterative entries into HEADLINE and (b) switched to the
     # cold-pipeline protocol (clearCache per rep — r3 reps for
     # cache-reusing entries measured a cache READ). The r3-comparable
-    # number is the 16-query subset total, emitted explicitly.
-    r3_subset = [q for q in HEADLINE if q not in (
-        "dedup_image_clusters", "raster_cost_distance", "similarity_pq_topk")]
+    # number is the PINNED 16-query subset total (the r3 HEADLINE
+    # verbatim — entries rotated in later must not inflate it).
+    r3_subset = [
+        "flagship_pip_tiles", "h3_encode_hist", "tile_assign_hist",
+        "pip_join_polygons", "knn_join_suppliers", "knn_join_distributed",
+        "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+        "a2_collect_sorted_list", "dedup_exact_hash", "dedup_minhash_lsh",
+        "similarity_topk_dot", "similarity_ann_lsh",
+        "image_validate_pipeline", "cdc_merge_apply", "salted_collect_skewed",
+    ]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",

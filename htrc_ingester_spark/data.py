@@ -316,6 +316,21 @@ def polygons_grid(n: int = 10000) -> list[dict]:
     return polys
 
 
+def polygons_grid_wkb(n: int = 10000) -> list[tuple[str, bytes]]:
+    """The many-polygon grid fixture serialized to OGC WKB — the
+    GeoParquet arrival shape at the scale the cover-as-table regime
+    exists for (pip_join_wkb_table catalog entry: 10^4 binary polygons
+    decode DISTRIBUTED, never on the driver). Endianness alternates so
+    both wire orders ride through the batch decoder; float64 on the
+    wire keeps the crossing-count oracle's vertices bit-identical."""
+    from .geo.wkb import rings_to_wkb
+
+    return [
+        (p["poly_id"], rings_to_wkb([p["ring"]], big_endian=bool(i % 2)))
+        for i, p in enumerate(polygons_grid(n))
+    ]
+
+
 def polygons_pdf(seed: int = 42) -> pd.DataFrame:
     rows = polygons(seed)
     return pd.DataFrame(

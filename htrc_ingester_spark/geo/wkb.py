@@ -35,6 +35,7 @@ __all__ = [
     "rings_to_wkb",
     "polys_from_wkb",
     "polys_from_wkb_column",
+    "polys_df_from_wkb_column",
 ]
 
 _POLYGON = 3
@@ -176,3 +177,41 @@ def polys_from_wkb_column(df, id_col: str = "poly_id", wkb_col: str = "wkb") -> 
     DataFrame)."""
     rows = df.select(id_col, wkb_col).collect()
     return polys_from_wkb((r[0], bytes(r[1])) for r in rows)
+
+
+def polys_df_from_wkb_column(df, id_col: str = "poly_id", wkb_col: str = "wkb"):
+    """Distributed WKB decode → the (poly_id string, rings
+    array<array<array<double>>>) DataFrame :func:`pip_join_table`
+    consumes — the GeoParquet SCALE path. 10^6+ binary geometries
+    decode in executor Arrow batches and never touch the driver;
+    :func:`polys_from_wkb_column` stays the broadcast-regime
+    convenience twin (collect + driver decode, right when the polygon
+    side is the broadcast side anyway). Empty geometries are dropped,
+    matching the driver path; a malformed blob fails the TASK with the
+    decoder's ValueError (poly_id in the message) rather than silently
+    skipping — interchange corruption must surface, the reference's
+    checksum-validate discipline."""
+    import pandas as pd
+
+    from ..operators.pip_join import RINGS_SQL_TYPE
+
+    def _decode(batches):
+        for pdf in batches:
+            ids: list[str] = []
+            rings_out: list[list] = []
+            for pid, wkb in zip(pdf[id_col], pdf[wkb_col]):
+                try:
+                    rings = wkb_to_rings(bytes(wkb))
+                except ValueError as exc:
+                    raise ValueError(f"poly_id={pid!r}: {exc}") from exc
+                if rings:
+                    ids.append(str(pid))
+                    rings_out.append(
+                        [[[float(x), float(y)] for x, y in ring] for ring in rings]
+                    )
+            if ids:
+                yield pd.DataFrame({"poly_id": ids, "rings": rings_out})
+
+    return df.select(id_col, wkb_col).mapInPandas(
+        _decode, schema=f"poly_id string, rings {RINGS_SQL_TYPE}"
+    )

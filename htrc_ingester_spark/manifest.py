@@ -91,7 +91,10 @@ def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in (getattr(e, "getErrorClass", lambda: "")() or "") or (
+        cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: ""
+        )
+        if "PATH_NOT_FOUND" in (cond() or "") or (
             "Path does not exist" in str(e)
         ):
             return None

@@ -174,3 +174,65 @@ class TestSparkColumnIngestion:
         back = polys_from_wkb_column(spark.read.parquet(path))
         want = {p["poly_id"]: p["rings"] for p in polys_from_wkb(data.polygons_holes_wkb())}
         assert {p["poly_id"]: p["rings"] for p in back} == want
+
+
+class TestDistributedDecode:
+    def test_distributed_decode_equals_driver_decode(self, spark):
+        """polys_df_from_wkb_column (executor-batch decode, the
+        GeoParquet scale path) must produce exactly the rings the
+        driver-side decoder produces — float64 bit-for-bit, empty
+        geometries dropped on both paths."""
+        from htrc_ingester_spark.geo.wkb import (
+            polys_df_from_wkb_column,
+            polys_from_wkb,
+            rings_to_wkb,
+        )
+
+        rows = data.polygons_holes_wkb() + [("empty", rings_to_wkb([], [])), ]
+        wdf = spark.createDataFrame(rows, "poly_id string, wkb binary")
+        got = {
+            r["poly_id"]: [
+                [(float(x), float(y)) for x, y in ring] for ring in r["rings"]
+            ]
+            for r in polys_df_from_wkb_column(wdf).collect()
+        }
+        want = {p["poly_id"]: p["rings"] for p in polys_from_wkb(rows)}
+        assert got == want
+        assert "empty" not in got
+
+    def test_distributed_decode_feeds_pip_join_table(self, spark):
+        """Binary column → distributed decode → cover-as-table PIP
+        equals the broadcast pip_join on the original dict spec — the
+        composition a 10^6-parcel GeoParquet user runs, results
+        identical to the driver regime by construction."""
+        from htrc_ingester_spark.geo.wkb import polys_df_from_wkb_column
+        from htrc_ingester_spark.operators.pip_join import pip_join, pip_join_table
+
+        pdf = data.images_meta_pdf(300)
+        pts = spark.createDataFrame(pdf[["image_id", "lon", "lat"]])
+        wdf = spark.createDataFrame(
+            data.polygons_holes_wkb(), "poly_id string, wkb binary"
+        )
+        a = (
+            pip_join(spark, pts, data.polygons_holes(), res=7)
+            .select("image_id", "poly_id").toPandas()
+            .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
+        )
+        b = (
+            pip_join_table(spark, pts, polys_df_from_wkb_column(wdf), res=7)
+            .select("image_id", "poly_id").toPandas()
+            .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_malformed_blob_fails_task_with_poly_id(self, spark):
+        """Interchange corruption must surface (the reference's
+        checksum-validate discipline), and name the offending row."""
+        import pyspark.sql.utils  # noqa: F401  (py4j error wrapping)
+
+        from htrc_ingester_spark.geo.wkb import polys_df_from_wkb_column
+
+        rows = [("good", data.polygons_holes_wkb()[0][1]), ("bad", b"\x01\x03junk")]
+        wdf = spark.createDataFrame(rows, "poly_id string, wkb binary")
+        with pytest.raises(Exception, match="bad"):
+            polys_df_from_wkb_column(wdf).collect()
