@@ -77,7 +77,12 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
     spark.catalog.clearCache()
     wall = float("inf")
     n_pairs = 0
-    for _ in range(2):  # best-of-2 steady state
+    # best-of-3: the 2-thread level's CPU-bound signature stage sees
+    # ~10-15% wall scatter from core-count-dependent turbo on this VM
+    # even with the host idle (measured round 5); three steady-state
+    # reps per level let both levels hit their floor so the ratio
+    # measures the engine, not one level's unlucky frequency draw.
+    for _ in range(3):
         t0 = time.monotonic()
         n_pairs = lsh_near_dup_pairs(docs).count()
         wall = min(wall, time.monotonic() - t0)
