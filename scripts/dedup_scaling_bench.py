@@ -54,11 +54,16 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(256)
     alpha = "abcdefghijklmnopqrstuvwxyzabcde"
-    # planted dups collapse the map key to rep % 25; everything else
-    # gets a rep-unique (m1, m2) pair out of 26x26 combinations
-    k1 = "case when doc_id % 50 = 0 then cast(rep % 25 as int) else cast(rep % 26 as int) end"
+    # planted dups collapse the map key so each planted base doc forms
+    # exact-duplicate clusters of 4 REGARDLESS of mult (a real corpus
+    # keeps its dup-cluster size roughly constant as it grows — tying
+    # cluster size to mult made the verify load quadratic in corpus
+    # size, a fixture artifact); everything else gets a rep-unique
+    # (m1, m2) pair out of 26x26 combinations
+    p = f"(rep % greatest({mult} div 4, 1))"
+    k1 = f"case when doc_id % 50 = 0 then cast({p} % 25 as int) else cast(rep % 26 as int) end"
     k2 = (
-        "case when doc_id % 50 = 0 then cast(rep % 25 as int)"
+        f"case when doc_id % 50 = 0 then cast(({p} div 25) % 25 as int)"
         " else cast((rep div 26) % 26 as int) end"
     )
     synth = (
