@@ -204,6 +204,57 @@ class TestRound2PlanShapes:
         # no sort-merge self-join anywhere in the near-dup plan
         assert "SortMergeJoin" not in plan
 
+    def test_minhash_word_array_bound_once(self, spark):
+        """The word array feeding the shingle HOF lambdas is bound in
+        its own projection: HOF lambdas are interpreted (no codegen
+        subexpression elimination), so an inline split() inside
+        transform(...) re-splits the document once PER ELEMENT —
+        O(words²) bytes per doc (round 5 measured the 500k-doc
+        signature stage at 17.8 s vs 3.7 s on local[8]). Pins (a)
+        exactly one split() in the optimized signature plan — i.e.
+        CollapseProject did not inline the multi-referenced alias back
+        into the lambda — and (b) the xx64 path allocates no shingle
+        strings (no concat_ws)."""
+        from htrc_ingester_spark.operators.textdedup import (
+            lsh_near_dup_pairs,
+            minhash_signatures,
+        )
+
+        # spark.range (not createDataFrame): a LocalRelation input
+        # would let ConvertToLocalRelation fold the split projection
+        # away entirely and the pin would vacuously pass
+        docs = spark.range(40).selectExpr(
+            "id as doc_id", "concat('w', id, ' a b c d e f g') as text"
+        )
+        opt = (
+            minhash_signatures(docs)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        import re
+
+        # expressions print one line per plan node, so a split( on the
+        # same line as (i.e. inside) a lambdafunction( is the inlined
+        # per-element re-split this test exists to forbid
+        inlined = re.compile(r"lambdafunction\([^\n]*split\(")
+        assert opt.count("split(") == 1
+        assert "concat_ws" not in opt
+        assert not inlined.search(opt)
+        # the verify step's candidate re-shingle obeys the same rule
+        # (the printed tree repeats the persisted cand lineage, so a
+        # total count would over-count; the lambda-body check is the
+        # actual invariant), and its grams are hashed — no shingle
+        # strings anywhere in the near-dup plan
+        full = (
+            lsh_near_dup_pairs(docs)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "concat_ws" not in full
+        assert not inlined.search(full)
+
     def test_ivf_join_is_broadcast(self, spark):
         from htrc_ingester_spark.operators.embedding import ivf_topk
 
