@@ -111,6 +111,23 @@ class H3LiteBackend:
         return H.cover_bbox(lon0, lat0, lon1, lat1, res)
 
     @staticmethod
+    def seed_res(dlon: float, dlat: float, res: int, res_max: int) -> int:
+        """Coarsest USEFUL cover level for a polygon of bbox span
+        (dlon, dlat): the finest r in [res, res_max] whose cells are
+        still at least bbox-sized. Levels coarser than this emit no
+        full cells (a full cell needs polygon ⊇ cell) and a ≤2×2
+        all-partial frontier — pure subdivision overhead the adaptive
+        walk can skip by SEEDING there directly (the bbox cover at any
+        level ⊇ the cells the walk would have reached, so covers stay
+        sound; refine keeps results exact for any seed level).
+        h3lite cells are square in degrees: w = h = 90 / 2^res."""
+        span = max(float(dlon), float(dlat))
+        r = res
+        while r < res_max and 90.0 / (1 << (r + 1)) >= span:
+            r += 1
+        return r
+
+    @staticmethod
     def encode_col(lon_col: str, lat_col: str, res: int):
         from pyspark.sql import functions as F
 
@@ -240,6 +257,25 @@ class H3Backend:  # pragma: no cover - requires the h3 wheel
         for c in list(seed):
             padded.update(int(x) for x in H3Backend.grid_disk(int(c), 1))
         return np.array(sorted(padded), dtype=np.int64)
+
+    @staticmethod
+    def seed_res(dlon: float, dlat: float, res: int, res_max: int) -> int:
+        """Coarsest useful cover level (see H3LiteBackend.seed_res).
+        Hexagons have no degree-aligned width; use the equal-area
+        effective span sqrt(globe_deg² / num_cells) and stay one level
+        CONSERVATIVE (stop while the next level's cells are still at
+        least 2× bbox-sized) — an early seed is only an efficiency
+        loss, never a soundness one."""
+        span = max(float(dlon), float(dlat))
+        if span <= 0.0:
+            return res_max
+        r = res
+        while r < res_max:
+            eff = (360.0 * 180.0 / float(_h3.get_num_cells(r + 1))) ** 0.5
+            if eff < 2.0 * span:
+                break
+            r += 1
+        return r
 
     @staticmethod
     def encode_col(lon_col: str, lat_col: str, res: int):

@@ -108,8 +108,14 @@ def _classify(cells: np.ndarray, rings: list[np.ndarray], backend=None):
     boundary_hit = np.zeros(len(cells), dtype=bool)
     for ring in rings:
         r_lon, r_lat = ring[:, 0], ring[:, 1]
+        # one raveled ray-cast for ALL corners (n·C points) instead of
+        # C separate calls — same arithmetic, ~C× fewer numpy
+        # dispatches, which dominates for many-small-polygon covers
+        par = G.points_in_ring(
+            c_lons.ravel(), c_lats.ravel(), r_lon, r_lat
+        ).reshape(len(cells), n_corners)
         for j in range(n_corners):
-            corner_parity[j] ^= G.points_in_ring(c_lons[:, j], c_lats[:, j], r_lon, r_lat)
+            corner_parity[j] ^= par[:, j]
         u = G.unwrap_ring(r_lon)
         e_lon0 = np.minimum(u[:-1], u[1:])
         e_lon1 = np.maximum(u[:-1], u[1:])
@@ -141,15 +147,28 @@ def _cover_rings(
     both regimes classify identically by construction."""
     # seed frontier: union of the rings' bbox covers (holes are
     # inside their shells for valid input, but including every
-    # ring's cover is harmless — classification decides)
-    seeds = []
-    for ring in rings:
-        lon0, lat0, lon1, lat1 = G.ring_bbox(ring[:, 0], ring[:, 1])
-        seeds.append(be.cover_bbox(lon0, lat0, lon1, lat1, res))
+    # ring's cover is harmless — classification decides). Seed LEVEL:
+    # levels whose cells dwarf the polygon's bbox can't emit full
+    # cells and only subdivide a ≤2×2 all-partial frontier — skip
+    # straight to the backend's coarsest USEFUL level (output is
+    # seed-level-invariant: the bbox cover at any level contains every
+    # cell the walk from ``res`` would have reached, and the refine
+    # makes any cover exact). For a parcel-sized polygon this removes
+    # most classify levels; a continental polygon keeps ``res``.
+    bboxes = [G.ring_bbox(ring[:, 0], ring[:, 1]) for ring in rings]
+    r_start = res
+    if bboxes and hasattr(be, "seed_res"):
+        dlon = max(b[2] - b[0] for b in bboxes)
+        dlat = max(b[3] - b[1] for b in bboxes)
+        r_start = be.seed_res(dlon, dlat, res, res_max)
+    seeds = [
+        be.cover_bbox(lon0, lat0, lon1, lat1, r_start)
+        for lon0, lat0, lon1, lat1 in bboxes
+    ]
     frontier = np.unique(np.concatenate(seeds)) if seeds else np.array([], dtype=np.int64)
     out_cells: list[np.ndarray] = []
     out_full: list[np.ndarray] = []
-    for level in range(res, res_max + 1):
+    for level in range(r_start, res_max + 1):
         if len(frontier) == 0:
             break
         full, partial = _classify(frontier, rings, be)
@@ -620,6 +639,12 @@ def pip_join_table(
                     }
                 )
 
+    # the polygon table has up to three consumers (the refine-shape
+    # aggregate, the cover build, and the refine join); for decode-heavy
+    # lineages (e.g. distributed WKB → rings) recomputing it per
+    # consumer re-runs the decode each time. 10^6 parcels ≈ tens of MB:
+    # persist once, every consumer reads the materialization.
+    polys_df = polys_df.persist()
     cover = polys_df.mapInPandas(
         _cover_map, schema="cell long, poly_id string, full boolean, res int"
     )
@@ -628,10 +653,49 @@ def pip_join_table(
     # micro-batches against the same polys_df lineage) reuse one
     # materialization with the join-side distribution already in place
     cover = cover.repartition("cell").persist()
-    levels = sorted(r["res"] for r in cover.select("res").distinct().collect())
+    hist = cover.groupBy("res").count().collect()
+    levels = sorted(int(r["res"]) for r in hist)
     if not levels:
         cover.unpersist()
+        polys_df.unpersist()
         return points.withColumn("poly_id", F.lit(None).cast("string")).where(F.lit(False))
+
+    # flat-probe rewrite, table-regime twin of the broadcast regime's
+    # _FLAT_MAX_CELLS decision: a multi-level cover forces the point
+    # side through a k-way ancestor-chain explode (k× the probe rows
+    # through the shuffle join). When expanding every coarse full cell
+    # to the finest level stays bounded, flatten the cover DISTRIBUTED
+    # (one mapInPandas over the persisted cover — the same
+    # _expand_cover child-tree walk the driver regime runs) and probe
+    # with ONE codegen encode. Continental covers blow the budget and
+    # keep the chain plan — that IS the 100-TB scale path, the explode
+    # trades probe rows for a cover that stays O(perimeter).
+    fine = levels[-1]
+    if len(levels) > 1:
+        expanded_n = sum(
+            int(r["count"]) * float(be.aperture) ** (fine - int(r["res"]))
+            for r in hist
+        )
+        if expanded_n <= _FLAT_MAX_CELLS:
+
+            def _flat_map(batches):
+                for pdf in batches:
+                    if len(pdf):
+                        yield _expand_cover(
+                            pdf[["cell", "poly_id", "full"]], fine, backend=be
+                        )
+
+            flat = (
+                cover.mapInPandas(
+                    _flat_map, schema="cell long, poly_id string, full boolean"
+                )
+                .repartition("cell")
+                .persist()
+            )
+            flat.count()
+            cover.unpersist(blocking=False)
+            cover = flat
+            levels = [fine]
 
     if len(levels) == 1:
         probe = points.withColumn(
@@ -643,6 +707,14 @@ def pip_join_table(
     cand = probe.join(
         cover.drop("res").withColumnRenamed("cell", "__cell"), "__cell", "inner"
     )
+    # the candidate set feeds BOTH output branches (full hits pass
+    # through; partials refine). Unlike the broadcast regime — where
+    # recomputing a broadcast probe is one map-side pass and the
+    # persist is a measured loss at small inputs — recomputing here
+    # re-runs the cell-keyed SHUFFLE of the point skeleton. One cache
+    # write of the skeleton-width candidates always beats a second
+    # shuffle, at bench scale and at 10^12 rows alike.
+    cand = cand.persist()
     full_hits = cand.where(F.col("full")).drop("__cell", "full")
     partial = cand.where(~F.col("full")).drop("__cell", "full")
 
