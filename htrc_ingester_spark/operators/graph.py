@@ -32,6 +32,8 @@ declarative rounds.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +50,7 @@ def shortest_paths(
     dst_col: str = "dst",
     weight_col: str = "w",
     persist_every: int | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, dist) for every node reachable from any of ``sources``
     within ``hops`` edges, dist = min total integer weight.
@@ -56,13 +59,24 @@ def shortest_paths(
     collapsed to the min-weight simple edge first (one shuffle, keyed
     by (src, dst) — at scale this is the materialized adjacency you'd
     bucket-partition by src and reuse across queries).
+
+    Collapsed adjacencies ≤ ``driver_max_edges`` run the rounds in
+    ONE vectorized numpy Bellman-Ford on the driver — the same bounded
+    driver-trivial regime as dissolve's union-find (a 2M-edge int64
+    adjacency ≈ 48 MB; a 6-round distributed walk over a few hundred
+    surviving edges is pure scheduler latency). Larger graphs run the
+    distributed iterative join+min-agg rounds; pass 0 to force them.
     """
     if hops < 0:
         raise ValueError("hops must be >= 0")
     spark = edges.sparkSession
     # the collapsed adjacency is re-joined EVERY round: persist it, or
     # each round re-derives the full upstream lineage and the unrolled
-    # plan (and task binaries) grow with the hop count
+    # plan (and task binaries) grow with the hop count. Counting it
+    # here is not just the regime gate — it materializes the cache, so
+    # every distributed round's plan compiles against the
+    # InMemoryRelation's EXACT size (a small adjacency auto-broadcasts;
+    # the lazy-persist plans saw upstream estimates and sort-merged).
     e = (
         edges.groupBy(
             F.col(src_col).cast("long").alias("_src"),
@@ -71,6 +85,34 @@ def shortest_paths(
         .agg(F.min(F.col(weight_col).cast("long")).alias("_w"))
         .persist()
     )
+    n_e = _materialize(spark, e)
+    if n_e <= driver_max_edges:
+        pdf = e.toPandas()
+        e.unpersist(blocking=False)
+        src_a = pdf["_src"].to_numpy(dtype=np.int64)
+        dst_a = pdf["_dst"].to_numpy(dtype=np.int64)
+        w_a = pdf["_w"].to_numpy(dtype=np.int64)
+        s_a = np.unique(np.asarray(list(sources), dtype=np.int64))
+        nodes = np.unique(np.concatenate([src_a, dst_a, s_a]))
+        si = np.searchsorted(nodes, src_a)
+        di = np.searchsorted(nodes, dst_a)
+        inf = np.iinfo(np.int64).max
+        dist = np.full(len(nodes), inf, dtype=np.int64)
+        dist[np.searchsorted(nodes, s_a)] = 0
+        for _ in range(hops):
+            reach = dist[si] != inf
+            nd = dist.copy()
+            np.minimum.at(nd, di[reach], dist[si[reach]] + w_a[reach])
+            if np.array_equal(nd, dist):
+                break  # fixpoint: remaining rounds are no-ops
+            dist = nd
+        keep = dist != inf
+        out = spark.createDataFrame(
+            pd.DataFrame({"node": nodes[keep], "dist": dist[keep]}),
+            "node long, dist long",
+        ).persist()
+        _materialize(spark, out)
+        return out
     best = spark.createDataFrame(
         [(int(s), 0) for s in sources], "node long, dist long"
     ).groupBy("node").agg(F.min("dist").alias("dist"))
@@ -120,7 +162,7 @@ def _materialize(spark, df: DataFrame) -> None:
     from ..session import static_plan
 
     with static_plan(spark):
-        df.count()
+        return df.count()
 
 
 def shortest_paths_oracle_sql(

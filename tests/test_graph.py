@@ -41,9 +41,13 @@ def _run(spark, edges, sources, hops, **kw):
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
-def test_matches_bellman_ford_oracle(spark, seed):
+@pytest.mark.parametrize("driver_max", [2_000_000, 0])
+def test_matches_bellman_ford_oracle(spark, seed, driver_max):
+    # both regimes: the bounded driver numpy Bellman-Ford (default for
+    # collapsed adjacencies ≤ 2M edges) and the distributed iterative
+    # rounds (driver_max_edges=0 forces them) must match the oracle
     edges = random_graph(seed)
-    got = _run(spark, edges, [0], hops=4)
+    got = _run(spark, edges, [0], hops=4, driver_max_edges=driver_max)
     assert got == bf_oracle(edges, [0], 4)
 
 
@@ -75,9 +79,17 @@ def test_parallel_edges_and_self_loops_collapse(spark):
 
 
 def test_persist_every_same_result(spark):
+    # persist_every only exists in the distributed regime; force it
     edges = random_graph(7)
-    a = _run(spark, edges, [0], hops=5)
-    b = _run(spark, edges, [0], hops=5, persist_every=2)
+    a = _run(spark, edges, [0], hops=5, driver_max_edges=0)
+    b = _run(spark, edges, [0], hops=5, persist_every=2, driver_max_edges=0)
+    assert a == b
+
+
+def test_driver_and_distributed_regimes_agree(spark):
+    edges = random_graph(11, n_nodes=40, n_edges=120)
+    a = _run(spark, edges, [0, 5], hops=6)
+    b = _run(spark, edges, [0, 5], hops=6, driver_max_edges=0)
     assert a == b
 
 

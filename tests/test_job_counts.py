@@ -37,9 +37,11 @@ PINS = [
     # encode + explode-free ADC + partial-topk rank (r5: 19 -> 13,
     # the map-side top-k partials removed the full-rank exchange jobs)
     ("similarity_pq_topk", 13),
-    # per-round lazy join+min-agg Bellman-Ford over the persisted
-    # collapsed adjacency: rounds x (materialize + convergence count)
-    ("raster_cost_distance", 53),
+    # bounded driver-regime Bellman-Ford (r5: 53 -> 8): rasterize +
+    # adjacency collapse/materialize + source collect + numpy rounds on
+    # the driver + result materialize — the distributed join+min-agg
+    # rounds only run past driver_max_edges (2M collapsed edges)
+    ("raster_cost_distance", 8),
     # ring-expansion kNN: per-round materialize + active-count, three
     # size-estimate regimes collapse to the pinned-broadcast one here
     ("knn_join_distributed", 15),

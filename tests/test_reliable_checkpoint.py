@@ -138,7 +138,7 @@ def test_shortest_paths_periodic_cut_reliable(spark, ck_dir):
         )
     )
     got = (
-        shortest_paths(edges, [0], hops=4, persist_every=1)
+        shortest_paths(edges, [0], hops=4, persist_every=1, driver_max_edges=0)
         .toPandas()
         .sort_values("node")
         .reset_index(drop=True)
@@ -146,7 +146,7 @@ def test_shortest_paths_periodic_cut_reliable(spark, ck_dir):
     assert _ck_files(ck_dir), "periodic cuts did not use the reliable dir"
     spark.sparkContext.setCheckpointDir(None)
     ref = (
-        shortest_paths(edges, [0], hops=4, persist_every=1)
+        shortest_paths(edges, [0], hops=4, persist_every=1, driver_max_edges=0)
         .toPandas()
         .sort_values("node")
         .reset_index(drop=True)
