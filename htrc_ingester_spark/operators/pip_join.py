@@ -139,12 +139,21 @@ def _classify(cells: np.ndarray, rings: list[np.ndarray], backend=None):
 
 
 def _cover_rings(
-    rings: list[np.ndarray], res: int, res_max: int, be
+    rings: list[np.ndarray], res: int, res_max: int, be, expand_gap: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
     """ONE polygon's adaptive cover → (cells int64[], full bool[]).
     The shared kernel of the driver-side :func:`build_cell_cover` and
     the distributed (cover-as-table) build in :func:`pip_join_table` —
-    both regimes classify identically by construction."""
+    both regimes classify identically by construction.
+
+    ``expand_gap``: expand full cells found within this many levels of
+    ``res_max`` down to ``res_max`` in-kernel (bounded aperture^gap
+    blow-up per cell). The TABLE regime passes 3 so parcel-scale covers
+    come out single-level — the probe then pays one codegen encode and
+    no explode, and no second flatten pass over the cover is needed.
+    The broadcast regime keeps 0: its covers must stay compacted (the
+    O(perimeter) bound is what keeps the BROADCAST small; its flatten
+    decision is global and budget-checked in _cover_artifacts)."""
     # seed frontier: union of the rings' bbox covers (holes are
     # inside their shells for valid input, but including every
     # ring's cover is harmless — classification decides). Seed LEVEL:
@@ -173,8 +182,12 @@ def _cover_rings(
             break
         full, partial = _classify(frontier, rings, be)
         if full.any():
-            out_cells.append(frontier[full])
-            out_full.append(np.ones(int(full.sum()), dtype=bool))
+            fc = frontier[full]
+            if expand_gap and level < res_max and res_max - level <= expand_gap:
+                for _ in range(res_max - level):
+                    fc, _parent = be.cells_to_children(fc)
+            out_cells.append(fc)
+            out_full.append(np.ones(len(fc), dtype=bool))
         if level == res_max:
             if partial.any():
                 out_cells.append(frontier[partial])
@@ -623,7 +636,7 @@ def pip_join_table(
             fulls: list[np.ndarray] = []
             for pid, rr in zip(pdf["poly_id"], pdf["rings"]):
                 rings = _rings_from_cell(rr)
-                c, f = _cover_rings(rings, r_lo, r_hi, be)
+                c, f = _cover_rings(rings, r_lo, r_hi, be, expand_gap=3)
                 if len(c):
                     cells_l.append(c)
                     pids.extend([pid] * len(c))
