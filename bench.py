@@ -55,6 +55,14 @@ HEADLINE = [
     # r5: the GeoParquet scale path end-to-end (distributed WKB decode
     # -> cover-as-table probe) tracked alongside its text/driver twins
     "pip_join_wkb_table",
+    # r5 continued rotation of never-driver-sampled entries (VERDICT
+    # r4 #6): event-time watermark window, grouping-sets cube, exact
+    # phash radius search, OD matrix, quadkey encode
+    "w4_event_time_window",
+    "events_cube_rollup",
+    "phash_search_radius",
+    "trajectory_od_matrix",
+    "quadkey_tile_hist",
 ]
 
 
