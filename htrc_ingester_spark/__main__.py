@@ -196,35 +196,68 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.pip_join import pip_join
         from .plans import flagship
 
+        joined = None
+        n_polygons = None
+        img = flagship.load_images(spark, args.sf_dir)
         if args.polygons.endswith((".geojson", ".json")):
             polys = W.polys_from_geojson_file(args.polygons)
         elif args.polygons.endswith(".parquet"):
             # GeoParquet arrival: a binary WKB geometry column next to
-            # an id column (first binary / first string column win)
-            from .geo.wkb import polys_from_wkb_column
+            # an id column. Prefer the conventional names, fall back
+            # to the only candidate, and fail with a usable message
+            # rather than an arbitrary pick or a bare StopIteration.
+            from .geo.wkb import polys_df_from_wkb_column, polys_from_wkb_column
+            from .operators.pip_join import _TABLE_POLYS_BUDGET, pip_join_table
 
             gdf = spark.read.parquet(args.polygons)
-            wkb_col = next(
+            binaries = [
                 f.name for f in gdf.schema.fields if f.dataType.typeName() == "binary"
+            ]
+            strings = [
+                f.name for f in gdf.schema.fields if f.dataType.typeName() == "string"
+            ]
+            wkb_col = next(
+                (n for n in ("geometry", "wkb", "geom") if n in binaries),
+                binaries[0] if len(binaries) == 1 else None,
             )
             id_col = next(
-                f.name for f in gdf.schema.fields if f.dataType.typeName() == "string"
+                (n for n in ("poly_id", "id", "fid", "name") if n in strings),
+                strings[0] if len(strings) == 1 else None,
             )
-            polys = polys_from_wkb_column(gdf, id_col=id_col, wkb_col=wkb_col)
+            if wkb_col is None or id_col is None:
+                raise SystemExit(
+                    f"{args.polygons}: could not pick a WKB geometry column "
+                    f"(binary candidates: {binaries or 'none'}) and a string "
+                    f"id column (candidates: {strings or 'none'}); rename to "
+                    "the geometry/poly_id convention or reduce to one "
+                    "candidate of each type"
+                )
+            n_polygons = gdf.count()
+            if n_polygons > _TABLE_POLYS_BUDGET:
+                # the 10^6-parcel path: decode WKB DISTRIBUTED and feed
+                # the cover-as-table regime — the polygon set never
+                # round-trips through the driver
+                polys_df = polys_df_from_wkb_column(
+                    gdf, id_col=id_col, wkb_col=wkb_col
+                )
+                joined = pip_join_table(spark, img, polys_df, res=args.res)
+            else:
+                polys = polys_from_wkb_column(gdf, id_col=id_col, wkb_col=wkb_col)
         else:
             with open(args.polygons) as fh:
                 rows = [ln.rstrip("\n").split("\t", 1) for ln in fh if ln.strip()]
             polys = W.polys_from_wkt(rows)
-        img = flagship.load_images(spark, args.sf_dir)
+        if joined is None:
+            n_polygons = len(polys)
+            joined = pip_join(spark, img, polys, res=args.res)
         hits = (
-            pip_join(spark, img, polys, res=args.res)
-            .groupBy("poly_id")
+            joined.groupBy("poly_id")
             .agg(F.count(F.lit(1)).alias("n_images"))
             .orderBy("poly_id")
             .collect()
         )
         print(json.dumps({
-            "job": "pip", "n_polygons": len(polys),
+            "job": "pip", "n_polygons": n_polygons,
             "counts": {r["poly_id"]: r["n_images"] for r in hits},
             "wall_sec": round(time.monotonic() - t0, 3),
         }))

@@ -174,7 +174,10 @@ def _cc_loop(nodes: DataFrame, edges: DataFrame, max_rounds: int) -> DataFrame:
     freed by the ContextCleaner when the previous round's DataFrame
     drops out of scope; on a cluster where executor loss must be
     survivable mid-loop, set the checkpoint dir and the same loop
-    writes fault-tolerant blocks instead.
+    writes fault-tolerant blocks instead (reliable checkpoint files
+    are only reclaimed under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, which
+    ``session.get_spark`` sets — see session.materialize).
 
     Small edge sets (Catalyst estimate ≤ 64 MB) run their per-round
     materializations static (session.static_plan): bounded state means

@@ -134,7 +134,14 @@ def knn_join_bruteforce(
     """Exact baseline: broadcast cross join + window. O(|points|·|queries|)
     — the oracle for the iterative operator and the right plan when the
     query side is tiny and the table is small."""
-    qdf = spark.createDataFrame(queries)
+    # explicit schema, same reason as the knn_join wrapper: an EMPTY
+    # pandas frame has object-dtype columns Spark cannot infer from
+    qpdf = queries[["query_id", "lon", "lat", "k"]].copy()
+    qpdf["query_id"] = qpdf["query_id"].astype(str)
+    qpdf["k"] = qpdf["k"].astype(int)
+    qdf = spark.createDataFrame(
+        qpdf, schema="query_id string, lon double, lat double, k int"
+    )
     cand = (
         points.select(
             F.col(id_col).alias("image_id"),

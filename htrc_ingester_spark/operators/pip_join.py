@@ -167,7 +167,15 @@ def _cover_rings(
     bboxes = [G.ring_bbox(ring[:, 0], ring[:, 1]) for ring in rings]
     r_start = res
     if bboxes and hasattr(be, "seed_res"):
-        dlon = max(b[2] - b[0] for b in bboxes)
+        # ring_bbox signals antimeridian crossing with lon_min >
+        # lon_max; the true width is then (lon_max - lon_min) + 360 —
+        # feeding the raw negative difference would collapse the lon
+        # span and seed a wide dateline-straddling polygon at a level
+        # matched to its HEIGHT (a full-bbox frontier thousands of
+        # cells finer than needed; covers stay sound, cost explodes)
+        dlon = max(
+            (w if w >= 0 else w + 360.0) for w in (b[2] - b[0] for b in bboxes)
+        )
         dlat = max(b[3] - b[1] for b in bboxes)
         r_start = be.seed_res(dlon, dlat, res, res_max)
     seeds = [
@@ -538,6 +546,26 @@ def pip_join(
 # regime instead of the serial driver build + broadcast
 _TABLE_POLYS_BUDGET = 4096
 
+# cache hygiene, table-regime twin of the broadcast regime's LRU memo:
+# each pip_join_table call persists its polygon table, cover, and
+# candidate skeleton (all three are consumed by the returned plan).
+# A long-lived session issuing successive table-regime queries would
+# strand three cached datasets per call; keep the most recent few
+# calls' frames and unpersist (never destroy — re-executing an old
+# returned plan then recomputes instead of erroring) the rest.
+_TABLE_PERSIST_KEEP = 3
+_TABLE_PERSIST_LRU: list[tuple] = []
+
+
+def _table_persist_register(*frames) -> None:
+    _TABLE_PERSIST_LRU.append(frames)
+    while len(_TABLE_PERSIST_LRU) > _TABLE_PERSIST_KEEP:
+        for f in _TABLE_PERSIST_LRU.pop(0):
+            try:
+                f.unpersist(blocking=False)
+            except Exception:
+                pass
+
 # refine="auto": polygons whose rings total more vertices than this
 # refine via cogroup (rings ship per poly); smaller rings refine via
 # the per-candidate join (no per-group scheduling overhead)
@@ -728,6 +756,7 @@ def pip_join_table(
     # write of the skeleton-width candidates always beats a second
     # shuffle, at bench scale and at 10^12 rows alike.
     cand = cand.persist()
+    _table_persist_register(polys_df, cover, cand)
     full_hits = cand.where(F.col("full")).drop("__cell", "full")
     partial = cand.where(~F.col("full")).drop("__cell", "full")
 

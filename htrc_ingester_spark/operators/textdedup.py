@@ -68,6 +68,31 @@ def shingles_sql(text: str, k: int, dialect: str) -> str:
     )
 
 
+def bound_shingles_expr(k: int, hashed: bool = False) -> str:
+    """Spark word-k-gram shingle array over a pre-bound ``_w``
+    word-array column (the bound-array HOF rule pinned in
+    tests/test_plan_quality.py: an inline split() inside the transform
+    lambda re-splits the document per shingle, O(words²)).
+
+    ``hashed=False`` emits the same shingle STRINGS as
+    :func:`shingles_sql` — the cross-dialect contract with the DuckDB
+    oracles; a change to either MUST change the other.
+    ``hashed=True`` emits 64-bit xxhash64 grams in place of the
+    strings (the allocation-free variant for stages whose downstream
+    only ever hashes the shingle again). Same short-doc guard in both:
+    sequence(0, -1) DESCENDS in Spark, so size < k must yield []."""
+    if hashed:
+        gram = ", ".join(f"element_at(_w, i + {j + 1})" for j in range(k))
+        body = f"i -> xxhash64({gram})"
+    else:
+        body = f"i -> concat_ws(' ', slice(_w, i + 1, {k}))"
+    return (
+        f"if(size(_w) < {k}, array(),"
+        f" transform(sequence(0, size(_w) - {k}),"
+        f" {body}))"
+    )
+
+
 def minhash_sql(shingles: str, j: int, dialect: str) -> str:
     """Min-hash #j: lexicographic min over shingles of a 32-bit (8 hex
     chars) slice of a salted md5. Four hashes share one md5 call
@@ -239,12 +264,7 @@ def minhash_signatures(
         # but the dominant stage allocates no shingle strings and
         # hashes n_hashes× fewer string bytes. No shuffle-shape
         # change (map-side partial min-agg as before).
-        gram = ", ".join(f"element_at(_w, i + {j + 1})" for j in range(shingle_k))
-        h64 = (
-            f"if(size(_w) < {shingle_k}, array(),"
-            f" transform(sequence(0, size(_w) - {shingle_k}),"
-            f" i -> xxhash64({gram})))"
-        )
+        h64 = bound_shingles_expr(shingle_k, hashed=True)
         base = words.select(id_col, F.explode(F.expr(h64)).alias("_s64"))
         mins = base.groupBy(id_col).agg(
             *[
@@ -261,14 +281,8 @@ def minhash_signatures(
         ]
     else:
         # same shingle STRINGS as shingles_sql (the cross-dialect
-        # contract), but built over the bound `_w` column so the
-        # lambda references the array instead of re-splitting per
-        # element
-        sh = (
-            f"if(size(_w) < {shingle_k}, array(),"
-            f" transform(sequence(0, size(_w) - {shingle_k}),"
-            f" i -> concat_ws(' ', slice(_w, i + 1, {shingle_k}))))"
-        )
+        # contract), built over the bound `_w` column
+        sh = bound_shingles_expr(shingle_k)
         exploded_raw = words.select(id_col, F.explode(F.expr(sh)).alias("_s"))
         n_chunks = (n_hashes + 3) // 4
         exploded = exploded_raw.select(
@@ -394,12 +408,7 @@ def lsh_near_dup_pairs(
     # stage of the pipeline (1.3× from 2→8 cores — allocation-rate
     # bound, single shared heap), and hashing the grams in place of
     # materializing them cuts that allocation churn.
-    gram = ", ".join(f"element_at(_w, i + {j + 1})" for j in range(shingle_k))
-    sh = (
-        f"if(size(_w) < {shingle_k}, array(),"
-        f" transform(sequence(0, size(_w) - {shingle_k}),"
-        f" i -> xxhash64({gram})))"
-    )
+    sh = bound_shingles_expr(shingle_k, hashed=True)
     # persist: docs_a/docs_b would otherwise each re-scan the corpus
     # for the semi-join — two full scans instead of one
     docs = (
@@ -709,11 +718,7 @@ def decontaminate(
     # split() inside the shingle transform re-splits the document per
     # shingle — O(words²) bytes over the FULL corpus side; bound, the
     # array is built once per row and referenced by the lambda
-    sh = F.expr(
-        f"if(size(_w) < {k}, array(),"
-        f" transform(sequence(0, size(_w) - {k}),"
-        f" i -> concat_ws(' ', slice(_w, i + 1, {k}))))"
-    )
+    sh = F.expr(bound_shingles_expr(k))
     w = F.expr(f"split({text_col}, ' ')").alias("_w")
     c_sh = corpus.select(F.col(id_col), w).select(
         F.col(id_col), F.explode(sh).alias("sh")
@@ -759,11 +764,7 @@ def repetition_stats(
     """
     # bound `_w` projection (same HOF-lambda rule as minhash: an
     # inline split() would re-split the doc per bigram, O(words²))
-    bi = (
-        "if(size(_w) < 2, array(),"
-        " transform(sequence(0, size(_w) - 2),"
-        " i -> concat_ws(' ', slice(_w, i + 1, 2))))"
-    )
+    bi = bound_shingles_expr(2)
     frac = F.round(
         1 - F.expr(f"size(array_distinct({bi}))") / F.expr(f"size({bi})"), 6
     )

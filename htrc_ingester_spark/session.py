@@ -51,7 +51,12 @@ def materialize(df, eager: bool = True):
       use). Blocks go to the fault-tolerant dir (HDFS/S3 on a
       cluster), so executor loss recomputes only the lost tasks. This
       is the 1000-executor deep-iteration setting; costs one DFS
-      round-trip per round.
+      round-trip per round. Reliable checkpoint files are NOT deleted
+      by Spark unless ``spark.cleaner.referenceTracking
+      .cleanCheckpoints=true`` (a context-start conf — get_spark sets
+      it; sessions built elsewhere must set it themselves or clean the
+      checkpoint dir externally, or a long 50-round loop strands 50
+      full state copies on the DFS).
 
     Used by knn_join_many's ring-expansion loop, dissolve's
     pointer-jumping CC loop, and graph.shortest_paths' periodic
@@ -103,6 +108,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # reliable checkpoint() blocks (materialize() when
+        # spark.htrc.checkpointDir is set) are never deleted without
+        # this: the ContextCleaner then removes each round's files
+        # when its RDD is GC'd, instead of accumulating one full
+        # state copy per iteration round on the DFS forever
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bigger Arrow batches: the refine/phash UDFs are vectorized
         # numpy — per-batch overhead dominates at the 10k default

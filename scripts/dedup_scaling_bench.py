@@ -6,12 +6,13 @@ identical job + identical input via spark-submit --py-files, only
 --master local[N] differs; N→4N in the regime where the host still
 scales (see BENCH.md host calibration).
 
-Input: `documents` inflated ×mult. Each rep gets a UNIQUE two-layer
-character-substitution map (26×26 combinations keyed by rep), so the
+Input: `documents` inflated ×mult. Each rep gets a UNIQUE three-layer
+character-substitution map (26³ combinations keyed by rep), so the
 corpus is ~fully distinct — the realistic scan-bound regime — except
 for a small planted dup set: base docs with ``doc_id % 50 = 0`` key
-their map by ``rep % 25`` instead, yielding exact-duplicate clusters
-of mult/25 (~2-4% of docs in clusters). The measured job is the full
+their map by ``rep % (mult/4)`` instead, yielding exact-duplicate
+clusters of 4 regardless of mult (up to mult 62,500: the planted key
+space is 25³). The measured job is the full
 near-dup pipeline: signatures → bucket compaction → candidate pairs →
 exact-Jaccard verify → count.
 
@@ -60,20 +61,33 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
     # cluster size to mult made the verify load quadratic in corpus
     # size, a fixture artifact); everything else gets a rep-unique
     # (m1, m2) pair out of 26x26 combinations
+    # third digit's alphabet starts at 'k' so digit 0 maps 'klmno' to
+    # itself — mult ≤ 2500 (planted) / rep ≤ 676 (unique) corpora are
+    # byte-identical to the two-layer formula they extend
+    alpha3 = "klmnopqrstuvwxyzabcdefghijklmn"
     p = f"(rep % greatest({mult} div 4, 1))"
     k1 = f"case when doc_id % 50 = 0 then cast({p} % 25 as int) else cast(rep % 26 as int) end"
     k2 = (
         f"case when doc_id % 50 = 0 then cast(({p} div 25) % 25 as int)"
         " else cast((rep div 26) % 26 as int) end"
     )
+    # without a third digit the planted key space is only 25² = 625:
+    # above mult=2500 distinct p values collide and cluster size grows
+    # past 4 (the quadratic verify load the constant-size fixture
+    # exists to avoid); likewise rep-uniqueness saturates at 26² = 676
+    k3 = (
+        f"case when doc_id % 50 = 0 then cast(({p} div 625) % 25 as int)"
+        " else cast((rep div 676) % 26 as int) end"
+    )
     synth = (
         base.withColumn("rep", F.explode(F.expr(f"sequence(1, {mult})")))
         .select(
             (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
             F.expr(
-                f"translate(translate(text,"
+                f"translate(translate(translate(text,"
                 f" 'abcde', substr('{alpha}', 1 + {k1}, 5)),"
-                f" 'fghij', substr('{alpha}', 1 + {k2}, 5))"
+                f" 'fghij', substr('{alpha}', 1 + {k2}, 5)),"
+                f" 'klmno', substr('{alpha3}', 1 + {k3}, 5))"
             ).alias("text"),
         )
     )
@@ -87,7 +101,12 @@ def child(cpus: int, sf_dir: str, mult: int) -> None:
     # insensitive to an 11% engine-CPU reduction that moved the
     # 2-thread wall by exactly 11% — the synthesis, not the dedup
     # pipeline, owned the 8-thread memory-bandwidth ceiling).
-    corpus_path = f"/tmp/dedup_scaling_corpus_{mult}"
+    # cache key carries the input dir AND a formula version: keyed by
+    # mult alone, a corpus synthesized from a different --sf-dir (or by
+    # an older substitution formula) would pass the _SUCCESS check and
+    # the timed pipeline would silently scan the wrong input
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus_path = f"/tmp/dedup_scaling_corpus_{sf_tag}_{mult}_v2"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         synth.write.mode("overwrite").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
@@ -169,7 +188,7 @@ def main() -> None:
 
 `python scripts/dedup_scaling_bench.py --sf-dir {args.sf_dir} --mult {args.mult} --levels {lo},{hi}` —
 the full MinHash-LSH near-dup pipeline over documents ×{args.mult}
-({r_lo['n_docs']:,} docs, exact-duplicate clusters of {args.mult // 25} planted
+({r_lo['n_docs']:,} docs, exact-duplicate clusters of {min(args.mult, 4)} planted
 via rep-keyed character substitution on ~2% of base docs; {r_lo['n_pairs']:,} verified pairs found):
 
 | parallelism | wall (s) | docs/sec |

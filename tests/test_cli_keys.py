@@ -78,3 +78,68 @@ def test_cli_pip_wkt_and_geojson_agree(spark, tmp_path, capsys):
     assert outs[0]["counts"] == outs[1]["counts"]
     assert outs[0]["n_polygons"] == 4
     assert all(v > 0 for v in outs[0]["counts"].values())
+
+
+def test_cli_pip_geoparquet_conventional_columns(spark, tmp_path, capsys):
+    """r5 review: the GeoParquet CLI path picks the conventional
+    geometry/poly_id columns (not an arbitrary first match) and its
+    counts equal the WKT path's."""
+    import json as _json
+
+    import pandas as pd
+
+    from htrc_ingester_spark import data
+
+    wkt_path = tmp_path / "polys.wkt"
+    wkt_path.write_text(
+        "".join(f"{pid}\t{w}\n" for pid, w in data.polygons_holes_wkt())
+    )
+    # extra string column 'notes' FIRST: a naive first-string-column
+    # pick would join against the wrong id
+    pq = pd.DataFrame(
+        {
+            "notes": [f"note-{i}" for i, _ in enumerate(data.polygons_holes_wkb())],
+            "poly_id": [pid for pid, _ in data.polygons_holes_wkb()],
+            "geometry": [wkb for _, wkb in data.polygons_holes_wkb()],
+        }
+    )
+    pq_path = tmp_path / "polys.parquet"
+    pq.to_parquet(pq_path)
+
+    outs = []
+    for path in (wkt_path, pq_path):
+        rc = cli_main(
+            ["pip", "--sf-dir", "/root/testdata/sf0.001", "--polygons", str(path)]
+        )
+        assert rc == 0
+        line = [
+            ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+        ][-1]
+        outs.append(_json.loads(line))
+    assert outs[0]["counts"] == outs[1]["counts"]
+
+
+def test_cli_pip_geoparquet_ambiguous_columns_fail_clearly(spark, tmp_path):
+    """r5 review: two unconventional string columns (or zero binary
+    columns) must produce a usable error, not StopIteration or an
+    arbitrary pick."""
+    import pandas as pd
+    import pytest
+
+    from htrc_ingester_spark import data
+
+    pq = pd.DataFrame(
+        {
+            "alpha": ["a"] * len(data.polygons_holes_wkb()),
+            "beta": ["b"] * len(data.polygons_holes_wkb()),
+            "blob": [wkb for _, wkb in data.polygons_holes_wkb()],
+            "blob2": [wkb for _, wkb in data.polygons_holes_wkb()],
+        }
+    )
+    pq_path = tmp_path / "ambiguous.parquet"
+    pq.to_parquet(pq_path)
+    with pytest.raises(SystemExit, match="could not pick"):
+        cli_main(
+            ["pip", "--sf-dir", "/root/testdata/sf0.001",
+             "--polygons", str(pq_path)]
+        )

@@ -249,3 +249,105 @@ def test_pq_fit_encode_unpersists_quantized_corpus(spark):
     # unpersist is async (blocking=False); allow at most one in flight
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before + 1
+
+
+# ---------------------------------------------------------------------------
+# Round-5 self-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_knn_bruteforce_empty_query_frame_returns_typed_empty(spark):
+    """r5 review: the oracle twin must handle zero queries like the
+    operator it verifies — an empty object-dtype pandas frame returns
+    an empty typed result, not 'can not infer schema'."""
+    import pandas as pd
+
+    from htrc_ingester_spark.operators.knn_join import knn_join_bruteforce
+
+    pts = spark.createDataFrame(
+        [("a", 10.0, 10.0)], "image_id string, lon double, lat double"
+    )
+    q = pd.DataFrame({"query_id": [], "lon": [], "lat": [], "k": []})
+    out = knn_join_bruteforce(spark, pts, q)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "image_id", "dist_m", "rank",
+    ]
+
+
+def test_bound_shingles_expr_matches_shingles_sql(spark):
+    """r5 review: the bound-array shingle template is now built in ONE
+    place (bound_shingles_expr); its string variant must emit the same
+    shingles as shingles_sql — the cross-dialect oracle contract."""
+    from pyspark.sql import functions as F
+
+    from htrc_ingester_spark.operators.textdedup import (
+        bound_shingles_expr,
+        shingles_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "the quick brown fox jumps over the lazy dog"),
+         ("d2", "one two"),
+         ("d3", "solo")],
+        "doc_id string, text string",
+    )
+    k = 3
+    bound = docs.select(
+        "doc_id", F.expr("split(text, ' ')").alias("_w")
+    ).select("doc_id", F.expr(bound_shingles_expr(k)).alias("sh"))
+    direct = docs.select(
+        "doc_id", F.expr(shingles_sql("text", k, "spark")).alias("sh")
+    )
+    assert sorted(bound.collect()) == sorted(direct.collect())
+
+
+def test_seed_res_antimeridian_width():
+    """r5 review: ring_bbox signals dateline crossing with
+    lon_min > lon_max; the seed-level pick must use the true (wrapped)
+    lon width, not a negative difference that collapses the span and
+    seeds a wide thin polygon thousands of cells too fine."""
+    import numpy as np
+
+    from htrc_ingester_spark.operators.pip_join import build_cell_cover
+
+    # 20 deg wide x 0.5 deg tall, straddling the dateline...
+    ring_x = [(170.0, 10.0), (-170.0, 10.0), (-170.0, 10.5), (170.0, 10.5)]
+    # ...and its mirror at lon 0 (identical size, no crossing)
+    ring_0 = [(-10.0, 10.0), (10.0, 10.0), (10.0, 10.5), (-10.0, 10.5)]
+    cov_x = build_cell_cover([{"poly_id": "x", "ring": ring_x}], res=5)
+    cov_0 = build_cell_cover([{"poly_id": "0", "ring": ring_0}], res=5)
+    # same polygon size => same-order cover size; the pre-fix seed
+    # (span collapsed to 0.5 deg) blew the crossing cover up ~50x
+    assert len(cov_x) <= 3 * len(cov_0)
+    assert cov_x["full"].any()
+
+
+def test_table_persist_lru_bounds_cached_frames():
+    """r5 review: pip_join_table registers its persisted frames in a
+    bounded LRU; frames from calls older than the window are
+    unpersisted (never destroyed) so long-lived sessions don't strand
+    three cached datasets per call."""
+    from htrc_ingester_spark.operators import pip_join as P
+
+    class Frame:
+        def __init__(self):
+            self.released = False
+
+        def unpersist(self, blocking=False):
+            self.released = True
+
+    saved = list(P._TABLE_PERSIST_LRU)
+    P._TABLE_PERSIST_LRU.clear()
+    try:
+        gens = [tuple(Frame() for _ in range(3)) for _ in range(5)]
+        for g in gens:
+            P._table_persist_register(*g)
+        assert len(P._TABLE_PERSIST_LRU) == P._TABLE_PERSIST_KEEP
+        for g in gens[: 5 - P._TABLE_PERSIST_KEEP]:
+            assert all(f.released for f in g)
+        for g in gens[5 - P._TABLE_PERSIST_KEEP :]:
+            assert not any(f.released for f in g)
+    finally:
+        P._TABLE_PERSIST_LRU.clear()
+        P._TABLE_PERSIST_LRU.extend(saved)
