@@ -206,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
             # an id column. Prefer the conventional names, fall back
             # to the only candidate, and fail with a usable message
             # rather than an arbitrary pick or a bare StopIteration.
-            from .geo.wkb import polys_df_from_wkb_column, polys_from_wkb_column
+            from .geo.wkb import polys_from_wkb_column
             from .operators.pip_join import _TABLE_POLYS_BUDGET, pip_join_table
 
             gdf = spark.read.parquet(args.polygons)
@@ -234,13 +234,19 @@ def main(argv: list[str] | None = None) -> int:
                 )
             n_polygons = gdf.count()
             if n_polygons > _TABLE_POLYS_BUDGET:
-                # the 10^6-parcel path: decode WKB DISTRIBUTED and feed
-                # the cover-as-table regime — the polygon set never
-                # round-trips through the driver
-                polys_df = polys_df_from_wkb_column(
-                    gdf, id_col=id_col, wkb_col=wkb_col
+                # the 10^6-parcel path: the cover-as-table regime runs
+                # WKB-native — hand it the raw binary column; decode
+                # happens inside the executor kernels and the polygon
+                # set never round-trips through the driver
+                joined = pip_join_table(
+                    spark,
+                    img,
+                    gdf.select(
+                        F.col(id_col).cast("string").alias("poly_id"),
+                        F.col(wkb_col).alias("wkb"),
+                    ),
+                    res=args.res,
                 )
-                joined = pip_join_table(spark, img, polys_df, res=args.res)
             else:
                 polys = polys_from_wkb_column(gdf, id_col=id_col, wkb_col=wkb_col)
         else:

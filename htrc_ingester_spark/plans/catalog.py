@@ -477,15 +477,16 @@ _register_fn("pip_join_many_polys", _pip_many, _pip_many_oracle())
 
 def _pip_wkb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full GeoParquet scale path end-to-end: 10^4 polygons arrive
-    as a BINARY WKB column (both byte orders), decode DISTRIBUTED
-    (geo.wkb.polys_df_from_wkb_column — one mapInPandas, no driver
-    collect), and probe through the cover-as-table regime. The one
-    composition a 10^6-parcel user actually runs: binary geometry in a
-    table, never on the driver. Same crossing-count oracle as
-    pip_join_many_polys — float64 is bit-exact on the WKB wire, so the
-    binary round-trip must reproduce the text entry's hashes."""
+    as a BINARY WKB column (both byte orders) handed STRAIGHT to the
+    cover-as-table regime — WKB is its native wire, so the binary
+    column rides every exchange and cache compactly and decodes to
+    numpy inside the executor kernels (no nested-array Arrow batches,
+    no driver collect). The one composition a 10^6-parcel user
+    actually runs: binary geometry in a table, never on the driver.
+    Same crossing-count oracle as pip_join_many_polys — float64 is
+    bit-exact on the WKB wire, so the binary round-trip must reproduce
+    the text entry's hashes."""
     from ..data import polygons_grid_wkb
-    from ..geo.wkb import polys_df_from_wkb_column
     from ..operators.pip_join import pip_join_table
 
     wdf = spark.createDataFrame(
@@ -493,9 +494,7 @@ def _pip_wkb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     img = FS.load_images(spark, sf_dir)
     return (
-        pip_join_table(
-            spark, img, polys_df_from_wkb_column(wdf), res=9, res_max=14
-        )
+        pip_join_table(spark, img, wdf, res=9, res_max=14)
         .select("image_id", "poly_id")
         .orderBy("image_id", "poly_id")
     )

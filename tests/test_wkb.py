@@ -71,6 +71,92 @@ class TestRoundTripFuzz:
         assert got == [[(float(a), float(b)) for a, b in rings[i]] for i in flat_order]
 
 
+class TestNumpyTwins:
+    """wkb_to_ring_arrays / ring_arrays_to_wkb: the executor-hot numpy
+    twins (the cover-as-table regime decodes every polygon with them
+    inside its kernels). Contract: IDENTICAL validation and
+    bit-identical values to the reference decoder, and the transport
+    encoder's output is readable by BOTH decoders."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _coord = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    _ring = st.lists(st.tuples(_coord, _coord), min_size=3, max_size=12)
+    _rings = st.lists(_ring, min_size=1, max_size=5)
+
+    @given(rings=_rings, big_endian=st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def test_array_decoder_matches_reference_decoder(self, rings, big_endian):
+        import numpy as np
+
+        from htrc_ingester_spark.geo.wkb import wkb_to_ring_arrays
+
+        blob = rings_to_wkb(rings, big_endian=big_endian)
+        ref = wkb_to_rings(blob)
+        arr = wkb_to_ring_arrays(blob)
+        assert len(arr) == len(ref)
+        for a, r in zip(arr, ref):
+            assert a.dtype == np.float64 and a.shape == (len(r), 2)
+            assert a.tolist() == [[x, y] for x, y in r]
+
+    @given(rings=_rings, n_groups=st.integers(min_value=1, max_value=3))
+    @settings(max_examples=100, deadline=None)
+    def test_array_decoder_matches_on_grouped_multipolygon(self, rings, n_groups):
+        from htrc_ingester_spark.geo.wkb import wkb_to_ring_arrays
+
+        n_groups = min(n_groups, len(rings))
+        groups = [list(range(i, len(rings), n_groups)) for i in range(n_groups)]
+        blob = rings_to_wkb(rings, groups=groups)
+        assert [a.tolist() for a in wkb_to_ring_arrays(blob)] == [
+            [[x, y] for x, y in r] for r in wkb_to_rings(blob)
+        ]
+
+    @given(rings=_rings)
+    @settings(max_examples=100, deadline=None)
+    def test_transport_encoder_roundtrips_through_both_decoders(self, rings):
+        import numpy as np
+
+        from htrc_ingester_spark.geo.wkb import (
+            ring_arrays_to_wkb,
+            wkb_to_ring_arrays,
+        )
+
+        arrays = [np.asarray(r, dtype=np.float64) for r in rings]
+        blob = ring_arrays_to_wkb(arrays)
+        back = wkb_to_ring_arrays(blob)
+        assert len(back) == len(arrays)
+        assert all((b == a).all() for b, a in zip(back, arrays))
+        # the reference decoder reads the same flat even-odd list
+        assert wkb_to_rings(blob) == [
+            [(float(x), float(y)) for x, y in r] for r in rings
+        ]
+
+    def test_rejects_the_same_malformed_inputs(self):
+        """Every blob the reference decoder rejects, the numpy twin
+        must reject too — same ValueError discipline, no misreads."""
+        from htrc_ingester_spark.geo.wkb import wkb_to_ring_arrays
+
+        ok = rings_to_wkb([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]])
+        bad = [
+            b"",  # truncated header
+            b"\x07" + ok[1:],  # bad byte-order marker
+            struct.pack("<BI", 1, 1),  # Point type
+            struct.pack("<BI", 1, 3 | 0x80000000),  # EWKB Z flag
+            struct.pack("<BII", 1, 1003, 0),  # ISO Z offset
+            ok + b"\x00",  # trailing byte
+            ok[:-1],  # truncated coordinates
+            struct.pack("<BIII", 1, 3, 1, 2) + b"\x00" * 32,  # 2-vertex ring
+        ]
+        for blob in bad:
+            with pytest.raises(ValueError):
+                wkb_to_rings(blob)
+            with pytest.raises(ValueError):
+                wkb_to_ring_arrays(blob)
+
+
 class TestDecoderRobustness:
     def _poly_wkb(self, typ: int, big_endian: bool = False, srid: int | None = None):
         e = ">" if big_endian else "<"
@@ -224,6 +310,46 @@ class TestDistributedDecode:
             .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
         )
         assert a.equals(b)
+
+    def test_raw_wkb_frame_is_native_and_identical(self, spark):
+        """A raw (poly_id, wkb) frame goes STRAIGHT into pip_join_table
+        — WKB is the regime's native wire — with results identical to
+        the broadcast regime, and the executed plan never materializes
+        a nested rings column (the binary cell is decoded inside the
+        executor kernels)."""
+        from htrc_ingester_spark.operators.pip_join import pip_join, pip_join_table
+
+        pdf = data.images_meta_pdf(300)
+        pts = spark.createDataFrame(pdf[["image_id", "lon", "lat"]])
+        wdf = spark.createDataFrame(
+            data.polygons_holes_wkb(), "poly_id string, wkb binary"
+        )
+        native = pip_join_table(spark, pts, wdf, res=7)
+        plan = native._jdf.queryExecution().executedPlan().toString()
+        assert "rings#" not in plan  # nested arrays never enter the plan
+        a = (
+            pip_join(spark, pts, data.polygons_holes(), res=7)
+            .select("image_id", "poly_id").toPandas()
+            .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
+        )
+        b = (
+            native.select("image_id", "poly_id").toPandas()
+            .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_malformed_blob_fails_native_path_with_poly_id(self, spark):
+        """Corruption must surface from the native path too, naming
+        the offending row (the decode now happens inside the cover
+        kernel, not a separate decode stage)."""
+        from htrc_ingester_spark.operators.pip_join import pip_join_table
+
+        pdf = data.images_meta_pdf(50)
+        pts = spark.createDataFrame(pdf[["image_id", "lon", "lat"]])
+        rows = [("good", data.polygons_holes_wkb()[0][1]), ("badrow", b"\x01\x03junk")]
+        wdf = spark.createDataFrame(rows, "poly_id string, wkb binary")
+        with pytest.raises(Exception, match="badrow"):
+            pip_join_table(spark, pts, wdf, res=7).collect()
 
     def test_malformed_blob_fails_task_with_poly_id(self, spark):
         """Interchange corruption must surface (the reference's
