@@ -58,7 +58,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import ensure_parallelism
 from ..geo import geometry as G
 from ..geo import h3lite as H
 from ..geo.backend import H3LiteBackend, get_backend
@@ -547,6 +546,10 @@ def pip_join(
 # regime instead of the serial driver build + broadcast
 _TABLE_POLYS_BUDGET = 4096
 
+# cover-build task granularity: ~256 KiB of WKB (~2.5k parcel-sized
+# polygons) per task — see the repartition comment in pip_join_table
+_COVER_TASK_BYTES = 256 * 1024
+
 # cache hygiene, table-regime twin of the broadcast regime's LRU memo:
 # each pip_join_table call persists its polygon table, cover, and
 # candidate skeleton (all three are consumed by the returned plan).
@@ -755,11 +758,36 @@ def pip_join_table(
     # the polygon table has up to three consumers (the refine-shape
     # aggregate, the cover build, and the refine join); persist the
     # compact binary once (10^6 parcels ≈ tens of MB), every consumer
-    # reads the materialization. Widen a narrow arrival first (a
-    # small-file polygon catalog packs to 1-2 splits, which would pin
-    # the cover kernel to 1-2 cores); no-op at catalog scale where the
-    # input arrives in thousands of splits.
-    polys_df = ensure_parallelism(polys_df).persist()
+    # reads the materialization.
+    #
+    # Partition it FINE first when it is big: the cover kernel costs
+    # ~ms per polygon — orders of magnitude more than shuffling its
+    # ~100-byte WKB cell — so the stage wants 3-4 tasks/core
+    # granularity, or the last wave runs partially idle (measured: a
+    # 10^6-polygon catalog packed to 11 splits ran the 8-core cover
+    # stage at 5.6/8 utilization — two waves, the second 3 tasks wide;
+    # wall 182 s vs 128 s fixed). The round-robin repartition also
+    # unclusters size-correlated catalog order (a region-sorted catalog
+    # puts all the coastline-grade polygons in one split). The target is
+    # SIZE-DRIVEN — ~256 KiB of WKB (~2.5k parcels) per task, clamped to
+    # [parallelism, 4x parallelism] — so a 10^4-polygon table is NOT
+    # shattered into micro-tasks (measured: an unconditional 4x/core
+    # split cost the 10^4-poly bench entries ~2 s/run in shuffle+task
+    # overhead). File scans — the arrivals that actually pack coarse —
+    # report real stats; unknown stats (LocalRelation / converted-rings
+    # lineage, both already sliced ~evenly by createDataFrame or the
+    # upstream shuffle) just ensure one task per core.
+    from .knn_join import _plan_size_bytes
+
+    para = spark.sparkContext.defaultParallelism
+    nbytes = _plan_size_bytes(polys_df)
+    if 0 < nbytes < (1 << 60):
+        want = max(para, min(4 * para, nbytes // _COVER_TASK_BYTES + 1))
+    else:
+        want = para
+    if polys_df.rdd.getNumPartitions() < want:
+        polys_df = polys_df.repartition(int(want))
+    polys_df = polys_df.persist()
     cover = polys_df.mapInPandas(
         _cover_map, schema="cell long, poly_id string, full boolean, res int"
     )
