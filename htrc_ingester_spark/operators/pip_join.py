@@ -207,6 +207,361 @@ def _cover_rings(
     return np.concatenate(out_cells), np.concatenate(out_full)
 
 
+# batch-kernel eligibility bounds (see _cover_rings_many)
+_BATCH_MAX_EDGES = 64
+_BATCH_MAX_CELLS_EST = 4096
+
+
+def _cover_rings_many(
+    rings_list: list[list[np.ndarray]],
+    res: int,
+    res_max: int,
+    be,
+    expand_gap: int = 0,
+    # classify-chunk size: keeps the (chunk, 4, E)-float64 temporaries
+    # ~CPU-cache-resident. At 200k rows they streamed ~40 MB each
+    # through DRAM and CONCURRENT workers contended: per-task time
+    # inflated 38% from 2 to 8 processes (raw-mp calibration); at 32k
+    # the inflation is zero (2.36 s → 2.37 s) and 8-way throughput
+    # rises 78k → 98k polys/s. Single-worker cost is flat across
+    # 8k-200k, so small-and-cache-friendly is strictly better.
+    chunk_rows: int = 32_000,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Adaptive covers for MANY polygons in vectorized cross-polygon
+    passes — the hot path of the distributed cover build. The per-poly
+    kernel (:func:`_cover_rings`) costs ~0.7 ms/polygon on 5-vertex
+    parcels, ~95% of it numpy dispatch overhead on a handful of cells
+    (~750 Python calls per polygon); here the prep (eligibility, ring
+    bboxes, seed covers, padded edge tables) runs as segment reductions
+    over ONE flat vertex array, and each cover LEVEL runs a constant
+    number of numpy ops over the whole (polygon, cell) frontier.
+    Decision-IDENTICAL to the per-poly kernel on eligible polygons
+    (same corner ray-cast, same edge-bbox overlap with ±360° shifts,
+    even-odd parity over the flat ring list = XOR of per-ring parities
+    = parity of total crossings — pinned by tests); a polygon falls
+    back to the per-poly kernel unless ALL of:
+
+    - every ring stays in ONE planar longitude frame (no lon step
+      ≥ 180° including the closing edge, so ``unwrap_ring`` is the
+      identity and winding is zero — no antimeridian shift, no
+      polar-cap meridian ray),
+    - every cover-cell corner satisfies |corner_lon − ring_center| <
+      180° so points_in_ring's modulo shift is also the identity
+      (union lon span + one coarsest-cell width < 178° suffices:
+      corners live within the rings' bbox cover ± one cell),
+    - the edge table stays small (≤ _BATCH_MAX_EDGES vertices) so NaN
+      padding waste is bounded,
+    - the cover is parcel-scale (bbox-estimated ≤ _BATCH_MAX_CELLS_EST
+      cells at res_max) — big covers amortize the per-polygon kernel's
+      dispatch overhead on their own, and the batch path's per-row
+      edge gather made them ~1.6× SLOWER (measured on 1°-wide fuzz
+      polygons).
+
+    Returns one (cells int64[], full bool[]) pair per input polygon.
+    """
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=bool))
+    out: list = [None] * len(rings_list)
+    if getattr(be, "name", "") != "h3lite" or not hasattr(be, "seed_res"):
+        for i, rings in enumerate(rings_list):
+            out[i] = (
+                _cover_rings(rings, res, res_max, be, expand_gap=expand_gap)
+                if rings
+                else empty
+            )
+        return out
+
+    # ---- flatten every ring of every polygon (one vertex array) ----
+    # polys with a degenerate (<3-vertex) ring are pre-routed to the
+    # per-poly kernel so every flat segment below is well-formed
+    rlon_l: list[np.ndarray] = []
+    ring_poly_l: list[int] = []
+    pre_fallback: list[int] = []
+    for i, rings in enumerate(rings_list):
+        if not rings:
+            out[i] = empty
+        elif any(len(r) < 3 for r in rings):
+            pre_fallback.append(i)
+        else:
+            rlon_l.extend([r for r in rings])
+            ring_poly_l.extend([i] * len(rings))
+    for i in pre_fallback:
+        out[i] = _cover_rings(rings_list[i], res, res_max, be, expand_gap=expand_gap)
+    if not rlon_l:
+        return out
+    lens = np.array([len(r) for r in rlon_l], dtype=np.int64)
+    vlon = np.concatenate([r[:, 0] for r in rlon_l])
+    vlat = np.concatenate([r[:, 1] for r in rlon_l])
+    ring_poly = np.array(ring_poly_l, dtype=np.int64)
+    voff = np.concatenate([[0], np.cumsum(lens)])
+    starts = voff[:-1]
+    V = len(vlon)
+    R = len(lens)
+    # polygon segments over the ring arrays (rings are in input order)
+    cand = np.unique(ring_poly)  # candidate polys, ascending
+    ring_b = np.searchsorted(cand, ring_poly)  # ring → candidate row
+    poly_nrings = np.bincount(ring_b, minlength=len(cand))
+    proff = np.concatenate([[0], np.cumsum(poly_nrings)])[:-1]  # reduceat starts
+
+    # ---- per-ring reductions ----
+    rmin_lon = np.minimum.reduceat(vlon, starts)
+    rmax_lon = np.maximum.reduceat(vlon, starts)
+    rmin_lat = np.minimum.reduceat(vlat, starts)
+    rmax_lat = np.maximum.reduceat(vlat, starts)
+    first_lon = vlon[starts]
+    last_lon = vlon[voff[1:] - 1]
+    first_lat = vlat[starts]
+    last_lat = vlat[voff[1:] - 1]
+    closed = (first_lon == last_lon) & (first_lat == last_lat)
+    # max |lon step| per ring: flat diffs with the cross-ring entries
+    # neutralized, the closing step checked explicitly (0 when closed)
+    d = np.abs(np.diff(vlon))
+    d[voff[1:-1] - 1] = 0.0
+    dmax = np.maximum.reduceat(d, np.minimum(starts, len(d) - 1))
+    planar = (np.maximum(dmax, np.abs(first_lon - last_lon)) < 180.0) & (lens >= 3)
+
+    # ---- per-polygon eligibility ----
+    p_planar = np.logical_and.reduceat(planar, proff)
+    p_lo = np.minimum.reduceat(rmin_lon, proff)
+    p_hi = np.maximum.reduceat(rmax_lon, proff)
+    p_tlo = np.minimum.reduceat(rmin_lat, proff)
+    p_thi = np.maximum.reduceat(rmax_lat, proff)
+    p_edges = np.add.reduceat(lens, proff)
+    cw = 360.0 / (1 << (res_max + 2))
+    ch = 180.0 / (1 << (res_max + 1))
+    if expand_gap:  # full cells expand to res_max → area-bounded
+        est = ((p_hi - p_lo) / cw + 2.0) * ((p_thi - p_tlo) / ch + 2.0)
+    else:  # compacted cover → boundary-shell-bounded
+        est = 4.0 * ((p_hi - p_lo + p_thi - p_tlo) / cw + 2.0)
+    p_ok = (
+        p_planar
+        & (p_edges <= _BATCH_MAX_EDGES)
+        & ((p_hi - p_lo) + 360.0 / (1 << (res + 2)) < 178.0)
+        & (est <= _BATCH_MAX_CELLS_EST)
+    )
+    for b0 in np.nonzero(~p_ok)[0]:
+        i = int(cand[b0])
+        out[i] = _cover_rings(rings_list[i], res, res_max, be, expand_gap=expand_gap)
+    if not p_ok.any():
+        return out
+    batch = [int(i) for i in cand[p_ok]]
+    B = len(batch)
+    # compact: keep only rings of batch polygons
+    old_to_new = np.full(len(cand), -1, dtype=np.int64)
+    old_to_new[np.nonzero(p_ok)[0]] = np.arange(B)
+    rkeep = p_ok[ring_b]
+    r_rows = np.nonzero(rkeep)[0]  # kept ring indices (global)
+    r_bnew = old_to_new[ring_b[r_rows]]  # kept ring → batch row
+
+    # ---- seed covers, replicating _cover_rings exactly:
+    # G.ring_bbox's planar branch normalizes each lon extreme into
+    # [-180, 180); the max spans are wrap-adjusted; seed_res picks the
+    # level; cover_bbox unions per-ring bbox cells ----
+    nlon0 = ((rmin_lon[r_rows] + 180.0) % 360.0) - 180.0
+    nlon1 = ((rmax_lon[r_rows] + 180.0) % 360.0) - 180.0
+    w = nlon1 - nlon0
+    dlon_ring = np.where(w >= 0.0, w, w + 360.0)
+    dlat_ring = rmax_lat[r_rows] - rmin_lat[r_rows]
+    # per-poly max spans (kept rings are contiguous per batch poly)
+    b_nrings = np.bincount(r_bnew, minlength=B)
+    boff = np.concatenate([[0], np.cumsum(b_nrings)])[:-1]
+    p_dlon = np.maximum.reduceat(dlon_ring, boff)
+    p_dlat = np.maximum.reduceat(dlat_ring, boff)
+    span = np.maximum(p_dlon, p_dlat)
+    # seed_res: r_start = res + #{k in (res, res_max] : 90/2^k >= span}
+    # (the monotone closed form of the backend's while loop)
+    ks = np.arange(res + 1, res_max + 1, dtype=np.int64)
+    r_start = (
+        res
+        + ((90.0 / (1 << ks))[None, :] >= span[:, None]).sum(axis=1)
+        if len(ks)
+        else np.full(B, res, dtype=np.int64)
+    ).astype(np.int64)
+    # cover_bbox per ring at its poly's seed level (vectorized common
+    # branch; the rare normalized-crossing rings take the scalar call)
+    rs_ring = r_start[r_bnew]
+    nxr = np.int64(1) << (rs_ring + 2)
+    nyr = np.int64(1) << (rs_ring + 1)
+    y0 = np.clip(
+        np.floor((rmin_lat[r_rows] + 90.0) / 180.0 * nyr).astype(np.int64), 0, nyr - 1
+    )
+    y1 = np.clip(
+        np.floor((rmax_lat[r_rows] + 90.0) / 180.0 * nyr).astype(np.int64), 0, nyr - 1
+    )
+    x0 = np.clip(np.floor((nlon0 + 180.0) / 360.0 * nxr).astype(np.int64), 0, nxr - 1)
+    x1 = np.clip(np.floor((nlon1 + 180.0) / 360.0 * nxr).astype(np.int64), 0, nxr - 1)
+    crossing = nlon0 > nlon1
+    ncr = np.nonzero(~crossing)[0]
+    counts = (x1[ncr] - x0[ncr] + 1) * (y1[ncr] - y0[ncr] + 1)
+    coffs = np.concatenate([[0], np.cumsum(counts)])
+    rep = np.repeat(np.arange(len(ncr)), counts)
+    k = np.arange(int(coffs[-1]), dtype=np.int64) - np.repeat(coffs[:-1], counts)
+    nxp = (x1[ncr] - x0[ncr] + 1)[rep]
+    sx = x0[ncr][rep] + (k % nxp)
+    sy = y0[ncr][rep] + (k // nxp)
+    rsr = rs_ring[ncr][rep]
+    seed_cells = (rsr << H._RES_SHIFT) | (sx << H._X_SHIFT) | sy
+    seed_pidx = r_bnew[ncr][rep]
+    if crossing.any():  # normalized-wrap rings (e.g. a vertex at +180)
+        extra_c = []
+        extra_p = []
+        for j in np.nonzero(crossing)[0]:
+            g = r_rows[j]
+            s = be.cover_bbox(
+                float(nlon0[j]), float(rmin_lat[g]), float(nlon1[j]),
+                float(rmax_lat[g]), int(rs_ring[j]),
+            )
+            extra_c.append(s)
+            extra_p.append(np.full(len(s), r_bnew[j], dtype=np.int64))
+        seed_cells = np.concatenate([seed_cells] + extra_c)
+        seed_pidx = np.concatenate([seed_pidx] + extra_p)
+    # per-poly unique (the per-poly kernel np.unique's its seed union)
+    order = np.lexsort((seed_cells, seed_pidx))
+    seed_cells = seed_cells[order]
+    seed_pidx = seed_pidx[order]
+    if len(seed_cells):
+        keep = np.concatenate(
+            [[True], (seed_pidx[1:] != seed_pidx[:-1]) | (seed_cells[1:] != seed_cells[:-1])]
+        )
+        seed_cells = seed_cells[keep]
+        seed_pidx = seed_pidx[keep]
+    seed_rs = r_start[seed_pidx]
+
+    # ---- padded per-polygon edge tables. Parity edges mirror
+    # points_in_ring (a synthetic closing edge is appended only when
+    # the ring arrives OPEN); the per-poly kernel's edge-bbox test runs
+    # on the ring AS GIVEN (no synthetic closure), so synthetic entries
+    # are exempted from the bbox arrays — decision identity, not just
+    # soundness ----
+    e_ring = np.where(closed[r_rows], lens[r_rows] - 1, lens[r_rows])
+    e_poly = np.add.reduceat(e_ring, boff)
+    e_max = int(e_poly.max())
+    eoffs = np.concatenate([[0], np.cumsum(e_ring)])
+    tot_e = int(eoffs[-1])
+    eridx = np.repeat(np.arange(len(r_rows)), e_ring)  # edge → kept-ring
+    ek = np.arange(tot_e, dtype=np.int64) - np.repeat(eoffs[:-1], e_ring)
+    gstart = starts[r_rows][eridx]
+    src1 = gstart + ek
+    open_last = (~closed[r_rows][eridx]) & (ek == (e_ring[eridx] - 1))
+    src2 = np.where(open_last, gstart, src1 + 1)
+    # position of each edge inside its polygon's padded row
+    pbase = np.concatenate([[0], np.cumsum(e_poly)])[:-1]
+    pos = (eoffs[:-1] - pbase[r_bnew])[eridx] + ek
+    tgt = r_bnew[eridx] * e_max + pos
+    ex1 = np.full(B * e_max, np.nan)
+    ey1 = np.full(B * e_max, np.nan)
+    ex2 = np.full(B * e_max, np.nan)
+    ey2 = np.full(B * e_max, np.nan)
+    syn_close = np.zeros(B * e_max, dtype=bool)
+    ex1[tgt] = vlon[src1]
+    ey1[tgt] = vlat[src1]
+    ex2[tgt] = vlon[src2]
+    ey2[tgt] = vlat[src2]
+    syn_close[tgt] = open_last
+    ex1 = ex1.reshape(B, e_max)
+    ey1 = ey1.reshape(B, e_max)
+    ex2 = ex2.reshape(B, e_max)
+    ey2 = ey2.reshape(B, e_max)
+    syn_close = syn_close.reshape(B, e_max)
+
+    e_lon0 = np.minimum(ex1, ex2)
+    e_lon1 = np.maximum(ex1, ex2)
+    e_lat0 = np.minimum(ey1, ey2)
+    e_lat1 = np.maximum(ey1, ey2)
+    # NaN (never-hit) for the synthetic closing edges the per-poly
+    # kernel's bbox test never sees
+    for arr in (e_lon0, e_lon1, e_lat0, e_lat1):
+        arr[syn_close] = np.nan
+
+    acc_c: list[np.ndarray] = []
+    acc_f: list[np.ndarray] = []
+    acc_p: list[np.ndarray] = []
+
+    def _classify_chunk(cells, pidx):
+        c_lons, c_lats = be.cell_corners(cells)  # (n, 4)
+        cl0 = c_lons.min(axis=1)
+        cl1 = c_lons.max(axis=1)
+        ct0 = c_lats.min(axis=1)
+        ct1 = c_lats.max(axis=1)
+        x1 = ex1[pidx][:, None, :]
+        y1 = ey1[pidx][:, None, :]
+        x2 = ex2[pidx][:, None, :]
+        y2 = ey2[pidx][:, None, :]
+        px = c_lons[:, :, None]
+        py = c_lats[:, :, None]
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        corner_in = ((cond & (px < xint)).sum(axis=2) % 2) == 1  # (n, 4)
+        el0 = e_lon0[pidx]
+        el1 = e_lon1[pidx]
+        et0 = e_lat0[pidx]
+        et1 = e_lat1[pidx]
+        lat_ok = (ct0[:, None] <= et1) & (ct1[:, None] >= et0)
+        bhit = np.zeros(len(cells), dtype=bool)
+        for shift in (-360.0, 0.0, 360.0):
+            bhit |= (
+                ((cl0 + shift)[:, None] <= el1)
+                & ((cl1 + shift)[:, None] >= el0)
+                & lat_ok
+            ).any(axis=1)
+        all_in = corner_in.all(axis=1)
+        any_in = corner_in.any(axis=1)
+        full = all_in & ~bhit
+        partial = ~full & (bhit | any_in)
+        return full, partial
+
+    f_cells = np.array([], dtype=np.int64)
+    f_pidx = np.array([], dtype=np.int64)
+    lvl_min = int(r_start.min())
+    for level in range(lvl_min, res_max + 1):
+        inject = seed_rs == level
+        f_cells = np.concatenate([f_cells, seed_cells[inject]])
+        f_pidx = np.concatenate([f_pidx, seed_pidx[inject]])
+        if len(f_cells) == 0:
+            continue
+        full = np.empty(len(f_cells), dtype=bool)
+        partial = np.empty(len(f_cells), dtype=bool)
+        for s in range(0, len(f_cells), chunk_rows):
+            e = s + chunk_rows
+            full[s:e], partial[s:e] = _classify_chunk(f_cells[s:e], f_pidx[s:e])
+        if full.any():
+            fc = f_cells[full]
+            fp = f_pidx[full]
+            if expand_gap and level < res_max and res_max - level <= expand_gap:
+                for _ in range(res_max - level):
+                    fc, par = be.cells_to_children(fc)
+                    fp = fp[par]
+            acc_c.append(fc)
+            acc_f.append(np.ones(len(fc), dtype=bool))
+            acc_p.append(fp)
+        if level == res_max:
+            if partial.any():
+                acc_c.append(f_cells[partial])
+                acc_f.append(np.zeros(int(partial.sum()), dtype=bool))
+                acc_p.append(f_pidx[partial])
+        else:
+            f_cells, par = be.cells_to_children(f_cells[partial])
+            f_pidx = f_pidx[partial][par]
+
+    # --- scatter accumulated rows back to per-polygon outputs ---
+    if acc_c:
+        cells_all = np.concatenate(acc_c)
+        full_all = np.concatenate(acc_f)
+        pidx_all = np.concatenate(acc_p)
+        order = np.argsort(pidx_all, kind="stable")
+        cells_all = cells_all[order]
+        full_all = full_all[order]
+        counts = np.bincount(pidx_all, minlength=B)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for b, i in enumerate(batch):
+            s, e = offs[b], offs[b + 1]
+            out[i] = (cells_all[s:e], full_all[s:e])
+    for i in batch:
+        if out[i] is None:
+            out[i] = empty
+    return out
+
+
 def build_cell_cover(
     polys: list[dict], res: int, res_max: int | None = None, backend=None
 ) -> pd.DataFrame:
@@ -224,22 +579,18 @@ def build_cell_cover(
     be = backend or H3LiteBackend()
     if res_max is None:
         res_max = min(res + 5, be.res_max)
-    rows_cell: list[np.ndarray] = []
-    rows_pid: list[str] = []
-    rows_full: list[np.ndarray] = []
-    for p in polys:
-        cells, full = _cover_rings(poly_rings(p), res, res_max, be)
-        if len(cells):
-            rows_cell.append(cells)
-            rows_pid.extend([p["poly_id"]] * len(cells))
-            rows_full.append(full)
+    covers = _cover_rings_many([poly_rings(p) for p in polys], res, res_max, be)
+    rows_cell = [c for c, _f in covers if len(c)]
     if not rows_cell:
         return pd.DataFrame({"cell": np.array([], dtype=np.int64), "poly_id": [], "full": []})
     return pd.DataFrame(
         {
             "cell": np.concatenate(rows_cell),
-            "poly_id": np.array(rows_pid, dtype=object),
-            "full": np.concatenate(rows_full),
+            "poly_id": np.repeat(
+                np.array([p["poly_id"] for p in polys], dtype=object),
+                [len(c) for c, _f in covers],
+            ),
+            "full": np.concatenate([f for c, f in covers if len(c)]),
         }
     )
 
@@ -732,28 +1083,24 @@ def pip_join_table(
 
     def _cover_map(batches):
         for pdf in batches:
-            cells_l: list[np.ndarray] = []
-            pids: list[str] = []
-            fulls: list[np.ndarray] = []
-            for pid, blob in zip(pdf["poly_id"], pdf["wkb"]):
-                rings = _decode_poly(pid, blob)
-                if not rings:
-                    continue  # empty geometry matches nothing
-                c, f = _cover_rings(rings, r_lo, r_hi, be, expand_gap=3)
-                if len(c):
-                    cells_l.append(c)
-                    pids.extend([pid] * len(c))
-                    fulls.append(f)
-            if cells_l:
-                cells = np.concatenate(cells_l)
-                yield pd.DataFrame(
-                    {
-                        "cell": cells,
-                        "poly_id": np.array(pids, dtype=object),
-                        "full": np.concatenate(fulls),
-                        "res": be.cell_res(cells).astype(np.int32),
-                    }
-                )
+            ids = [str(p) for p in pdf["poly_id"]]
+            rl = [_decode_poly(p, blob) for p, blob in zip(ids, pdf["wkb"])]
+            covers = _cover_rings_many(rl, r_lo, r_hi, be, expand_gap=3)
+            cells_l = [c for c, _f in covers if len(c)]
+            if not cells_l:
+                continue
+            cells = np.concatenate(cells_l)
+            yield pd.DataFrame(
+                {
+                    "cell": cells,
+                    "poly_id": np.repeat(
+                        np.array(ids, dtype=object),
+                        [len(c) for c, _f in covers],
+                    ),
+                    "full": np.concatenate([f for _c, f in covers if len(_c)]),
+                    "res": be.cell_res(cells).astype(np.int32),
+                }
+            )
 
     # the polygon table has up to three consumers (the refine-shape
     # aggregate, the cover build, and the refine join); persist the

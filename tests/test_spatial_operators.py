@@ -1372,6 +1372,95 @@ class TestAdaptiveCells:
         assert (out.res == 2).all()  # nothing hot → no splitting
 
 
+class TestBatchCoverKernel:
+    """_cover_rings_many (the vectorized cross-polygon cover build)
+    must be decision-IDENTICAL to the per-polygon kernel on every
+    fixture family — same cells, same full/partial labels — including
+    the fallback families (antimeridian, polar caps, vertex-heavy,
+    large covers) and open-vs-closed ring arrivals."""
+
+    @staticmethod
+    def _assert_identical(rings_list, res, res_max, gap):
+        import numpy as np
+
+        from htrc_ingester_spark.operators import pip_join as PJ
+
+        be = PJ.get_backend(None)
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=bool))
+        per = [
+            PJ._cover_rings(r, res, res_max, be, expand_gap=gap) if r else empty
+            for r in rings_list
+        ]
+        many = PJ._cover_rings_many(rings_list, res, res_max, be, expand_gap=gap)
+        for i, ((c1, f1), (c2, f2)) in enumerate(zip(per, many)):
+            assert sorted(zip(c1.tolist(), f1.tolist())) == sorted(
+                zip(c2.tolist(), f2.tolist())
+            ), f"cover mismatch for polygon {i}"
+
+    def _rl(self, polys):
+        from htrc_ingester_spark.operators.pip_join import poly_rings
+
+        return [poly_rings(p) for p in polys]
+
+    def test_parcel_grid_identical_both_gaps(self):
+        self._assert_identical(self._rl(data.polygons_grid(1500)), 9, 14, 3)
+        self._assert_identical(self._rl(data.polygons_grid(1500)), 9, 12, 0)
+
+    def test_general_and_holes_fixtures_identical(self):
+        self._assert_identical(self._rl(data.polygons()), 7, 12, 0)
+        self._assert_identical(self._rl(data.polygons_holes()), 7, 12, 0)
+        self._assert_identical(self._rl(data.polygons_holes()), 7, 12, 3)
+
+    def test_open_ring_arrivals_identical(self):
+        """Open rings take a synthetic parity-closing edge that the
+        per-poly kernel's edge-bbox test never sees — the batch kernel
+        must reproduce that asymmetry, not just be sound."""
+        import numpy as np
+
+        def open_rings(rings):
+            return [
+                r[:-1]
+                if (len(r) > 3 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1])
+                else r
+                for r in rings
+            ]
+
+        rl = [open_rings(r) for r in self._rl(data.polygons_holes())]
+        assert any(
+            not (np.array_equal(r[0][0], r[0][-1])) for r in rl
+        )  # fixture really is open now
+        self._assert_identical(rl, 7, 12, 0)
+
+    def test_fuzz_identical_including_fallback_shapes(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        polys = []
+        for i in range(400):
+            cx, cy = rng.uniform(-179.8, 179.8), rng.uniform(-88, 88)
+            k = int(rng.integers(3, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(0.0005, 0.5)  # spans batch AND fallback sizes
+            ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+            if i % 3 == 0:
+                ring = np.concatenate([ring, ring[:1]])  # closed variant
+            polys.append([ring])
+        self._assert_identical(polys, 7, 13, 3)
+
+    def test_antimeridian_polar_and_degenerate_identical(self):
+        import numpy as np
+
+        cases = [
+            [],  # no rings
+            [np.array([[179.5, 10.0], [-179.5, 10.0], [-179.5, 11.0], [179.5, 11.0]])],
+            [np.array([[0.0, 85.0], [120.0, 85.0], [-120.0, 85.0]])],  # polar cap
+            [np.array([[179.99, -5.0], [180.0, -5.0], [180.0, 5.0], [179.99, 5.0]])],
+            [np.array([[10.0, 10.0], [10.001, 10.0], [10.0005, 10.001]])],
+        ]
+        self._assert_identical(cases, 5, 9, 0)
+        self._assert_identical(cases, 5, 9, 3)
+
+
 class TestPIPTable:
     """Cover-as-table regime (VERDICT r4 #1): distributed cover build +
     cell-keyed shuffle probe must be RESULT-IDENTICAL to the broadcast
