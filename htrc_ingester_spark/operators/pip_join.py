@@ -337,6 +337,16 @@ def _cover_rings_many(
         & (p_edges <= _BATCH_MAX_EDGES)
         & ((p_hi - p_lo) + 360.0 / (1 << (res + 2)) < 178.0)
         & (est <= _BATCH_MAX_CELLS_EST)
+        # the batch classifier compares RAW ring lons against raw cell
+        # corners; the per-poly kernel re-frames corners modulo 360.
+        # The frames coincide only when the ring lives strictly inside
+        # [-180, 180): out-of-range lons, and a ring TOUCHING +180
+        # (ring_bbox normalizes 180 → -180 and seeds through the
+        # antimeridian branch), fall back to the per-poly kernel —
+        # caught by an actual mismatch on a lon-185 fixture, now a
+        # regression test
+        & (p_lo >= -180.0)
+        & (p_hi < 180.0)
     )
     for b0 in np.nonzero(~p_ok)[0]:
         i = int(cand[b0])
@@ -451,16 +461,28 @@ def _cover_rings_many(
     ey1 = np.full(B * e_max, np.nan)
     ex2 = np.full(B * e_max, np.nan)
     ey2 = np.full(B * e_max, np.nan)
+    ecen = np.full(B * e_max, np.nan)
     syn_close = np.zeros(B * e_max, dtype=bool)
     ex1[tgt] = vlon[src1]
     ey1[tgt] = vlat[src1]
     ex2[tgt] = vlon[src2]
     ey2[tgt] = vlat[src2]
+    # each edge carries ITS ring's longitude-frame center: the per-poly
+    # kernel shifts query lons per ring via
+    # plon = center + ((lon − center + 180) % 360 − 180), which is the
+    # identity in exact arithmetic but perturbs lons by ~1 ulp in
+    # float64 — enough to flip a corner lying EXACTLY on a polygon
+    # edge (caught by a real mismatch on an axis-aligned square whose
+    # edge coincides with a cell boundary). The batch classifier must
+    # apply the SAME transform per (corner, ring) to stay
+    # decision-identical, not just mathematically equal.
+    ecen[tgt] = (0.5 * (rmin_lon[r_rows] + rmax_lon[r_rows]))[eridx]
     syn_close[tgt] = open_last
     ex1 = ex1.reshape(B, e_max)
     ey1 = ey1.reshape(B, e_max)
     ex2 = ex2.reshape(B, e_max)
     ey2 = ey2.reshape(B, e_max)
+    ecen = ecen.reshape(B, e_max)
     syn_close = syn_close.reshape(B, e_max)
 
     e_lon0 = np.minimum(ex1, ex2)
@@ -488,10 +510,15 @@ def _cover_rings_many(
         y2 = ey2[pidx][:, None, :]
         px = c_lons[:, :, None]
         py = c_lats[:, :, None]
+        # per-ring frame shift, bit-identical to points_in_ring (see
+        # the ecen construction note): NaN-padded edges yield NaN
+        # shifted lons whose comparisons are all False
+        cen = ecen[pidx][:, None, :]
+        pxs = cen + ((px - cen + 180.0) % 360.0 - 180.0)
         cond = (y1 > py) != (y2 > py)
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-        corner_in = ((cond & (px < xint)).sum(axis=2) % 2) == 1  # (n, 4)
+        corner_in = ((cond & (pxs < xint)).sum(axis=2) % 2) == 1  # (n, 4)
         el0 = e_lon0[pidx]
         el1 = e_lon1[pidx]
         et0 = e_lat0[pidx]

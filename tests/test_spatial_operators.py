@@ -1447,6 +1447,54 @@ class TestBatchCoverKernel:
             polys.append([ring])
         self._assert_identical(polys, 7, 13, 3)
 
+    def test_grid_aligned_edges_identical(self):
+        """Polygon edges lying EXACTLY on cell boundaries: the per-poly
+        kernel's per-ring frame shift (center + ((lon − center + 180) %
+        360 − 180)) perturbs query lons by ~1 ulp, flipping corners
+        that sit exactly on an edge — the batch kernel must apply the
+        SAME transform per (corner, ring), not the raw lon (caught as a
+        real full/partial divergence on an axis-aligned square)."""
+        import numpy as np
+
+        big = [np.array([[0.0, 0.0], [0.35, 0.0], [0.35, 0.35], [0.0, 0.35]])]
+        for gap in (0, 1, 3):
+            self._assert_identical([big], 8, 11, gap)
+        cases = []
+        for k in range(40):
+            w = 90.0 / (1 << (8 + (k % 4)))
+            x0 = -180.0 + (k * 7) * w
+            y0 = -90.0 + (k * 3) * w
+            cases.append(
+                [
+                    np.array(
+                        [
+                            [x0, y0],
+                            [x0 + 5 * w, y0],
+                            [x0 + 5 * w, y0 + 5 * w],
+                            [x0, y0 + 5 * w],
+                        ]
+                    )
+                ]
+            )
+        self._assert_identical(cases, 8, 12, 3)
+
+    def test_out_of_frame_lons_identical(self):
+        """Rings outside [-180, 180) or touching exactly +180 (where
+        ring_bbox's normalization flips the seed bbox through the
+        antimeridian branch) must classify identically — they take the
+        per-poly fallback via the frame gate (caught as a real
+        mismatch on a lon-185 fixture)."""
+        import numpy as np
+
+        cases = [
+            [np.array([[179.9, 0.0], [180.0, 0.0], [180.0, 1.0], [179.9, 1.0]])],
+            [np.array([[184.0, 5.0], [185.0, 5.0], [184.5, 6.0]])],
+            [np.array([[-184.0, 5.0], [-185.0, 5.0], [-184.5, 6.0]])],
+            [np.array([[-180.0, 0.0], [-179.9, 0.0], [-179.9, 1.0], [-180.0, 1.0]])],
+        ]
+        self._assert_identical(cases, 5, 10, 0)
+        self._assert_identical(cases, 5, 10, 3)
+
     def test_antimeridian_polar_and_degenerate_identical(self):
         import numpy as np
 
