@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 __all__ = [
     "wkb_to_rings",
     "wkb_to_ring_arrays",
@@ -129,8 +131,6 @@ def _read_ring_np(r: _Reader, e: str):
     the coordinate block (no per-vertex Python objects), byte-swapped
     to native when the wire is big-endian. Bit-identical values to
     :func:`_read_ring` (both are raw IEEE-754 reads)."""
-    import numpy as np
-
     (n,) = r.take(e + "I", 4)
     end = r.pos + 16 * n
     if end > len(r.buf):
@@ -185,17 +185,32 @@ def ring_arrays_to_wkb(rings) -> bytes:
     and :func:`wkb_to_ring_arrays` returns the same flat list. Use
     :func:`rings_to_wkb` with ``groups`` when emitting structured OGC
     geometry for external consumers. numpy ``tobytes`` writes the
-    coordinate block in one call — no per-vertex struct.pack."""
-    import numpy as np
+    coordinate block in one call — no per-vertex struct.pack.
 
-    out = bytearray()
-    out += b"\x01" + struct.pack("<II", _POLYGON, len(rings))
+    Degenerate (<3-vertex) rings are NORMALIZED AWAY here: the engine's
+    spec-list API tolerates them as even-odd no-ops
+    (geometry.points_in_ring returns all-False below 3 vertices, and
+    the cover kernels pre-route such polygons to the per-poly path), so
+    dropping them is decision-identical — and it keeps the strict
+    decoders (:func:`wkb_to_ring_arrays` / :func:`wkb_to_rings`, which
+    reject <3-vertex rings as interchange corruption) total over every
+    engine-produced blob. Without this, a tolerated driver spec crashed
+    the table regime's executor decode while the broadcast regime
+    accepted it."""
+    blocks = []
+    kept = 0
     for ring in rings:
         a = np.ascontiguousarray(
             np.asarray(ring, dtype=np.float64).reshape(-1, 2), dtype="<f8"
         )
-        out += struct.pack("<I", len(a))
-        out += a.tobytes()
+        if len(a) < 3:
+            continue
+        blocks.append(struct.pack("<I", len(a)) + a.tobytes())
+        kept += 1
+    out = bytearray()
+    out += b"\x01" + struct.pack("<II", _POLYGON, kept)
+    for b in blocks:
+        out += b
     return bytes(out)
 
 

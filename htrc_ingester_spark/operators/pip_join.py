@@ -399,31 +399,23 @@ def _cover_rings_many(
     )
     x0 = np.clip(np.floor((nlon0 + 180.0) / 360.0 * nxr).astype(np.int64), 0, nxr - 1)
     x1 = np.clip(np.floor((nlon1 + 180.0) / 360.0 * nxr).astype(np.int64), 0, nxr - 1)
-    crossing = nlon0 > nlon1
-    ncr = np.nonzero(~crossing)[0]
-    counts = (x1[ncr] - x0[ncr] + 1) * (y1[ncr] - y0[ncr] + 1)
+    # gate-implied invariant: ((x+180)%360)-180 is the IDENTITY on
+    # [-180, 180), and the batch keeps only polys with every lon in
+    # that half-open range (p_lo >= -180, p_hi < 180 above), so
+    # nlon0 <= nlon1 for every kept ring — a ring touching +180
+    # normalizes to a crossing (lon_min > lon_max) bbox in ring_bbox
+    # and is pre-routed to the per-poly kernel by the p_hi gate.
+    assert not (nlon0 > nlon1).any(), "batch gate violated: crossing ring bbox"
+    counts = (x1 - x0 + 1) * (y1 - y0 + 1)
     coffs = np.concatenate([[0], np.cumsum(counts)])
-    rep = np.repeat(np.arange(len(ncr)), counts)
+    rep = np.repeat(np.arange(len(counts)), counts)
     k = np.arange(int(coffs[-1]), dtype=np.int64) - np.repeat(coffs[:-1], counts)
-    nxp = (x1[ncr] - x0[ncr] + 1)[rep]
-    sx = x0[ncr][rep] + (k % nxp)
-    sy = y0[ncr][rep] + (k // nxp)
-    rsr = rs_ring[ncr][rep]
+    nxp = (x1 - x0 + 1)[rep]
+    sx = x0[rep] + (k % nxp)
+    sy = y0[rep] + (k // nxp)
+    rsr = rs_ring[rep]
     seed_cells = (rsr << H._RES_SHIFT) | (sx << H._X_SHIFT) | sy
-    seed_pidx = r_bnew[ncr][rep]
-    if crossing.any():  # normalized-wrap rings (e.g. a vertex at +180)
-        extra_c = []
-        extra_p = []
-        for j in np.nonzero(crossing)[0]:
-            g = r_rows[j]
-            s = be.cover_bbox(
-                float(nlon0[j]), float(rmin_lat[g]), float(nlon1[j]),
-                float(rmax_lat[g]), int(rs_ring[j]),
-            )
-            extra_c.append(s)
-            extra_p.append(np.full(len(s), r_bnew[j], dtype=np.int64))
-        seed_cells = np.concatenate([seed_cells] + extra_c)
-        seed_pidx = np.concatenate([seed_pidx] + extra_p)
+    seed_pidx = r_bnew[rep]
     # per-poly unique (the per-poly kernel np.unique's its seed union)
     order = np.lexsort((seed_cells, seed_pidx))
     seed_cells = seed_cells[order]

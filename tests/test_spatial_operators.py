@@ -1547,6 +1547,30 @@ class TestPIPTable:
         pd.testing.assert_frame_equal(tb, bc)
         assert len(bc) > 0
 
+    def test_table_matches_broadcast_with_degenerate_ring(self, spark, images_df):
+        """A tolerated <3-vertex ring (an even-odd no-op in
+        points_in_ring) must not crash the table regime's WKB
+        transport: the internal encoder normalizes it away
+        (self-review r5). Both polygon arrival shapes are exercised
+        — the nested-rings frame and the driver-encoded wkb frame."""
+        from htrc_ingester_spark.operators.pip_join import (
+            pip_join_table,
+            polys_to_df,
+            polys_to_wkb_df,
+        )
+
+        polys = [dict(p) for p in data.polygons()[:3]]
+        first = polys[0]
+        first["rings"] = [list(first.pop("ring")), [(0.0, 0.0), (1.0, 1.0)]]
+        bc = self._hits(pip_join(spark, images_df, polys, res=7))
+        for polys_frame in (
+            polys_to_df(spark, polys),
+            polys_to_wkb_df(spark, polys),
+        ):
+            tb = self._hits(pip_join_table(spark, images_df, polys_frame, res=7))
+            pd.testing.assert_frame_equal(tb, bc)
+        assert len(bc) > 0
+
     def test_auto_dispatch_past_polys_budget(self, spark, images_df, monkeypatch):
         from htrc_ingester_spark.operators import pip_join as PJ
 

@@ -221,6 +221,42 @@ class TestDecoderRobustness:
         assert wkb_to_rings(buf) == [ring]
 
 
+class TestTransportNormalization:
+    """ring_arrays_to_wkb is the engine's INTERNAL wire encoder: the
+    spec-list API tolerates degenerate (<3-vertex) rings as even-odd
+    no-ops (geometry.points_in_ring returns all-False below 3
+    vertices), so the encoder normalizes them away — otherwise a
+    tolerated driver spec crashed the table regime's strict executor
+    decode while the broadcast regime accepted it (self-review r5)."""
+
+    def test_degenerate_rings_dropped_on_encode(self):
+        import numpy as np
+
+        from htrc_ingester_spark.geo.wkb import (
+            ring_arrays_to_wkb,
+            wkb_to_ring_arrays,
+        )
+
+        shell = np.array(
+            [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]
+        )
+        deg2 = np.array([[1.0, 1.0], [2.0, 2.0]])
+        blob = ring_arrays_to_wkb([shell, deg2, deg2[:1]])
+        got = wkb_to_ring_arrays(blob)
+        assert len(got) == 1
+        assert np.array_equal(got[0], shell)
+        # the strict text-tuple decoder accepts the same blob
+        assert len(wkb_to_rings(blob)) == 1
+
+    def test_all_degenerate_encodes_empty_polygon(self):
+        import numpy as np
+
+        from htrc_ingester_spark.geo.wkb import ring_arrays_to_wkb
+
+        deg2 = np.array([[1.0, 1.0], [2.0, 2.0]])
+        assert wkb_to_rings(ring_arrays_to_wkb([deg2])) == []
+
+
 class TestSparkColumnIngestion:
     def test_wkb_column_to_pip_join_matches_direct_spec(self, spark):
         """End-to-end: WKB in a Spark BINARY column (the GeoParquet
