@@ -33,6 +33,8 @@ content-keyed, partitioning-independent, shared by every PQ subspace.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints are stringized
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -76,6 +78,133 @@ def _quant_expr(vec: str, quant: int, dialect: str) -> str:
             f" |x| exceeds {COORD_BOUND}') as bigint)))"
         )
     return f"list_transform({vec}, x -> {q})"
+
+
+def _np_quantize(vmat, quant: int):
+    """Numpy twin of ``_quant_expr``: HALF_UP (away-from-zero) rounding
+    of ``x * quant`` plus the qoff shift, bit-identical to Spark's
+    ``round(double)`` / DuckDB's ``round`` for every in-contract input.
+
+    ``np.rint`` rounds halves to EVEN, so exact .5 products (possible:
+    |x·quant| ≤ 2·quant keeps every half exactly representable) are
+    detected with an exact comparison and redirected away from zero.
+    Non-half products round identically under every mode. The
+    |x| ≤ COORD_BOUND contract guard raises like the Spark
+    expression's raise_error branch."""
+    import numpy as np
+
+    if vmat.size and float(np.abs(vmat).max()) > COORD_BOUND:
+        raise ValueError(
+            f"quantized coordinate out of contract: |x| exceeds {COORD_BOUND}"
+        )
+    ax = vmat.astype(np.float64) * float(quant)
+    r = np.rint(ax)
+    frac = ax - np.trunc(ax)
+    half = np.abs(frac) == 0.5
+    if half.any():
+        r = np.where(half, np.trunc(ax) + np.sign(ax), r)
+    return r.astype(np.int64) + qoff(quant)
+
+
+def _sub_centroids(book_rows, m: int):
+    """Split collected ``(m, cluster, cv)`` rows into per-subspace
+    (cluster_ids, centroid_matrix) numpy pairs, sorted by cluster id so
+    ``argmin``'s first-occurrence tie-break reproduces the
+    ``array_min(struct(dist, cluster))`` total order."""
+    import numpy as np
+
+    cids, cvs = [], []
+    for mi in range(m):
+        rows = [(c, cv) for mm, c, cv in book_rows if mm == mi]
+        cids.append(np.array([c for c, _ in rows], dtype=np.int64))
+        cvs.append(np.array([cv for _, cv in rows], dtype=np.int64))
+    return cids, cvs
+
+
+def _encode_udf(book_rows, m: int, sub: int, quant: int):
+    """Arrow-batched numpy argmin encoder over a trained codebook
+    closure: raw vector column → length-``m`` int code array. The
+    assignment math is the bit-exact twin of the distributed HOF argmin
+    (quantize via _np_quantize; first-occurrence argmin over
+    cluster-sorted centroids = array_min's (dist, cluster) order)."""
+    cids, cvs = _sub_centroids(book_rows, m)
+
+    @F.pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(v):
+            return pd.Series([], dtype=object)
+        vmat = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        q = _np_quantize(vmat, quant)
+        out = np.empty((len(vmat), m), dtype=np.int32)
+        for mi in range(m):
+            d = q[:, mi * sub : (mi + 1) * sub][:, None, :] - cvs[mi][None, :, :]
+            dist = np.einsum("nks,nks->nk", d, d)
+            out[:, mi] = cids[mi][np.argmin(dist, axis=1)]
+        return pd.Series(list(out))
+
+    return _encode
+
+
+# Driver-bounded training regime (the graph.shortest_paths /
+# dissolve precedent): corpora whose SOURCE plan estimate is under
+# this run the Lloyd rounds in vectorized numpy on the driver — one
+# collect of the quantized frame instead of 2·iters tiny barrier
+# stages whose wall is pure scheduler latency. Larger corpora (the
+# 100-TB regime) run the distributed grouped-Lloyd plan unchanged;
+# pass driver_max_bytes=0 to force it.
+_DRIVER_TRAIN_MAX_BYTES = 64 << 20
+
+
+def _np_seed_order(ids, k: int):
+    """Driver twin of the md5 seeding: indices of the k lowest
+    (md5('km:' || id), id) rows, in seed (= cluster) order."""
+    import hashlib
+
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(f"km:{ids[i]}".encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    return order[: min(k, len(ids))]
+
+
+def _np_lloyd(qv, seed_idx, iters: int):
+    """Driver twin of ``_lloyd``'s iteration on a collected quantized
+    matrix: same integer assignment (argmin over cluster-sorted
+    centroids, first-occurrence tie-break = (dist, cluster) total
+    order) and same integer floor-mean update (``//`` on nonneg ==
+    Spark's ``div``), so the trajectory is bit-identical to the
+    distributed plan and the replayed DuckDB oracle.
+
+    Returns (last_assign, prev_cents, final_cents) where prev_cents
+    are the centroids ENTERING the last iteration (the ones the
+    returned assignment was computed against) and cents are
+    (cluster_ids, matrix) pairs."""
+    import numpy as np
+
+    cids = np.arange(len(seed_idx), dtype=np.int64)
+    cmat = qv[np.asarray(seed_idx, dtype=np.int64)]
+    assign, prev = None, (cids, cmat)
+    for _ in range(iters):
+        prev = (cids, cmat)
+        # exact integer expansion ||q - c||² = ||q||² - 2 q·c + ||c||²
+        # (bounded: quantized coords ≤ 2·qoff, dots ≤ dim·(2·qoff)²)
+        d = (
+            (qv * qv).sum(1)[:, None]
+            - 2 * (qv @ cmat.T)
+            + (cmat * cmat).sum(1)[None, :]
+        )
+        assign = cids[np.argmin(d, axis=1)]
+        new_ids = np.unique(assign)
+        cmat = np.stack(
+            [qv[assign == c].sum(0) // int((assign == c).sum()) for c in new_ids]
+        )
+        cids = new_ids
+    return assign, prev, (cids, cmat)
 
 
 def _dist_expr(a: str, b: str, dim: int, dialect: str) -> str:
@@ -176,9 +305,56 @@ def kmeans_fit(
     id_col: str = "vec_id",
     quant: int = 1000,
     persist_input: bool = True,
+    driver_max_bytes: int = _DRIVER_TRAIN_MAX_BYTES,
 ) -> tuple[DataFrame, DataFrame]:
     """(assignment (id, cluster), centroids (cluster, cv)) after
-    ``iters`` Lloyd iterations — centroids are in quantized space."""
+    ``iters`` Lloyd iterations — centroids are in quantized space.
+
+    Corpora whose Catalyst source estimate is ≤ ``driver_max_bytes``
+    train on the driver (one collect + vectorized numpy rounds) and
+    rebuild the RETURNED assignment as a distributed map-only Arrow
+    argmin over the final-iteration centroids — the output stays a
+    scale-correct distributed frame; only the k×dim model state rides
+    the driver. Trajectory is bit-identical to the distributed plan
+    (same seeding, argmin total order, floor-mean update — pinned by
+    the regime-parity test). Pass 0 to force the distributed trainer.
+    """
+    spark = df.sparkSession
+    from .knn_join import _plan_size_bytes
+
+    est = _plan_size_bytes(df)
+    if 0 <= est <= driver_max_bytes and iters > 0:
+        rows = _quantize(df, vec_col, id_col, quant, persist=False).collect()
+        if not rows:
+            empty_assign = df.select(
+                F.col(id_col), F.lit(0).cast("int").alias("cluster")
+            ).where(F.lit(False))
+            return empty_assign, spark.createDataFrame(
+                [], "cluster int, cv array<bigint>"
+            )
+        ids = [r[id_col] for r in rows]
+        qvm = np.array([r["qv"] for r in rows], dtype=np.int64)
+        _, (pc_ids, pc_mat), (fc_ids, fc_mat) = _np_lloyd(
+            qvm, _np_seed_order(ids, k), iters
+        )
+        # the returned assignment is vs the centroids ENTERING the last
+        # iteration (exactly what _lloyd returns): a map-only Arrow
+        # argmin kernel over the raw input, m=1 · sub=dim
+        book = [(0, int(c), [int(x) for x in cv]) for c, cv in zip(pc_ids, pc_mat)]
+        from ..functions import ensure_parallelism
+
+        assign = ensure_parallelism(df).select(
+            F.col(id_col),
+            F.element_at(
+                _encode_udf(book, 1, dim, quant)(F.col(vec_col)), 1
+            ).alias("cluster"),
+        )
+        centroids = spark.createDataFrame(
+            [(int(c), [int(x) for x in cv]) for c, cv in zip(fc_ids, fc_mat)],
+            "cluster int, cv array<bigint>",
+        )
+        return assign, centroids
+
     qt = _quantize(df, vec_col, id_col, quant, persist_input)
     assign, centroids = _lloyd(qt, k, iters, dim, id_col)
     return assign.select(id_col, "cluster"), centroids
@@ -193,10 +369,13 @@ def kmeans_lite(
     id_col: str = "vec_id",
     quant: int = 1000,
     persist_input: bool = True,
+    driver_max_bytes: int = _DRIVER_TRAIN_MAX_BYTES,
 ) -> DataFrame:
     """Final (``id_col``, cluster:int) assignment after ``iters`` Lloyd
     iterations from the deterministic md5 seeding."""
-    return kmeans_fit(df, k, iters, dim, vec_col, id_col, quant, persist_input)[0]
+    return kmeans_fit(
+        df, k, iters, dim, vec_col, id_col, quant, persist_input, driver_max_bytes
+    )[0]
 
 
 # ---------------------------------------------------------------------------
@@ -213,9 +392,15 @@ def pq_fit_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quant: int = 1000,
+    driver_max_bytes: int = _DRIVER_TRAIN_MAX_BYTES,
 ) -> tuple[DataFrame, DataFrame]:
     """Train ``m`` independent sub-codebooks (Lloyd, shared seeding ids)
     and encode every vector as ``m`` codes.
+
+    Corpora whose Catalyst source estimate is ≤ ``driver_max_bytes``
+    train on the driver (one collect + vectorized numpy rounds,
+    bit-identical trajectory); larger ones run the distributed grouped
+    Lloyd plan. Pass 0 to force the distributed trainer.
 
     Returns (codes (id, codes array<int> length m),
     codebook (m, cluster, cv) — quantized-space sub-centroids).
@@ -223,6 +408,35 @@ def pq_fit_encode(
     if dim % m:
         raise ValueError("dim must divide into m equal subspaces")
     sub = dim // m
+    spark = df.sparkSession
+    from .knn_join import _plan_size_bytes
+
+    est = _plan_size_bytes(df)
+    if 0 <= est <= driver_max_bytes:
+        # driver-bounded regime (graph/dissolve precedent): collect the
+        # quantized corpus ONCE and run the m·iters Lloyd rounds in
+        # numpy — at bench scale the distributed trainer's wall is pure
+        # scheduler latency (2·iters tiny barrier stages for k·m rows
+        # of real state). Bit-identical trajectory: same md5 seeding
+        # order, same integer argmin total order, same floor-mean
+        # update (pinned by test_clustering's regime-parity test).
+        rows = _quantize(df, vec_col, id_col, quant, persist=False).collect()
+        book_rows = []
+        if rows:
+            ids = [r[id_col] for r in rows]
+            qvm = np.array([r["qv"] for r in rows], dtype=np.int64)
+            seed_idx = _np_seed_order(ids, k)
+            for mi in range(m):
+                _, _, (fc_ids, fc_mat) = _np_lloyd(
+                    qvm[:, mi * sub : (mi + 1) * sub], seed_idx, iters
+                )
+                book_rows += [
+                    (mi, int(c), [int(x) for x in cv])
+                    for c, cv in zip(fc_ids, fc_mat)
+                ]
+        book_rows.sort()
+        return _pq_encode_tail(df, book_rows, m, sub, quant, vec_col, id_col)
+
     qt = _quantize(df, vec_col, id_col, quant, persist=True)
 
     # ONE grouped Lloyd plan for all m sub-codebooks (VERDICT r3 #4: m
@@ -280,7 +494,6 @@ def pq_fit_encode(
     # population inside the consuming query (worse, 6-14 s). This is
     # the model-parameter exception to the no-driver-collect rule, the
     # same regime as pip_join's driver-built polygon cover.
-    spark = df.sparkSession
     from ..session import static_plan
 
     # the collect IS the training execution: 2 sequential Lloyd rounds
@@ -296,54 +509,60 @@ def pq_fit_encode(
     # the cached quantized corpus so long-lived sessions don't strand a
     # copy per pq_fit_encode call
     qt.unpersist(blocking=False)
+    return _pq_encode_tail(df, book_rows, m, sub, quant, vec_col, id_col)
+
+
+def _pq_encode_tail(
+    df: DataFrame,
+    book_rows: list,
+    m: int,
+    sub: int,
+    quant: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pq_fit_encode tail over a trained (driver-local) codebook:
+    build the codebook frame and the distributed encode projection.
+
+    The encode runs in ONE Arrow-batched numpy kernel with the trained
+    centroids as a closure array. Two prior shapes both lost to this
+    one, measured at sf0.1: (a) HOF argmin (transform/aggregate
+    lambdas have no codegen — interpreted lambda frames dominated the
+    wall); (b) the centroids inlined as a LITERAL unrolled expression
+    — full codegen on paper, but m·k·sub ≈ 512 squared-diff terms
+    compile to a Janino monster whose COMPILE time (~5-6 s, paid per
+    stage that references the projection) exceeds the row work by
+    1000×, and whenever Catalyst collapses the projection into a
+    downstream stage past the codegen method limit the whole fused
+    stage silently falls back to INTERPRETED — the pq_topk rank
+    stage re-evaluated the 512-term encode per (vector × query) row
+    at ~4 ms/row. The Arrow kernel is an einsum over an (n, k, sub)
+    diff cube — vectorized integer math, no codegen, and
+    ArrowEvalPython is an optimizer barrier: downstream stages see a
+    materialized m-byte code column, never the encode lineage. Still
+    map-only with zero shuffle of the vector side; quantization
+    (_np_quantize) is the bit-exact HALF_UP twin, and the argmin
+    tie-break (first occurrence over cluster-sorted rows) reproduces
+    array_min's (dist, cluster) total order, so the DuckDB-replayed
+    codes are unchanged."""
+    spark = df.sparkSession
     codebook = spark.createDataFrame(
         book_rows, "m int, cluster int, cv array<bigint>"
     )
     if not book_rows:
         # empty input: no codebook was trained. Short-circuit with an
-        # empty, explicitly-typed codes frame — the literal-codebook
-        # _code_expr below would otherwise emit array_min(array())
-        # which fails at plan analysis.
+        # empty, explicitly-typed codes frame — an encoder over an
+        # empty codebook has no argmin to take.
         empty_codes = df.select(
             F.col(id_col), F.expr("array(0)").cast("array<int>").alias("codes")
         ).where(F.lit(False))
         return empty_codes, codebook
 
-    # encode with the FINAL centroids inlined as LITERALS, quantization
-    # folded into them: higher-order functions (transform/aggregate
-    # lambdas) have no whole-stage codegen support, so both the
-    # folded-array argmin AND the quantize transform ran interpreted —
-    # the bulk of the PQ entry's wall at sf0.1. Per-centroid distance
-    # unrolls to a flat sum of (round(x*quant) - (cv_j - qoff))²
-    # diffs — the qoff shift cancels into the literal — and the argmin
-    # to array_min over k struct(dist, cluster) rows: pure flat
-    # arithmetic, full codegen, still map-only with zero shuffle of the
-    # vector side. The |x|≤COORD_BOUND guard is enforced by the
-    # TRAINING pass over the same input (qtm above raises before the
-    # codebook exists), so the encode can skip it.
-    off = qoff(quant)
-
-    def _code_expr(mi: int) -> str:
-        entries = []
-        for mm, c, cv in book_rows:
-            if mm != mi:
-                continue
-            terms = [
-                f"(cast(round(cast(element_at({vec_col}, {mi * sub + j + 1}) as double)"
-                f" * {quant}) as bigint) - ({cv[j] - off}))"
-                for j in range(sub)
-            ]
-            d = " + ".join(f"{t} * {t}" for t in terms)
-            entries.append(f"struct(({d}) as dist, {c} as cluster)")
-        return f"array_min(array({', '.join(entries)})).cluster"
-
     from ..functions import ensure_parallelism
 
     codes = ensure_parallelism(df).select(
         F.col(id_col),
-        F.expr("array(" + ", ".join(_code_expr(mi) for mi in range(m)) + ")").alias(
-            "codes"
-        ),
+        _encode_udf(book_rows, m, sub, quant)(F.col(vec_col)).alias("codes"),
     )
     return codes, codebook
 
@@ -364,8 +583,8 @@ def pq_topk(
     (adist, id) — total order, deterministic.
 
     Plan (explode-free ADC): the codebook is k×m MODEL PARAMETERS —
-    collected once (same regime as pq_fit_encode) and inlined as
-    literal sub-centroids into per-query distance-table arrays
+    collected once (same regime as pq_fit_encode) and closed over by
+    one Arrow numpy kernel that emits per-query distance-table arrays
     (Q rows, each an m·k flat int array, one tiny shuffle-free
     projection). The vector side cross-joins the BROADCAST query table
     and computes ``adist = Σ_mi qarr[mi·k + code_mi]`` — m dynamic
@@ -392,30 +611,36 @@ def pq_topk(
         )
     codes_per_book = max(c for _, c, _ in book) + 1
 
-    q = query_df.select(
-        "query_id", F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")
-    )
-    # per-query flat distance table: entry (mi*k + c) = ||q_sub - cv||²
-    # with the centroid coordinates as literals (missing (mi, c) slots
-    # — empty clusters — get a sentinel larger than any real distance
-    # so they can never win; they are unreferenced anyway because no
-    # vector is coded to an empty cluster)
-    cv_by = {(mm, c): cv for mm, c, cv in book}
-    sentinel = str(2**62)
-    entries = []
-    for mi in range(m):
-        for c in range(codes_per_book):
-            cv = cv_by.get((mi, c))
-            if cv is None:
-                entries.append(sentinel)
-                continue
-            terms = [
-                f"(element_at(qv, {mi * sub + j + 1}) - {cv[j]}L)" for j in range(sub)
-            ]
-            entries.append(" + ".join(f"{t} * {t}" for t in terms))
-    qtab = q.select(
-        "query_id", F.expr("array(" + ", ".join(entries) + ")").alias("_qarr")
-    )
+    # per-query flat distance table: entry (mi*k + c) = ||q_sub - cv||²,
+    # built in one Arrow-batched numpy kernel with the centroids as a
+    # closure array (missing (mi, c) slots — empty clusters — keep a
+    # sentinel larger than any real distance so they can never win;
+    # they are unreferenced anyway because no vector is coded to an
+    # empty cluster). Same rationale as pq_fit_encode's kernel: the
+    # previous literal-unrolled expression (m·k·sub squared-diff terms)
+    # paid multi-second Janino compile per referencing stage and risked
+    # interpreted fallback when collapsed downstream; the kernel is an
+    # optimizer barrier, so the join/rank stages only ever see the
+    # materialized flat array. Quantization via the bit-exact
+    # _np_quantize twin (contract guard included, as _quant_expr had).
+    cids, cvs = _sub_centroids(book, m)
+    cpb = codes_per_book
+
+    @F.pandas_udf("array<bigint>")
+    def _qtab(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(v):
+            return pd.Series([], dtype=object)
+        vmat = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        q = _np_quantize(vmat, quant)
+        out = np.full((len(vmat), m * cpb), 2**62, dtype=np.int64)
+        for mi in range(m):
+            d = q[:, mi * sub : (mi + 1) * sub][:, None, :] - cvs[mi][None, :, :]
+            out[:, mi * cpb + cids[mi]] = np.einsum("nks,nks->nk", d, d)
+        return pd.Series(list(out))
+
+    qtab = query_df.select("query_id", _qtab(F.col(vec_col)).alias("_qarr"))
 
     lookups = " + ".join(
         f"element_at(_qarr, {mi} * {codes_per_book} + element_at(codes, {mi + 1}) + 1)"

@@ -69,14 +69,26 @@ def test_deterministic_under_repartitioning(spark, vec_df):
 
 
 def test_assign_never_shuffles_by_id(spark, vec_df):
+    # distributed regime: the assign is a broadcast of the folded
+    # centroid row, never an id-keyed shuffle
     plan = (
-        kmeans_lite(vec_df, k=4, iters=2, dim=8)
+        kmeans_lite(vec_df, k=4, iters=2, dim=8, driver_max_bytes=0)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "hashpartitioning(vec_id" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # driver-bounded regime: the assign is one map-only Arrow argmin —
+    # no exchange of any kind
+    plan_drv = (
+        kmeans_lite(vec_df, k=4, iters=2, dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(vec_id" not in plan_drv
+    assert "ArrowEvalPython" in plan_drv and "Exchange hashpartitioning" not in plan_drv
 
 
 def test_sse_non_increasing_over_iterations(spark, vec_df, vec_rows):
@@ -187,3 +199,50 @@ class TestPQ:
 
         with pytest.raises(ValueError, match="subspaces"):
             pq_fit_encode(vec_df, m=3, k=4, iters=1, dim=8)
+
+
+class TestRegimeParity:
+    """Driver-bounded numpy trainer vs the distributed Lloyd plan
+    (clustering._DRIVER_TRAIN_MAX_BYTES gate): bit-identical codebooks,
+    codes, assignments, and centroids on the same input — the regime
+    switch must never change a single value. driver_max_bytes=0 forces
+    the distributed plan on a LocalRelation the gate would otherwise
+    route to the driver."""
+
+    def test_kmeans_regimes_bit_identical(self, spark, vec_df):
+        from htrc_ingester_spark.operators.clustering import kmeans_fit
+
+        a_drv, c_drv = kmeans_fit(vec_df, k=5, iters=3, dim=8)
+        a_dst, c_dst = kmeans_fit(vec_df, k=5, iters=3, dim=8, driver_max_bytes=0)
+        assert sorted(map(tuple, a_drv.collect())) == sorted(map(tuple, a_dst.collect()))
+        got_c = sorted((r.cluster, list(r.cv)) for r in c_drv.collect())
+        want_c = sorted((r.cluster, list(r.cv)) for r in c_dst.collect())
+        assert got_c == want_c
+
+    def test_pq_regimes_bit_identical(self, spark, vec_df):
+        from htrc_ingester_spark.operators.clustering import pq_fit_encode
+
+        codes_d, book_d = pq_fit_encode(vec_df, m=2, k=4, iters=2, dim=8)
+        codes_x, book_x = pq_fit_encode(
+            vec_df, m=2, k=4, iters=2, dim=8, driver_max_bytes=0
+        )
+        assert sorted((r.vec_id, list(r.codes)) for r in codes_d.collect()) == sorted(
+            (r.vec_id, list(r.codes)) for r in codes_x.collect()
+        )
+        assert sorted((r.m, r.cluster, list(r.cv)) for r in book_d.collect()) == sorted(
+            (r.m, r.cluster, list(r.cv)) for r in book_x.collect()
+        )
+
+    def test_np_quantize_half_up_twin(self):
+        """_np_quantize must reproduce Spark round(double)'s HALF_UP
+        away-from-zero on exact halves (np.rint alone rounds to even)
+        and reject out-of-contract coordinates."""
+        import numpy as np
+
+        from htrc_ingester_spark.operators.clustering import _np_quantize, qoff
+
+        x = np.array([[0.0005, 0.0015, -0.0005, -0.0015, 0.00049999, 1.9999]])
+        got = _np_quantize(x, 1000) - qoff(1000)
+        assert got.tolist() == [[1, 2, -1, -2, 0, 2000]]
+        with pytest.raises(ValueError, match="contract"):
+            _np_quantize(np.array([[2.5]]), 1000)

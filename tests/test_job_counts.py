@@ -33,10 +33,11 @@ SF = "/root/testdata/sf0.001"
 # (entry, steady_state_jobs) — measured local[4]/sp=4 at sf0.001;
 # stable across 3 consecutive post-warmup runs at pin time.
 PINS = [
-    # 2-iter grouped Lloyd (one plan per iter) + literal-codebook
-    # encode + explode-free ADC + partial-topk rank (r5: 19 -> 13,
-    # the map-side top-k partials removed the full-rank exchange jobs)
-    ("similarity_pq_topk", 13),
+    # driver-bounded numpy trainer (one quantized-corpus collect) +
+    # Arrow-kernel encode + explode-free ADC + partial-topk rank
+    # (r5: 19 -> 13 via map-side top-k partials, then 13 -> 10 when
+    # the bounded-corpus regime replaced the 2·iters barrier stages)
+    ("similarity_pq_topk", 10),
     # bounded driver-regime Bellman-Ford (r5: 53 -> 8): rasterize +
     # adjacency collapse/materialize + source collect + numpy rounds on
     # the driver + result materialize — the distributed join+min-agg
@@ -47,8 +48,11 @@ PINS = [
     ("knn_join_distributed", 15),
     # banded LSH pair-gen (single exchange) + pointer-jumping CC
     ("dedup_image_clusters", 13),
-    # seeded Lloyd: one (cluster,pos) exchange per iteration
-    ("kmeans_clusters", 11),
+    # seeded Lloyd under the driver-bounded regime: one
+    # quantized-corpus collect + a map-only Arrow argmin assign
+    # (r5: 11 -> 7; the per-iteration (cluster,pos) exchanges only
+    # run past _DRIVER_TRAIN_MAX_BYTES)
+    ("kmeans_clusters", 7),
 ]
 
 
