@@ -458,6 +458,27 @@ def knn_join_many(
     return out
 
 
+def knn_auto_res(n_points: int, k: int = 5) -> int:
+    """Density-derived grid resolution for the ring-expansion kNN:
+    pick the res whose cell grid holds ~k/16 points per cell, so the
+    round-1 disk (r=2, ≈5 rows × ~9 columns) expects a few×k
+    candidates. Too coarse a grid resolves every query in one round
+    but drowns it in candidates (measured on 15k uniformly-scattered
+    points, k=4: res 5 put ~60×k candidates per query — 3.7M candidate
+    rows, 5.3 s self-kNN; res 6 halved the wall at bit-identical
+    output); too fine a grid pays extra expansion rounds. The choice
+    only moves work between rounds — the operator's output is exact
+    kNN at ANY res, so this is purely a performance knob.
+
+    cells(res) = nx·ny = 2^(2·res + 3) (h3lite row/col grid)."""
+    import math
+
+    if n_points <= 0:
+        return 5
+    target_cells = max(1.0, 16.0 * n_points / max(k, 1))
+    return max(0, min(H.RES_MAX, int((math.log2(target_cells) - 3.0) // 2)))
+
+
 # radius_join auto-res sizing: aim for this many cell ROWS of disk
 # half-height — (2·5+1)² ≈ 10² disk cells per query, the sweet spot
 # between per-cell candidate volume and disk explode size

@@ -1571,12 +1571,16 @@ _QUERIES_SQL = """
 
 
 def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.knn_join import knn_join
+    from ..operators.knn_join import knn_auto_res, knn_join
 
     _load(spark, sf_dir, "customer", "supplier")
     points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
     qs = spark.sql(_QUERIES_SQL).toPandas()
-    return knn_join(spark, points, qs, res=5).select("query_id", "image_id", "rank")
+    # density-derived res (pure perf knob — exact kNN at any res)
+    res = knn_auto_res(points.count(), k=5)
+    return knn_join(spark, points, qs, res=res).select(
+        "query_id", "image_id", "rank"
+    )
 
 
 def _knn_oracle() -> str:
@@ -3654,12 +3658,15 @@ _register_fn("raster_vector_roundtrip", _raster_vector, _raster_vector_oracle())
 # Distributed kNN (query side is a DataFrame — the 10^6-query scale
 # path). Same oracle as the driver-state variant.
 def _knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.knn_join import knn_join_many
+    from ..operators.knn_join import knn_auto_res, knn_join_many
 
     _load(spark, sf_dir, "customer", "supplier")
     points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
     qdf = spark.sql(_QUERIES_SQL)
-    return knn_join_many(spark, points, qdf, res=5).select("query_id", "image_id", "rank")
+    res = knn_auto_res(points.count(), k=5)
+    return knn_join_many(spark, points, qdf, res=res).select(
+        "query_id", "image_id", "rank"
+    )
 
 
 _register_fn("knn_join_distributed", _knn_many, _knn_oracle())
@@ -3917,7 +3924,7 @@ _register_fn("dedup_image_clusters", _phash_clusters, _phash_clusters_oracle())
 def _knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from ..operators.knn_join import knn_join_many
+    from ..operators.knn_join import knn_auto_res, knn_join_many
 
     _load(spark, sf_dir, "customer")
     pts = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
@@ -3925,7 +3932,7 @@ def _knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_id").alias("query_id"), "lon", "lat", F.lit(4).alias("k")
     )  # k+1: rank 1 is the point itself (distinct coords by fixture)
     knn = (
-        knn_join_many(spark, pts, qs, res=5)
+        knn_join_many(spark, pts, qs, res=knn_auto_res(pts.count(), k=4))
         .where(F.col("image_id") != F.col("query_id"))
         .select(
             F.col("query_id").cast("bigint").alias("src"),

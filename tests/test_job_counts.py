@@ -45,7 +45,10 @@ PINS = [
     ("raster_cost_distance", 8),
     # ring-expansion kNN: per-round materialize + active-count, three
     # size-estimate regimes collapse to the pinned-broadcast one here
-    ("knn_join_distributed", 15),
+    # (r5: 15 -> 11 — the density-derived auto-res resolves the
+    # sf0.001 fixture in fewer expansion rounds, +1 count job for the
+    # density estimate)
+    ("knn_join_distributed", 11),
     # banded LSH pair-gen (single exchange) + pointer-jumping CC
     ("dedup_image_clusters", 13),
     # seeded Lloyd under the driver-bounded regime: one

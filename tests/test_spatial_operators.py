@@ -390,6 +390,27 @@ class TestKNNDispatch:
         assert list(got.sort_values("rank").image_id) == ["a", "b"]
 
 
+class TestKNNAutoRes:
+    def test_density_rule(self):
+        """knn_auto_res: ~k/16 points per cell (cells = 2^(2·res+3)),
+        clamped to the grid's res range; a pure perf knob — TestKNNMany
+        and the catalog oracle pin that output is res-independent."""
+        from htrc_ingester_spark.geo import h3lite as H
+        from htrc_ingester_spark.operators.knn_join import knn_auto_res
+
+        # the measured case: 15k global points, k=4 → res 6 (res 5 put
+        # ~60×k candidates per query; 6 halved the self-kNN wall)
+        assert knn_auto_res(15_000, k=4) == 6
+        # monotone in n, anti-monotone in k
+        rs = [knn_auto_res(n, k=4) for n in (100, 10_000, 1_000_000, 10**9)]
+        assert rs == sorted(rs)
+        assert knn_auto_res(15_000, k=64) <= knn_auto_res(15_000, k=4)
+        # clamps
+        assert knn_auto_res(0) == 5
+        assert knn_auto_res(1) >= 0
+        assert knn_auto_res(10**18) == H.RES_MAX
+
+
 class TestKNNDuplicateRows:
     def test_all_three_variants_rank_duplicate_points_identically(self, spark):
         """Two distinct rows sharing an image_id are two points; every
