@@ -93,7 +93,12 @@ def _np_quantize(vmat, quant: int):
     expression's raise_error branch."""
     import numpy as np
 
-    if vmat.size and float(np.abs(vmat).max()) > COORD_BOUND:
+    # NaN-robust guard: (|x| <= bound).all() is False for NaN/inf, so
+    # out-of-contract AND non-finite coordinates both raise — matching
+    # the Spark expression, where NaN fails the `x <= 2.0` branch and
+    # hits raise_error (a bare `max() > bound` is False under NaN and
+    # would let it flow into an undefined float->int64 cast)
+    if vmat.size and not bool((np.abs(vmat) <= COORD_BOUND).all()):
         raise ValueError(
             f"quantized coordinate out of contract: |x| exceeds {COORD_BOUND}"
         )

@@ -246,3 +246,8 @@ class TestRegimeParity:
         assert got.tolist() == [[1, 2, -1, -2, 0, 2000]]
         with pytest.raises(ValueError, match="contract"):
             _np_quantize(np.array([[2.5]]), 1000)
+        # NaN/inf must raise like the Spark twin (whose `x <= 2.0`
+        # branch fails for NaN), never flow into the int64 cast
+        for bad in (np.nan, np.inf, -np.inf):
+            with pytest.raises(ValueError, match="contract"):
+                _np_quantize(np.array([[0.5, bad]]), 1000)
