@@ -14,7 +14,14 @@ Containment convention (deterministic, asserted by tests):
   the RIGHT and TOP edges are OUT.
 - **Antimeridian**: rings are unwrapped into a continuous lon frame
   (cumulative shortest-delta); query lons are shifted into that frame
-  modulo 360 before the planar test.
+  modulo 360 before the planar test. Both transforms are EXACT
+  no-ops when nothing needs wrapping: an already-continuous ring and
+  an in-frame query lon pass through verbatim (the float modulo
+  round-trip perturbs values by ~1 ulp of 180, which would break the
+  half-open edge rule above for points lying exactly on an edge —
+  the conditional keeps boundary semantics bit-deterministic, and
+  every twin replicates it: the batch cover kernel, the DuckDB
+  oracle SQL builder, the independent test oracles).
 - **Polar caps** (ring whose unwrapped lon winds a full ±360°): the
   cap contains the pole on the side of the ring's mean latitude; a
   point is inside iff the meridian ray from the point to that pole
@@ -46,8 +53,21 @@ def unwrap_ring(ring_lon: np.ndarray) -> np.ndarray:
     around a pole ends ±360 away from where it started."""
     lon = np.asarray(ring_lon, dtype=np.float64)
     d = np.diff(lon)
-    d = (d + 180.0) % 360.0 - 180.0  # shortest signed step
-    return np.concatenate([[lon[0]], lon[0] + np.cumsum(d)])
+    # already-continuous ring (every raw step is already its shortest
+    # signed form, i.e. in [-180, 180)): return the input verbatim.
+    # The cumsum reconstruction below is the identity only in exact
+    # arithmetic — the (d+180)%360-180 round trip perturbs non-dyadic
+    # steps by ~1 ulp of 180 and the accumulation drifts further,
+    # which moved edges ~1e-14° off coordinates that are exactly
+    # representable in the input (e.g. a survey boundary lying exactly
+    # on a grid line). Downstream consumers (points_in_ring, the cover
+    # classifiers) then disagreed with kernels operating on the raw
+    # coordinates; returning the exact input keeps every frame
+    # bit-identical for planar rings.
+    if bool(((d >= -180.0) & (d < 180.0)).all()):
+        return lon.copy()
+    w = (d + 180.0) % 360.0 - 180.0  # shortest signed step
+    return np.concatenate([[lon[0]], lon[0] + np.cumsum(w)])
 
 
 def ring_winding(ring_lon: np.ndarray) -> int:
@@ -95,10 +115,26 @@ def points_in_ring(lon: np.ndarray, lat: np.ndarray, ring_lon: np.ndarray, ring_
     wind = int(round((u[-1] - u[0]) / 360.0))
     if wind == 0:
         # normal (possibly antimeridian-crossing) ring: shift each query
-        # lon into the ring's continuous frame modulo 360
+        # lon into the ring's continuous frame modulo 360 — but ONLY
+        # the lons that actually need a wrap. For lon − center already
+        # in [-180, 180) the modulo shift is the identity in exact
+        # arithmetic yet perturbs by ~1 ulp of 180 in float64, which
+        # broke the documented half-open boundary convention (left/
+        # bottom edge IN, right/top OUT) for points lying EXACTLY on a
+        # ring edge: the raw comparison plon < x_edge is the convention;
+        # the perturbed one flipped it by drift direction. Mirrored
+        # bit-for-bit by the SQL oracle builder (plans/catalog.py) and
+        # the batch cover kernel (operators/pip_join.py).
         lo, hi = u.min(), u.max()
         center = 0.5 * (lo + hi)
-        plon = center + ((lon - center + 180.0) % 360.0 - 180.0)
+        delta = lon - center
+        need = (delta < -180.0) | (delta >= 180.0)
+        if need.any():
+            plon = np.where(
+                need, center + ((delta + 180.0) % 360.0 - 180.0), lon
+            )
+        else:
+            plon = lon
         return _points_in_ring_planar(plon, lat, u, r_lat)
     # polar cap: meridian-ray toward the enclosed pole
     north = bool(np.mean(r_lat[:-1]) > 0.0)

@@ -126,12 +126,38 @@ def _sub_centroids(book_rows, m: int):
     return cids, cvs
 
 
+def _vmat_from_series(v: pd.Series, dim: int):
+    """Arrow batch of vector cells → ((n_valid, dim) float64 matrix,
+    valid-row boolean mask). NULL cells are masked out (the expression
+    twins these kernels replaced were null-PROPAGATING — transform(NULL)
+    → NULL — so a null vector must yield a null output row, not kill
+    the stage); a wrong-length vector raises a descriptive ValueError
+    (ragged embeddings are data corruption and must surface, the WKB
+    decoder discipline) instead of numpy's opaque inhomogeneous-shape
+    error."""
+    import numpy as np
+
+    objs = v.to_numpy()
+    mask = np.array([x is not None for x in objs], dtype=bool)
+    rows = [np.asarray(x, dtype=np.float64) for x in objs[mask]]
+    bad = {r.shape for r in rows if r.shape != (dim,)}
+    if bad:
+        raise ValueError(
+            f"embedding shape(s) {sorted(bad)} != expected ({dim},) — "
+            "ragged or mis-sized vector column"
+        )
+    vmat = np.stack(rows) if rows else np.empty((0, dim), dtype=np.float64)
+    return vmat, mask
+
+
 def _encode_udf(book_rows, m: int, sub: int, quant: int):
     """Arrow-batched numpy argmin encoder over a trained codebook
     closure: raw vector column → length-``m`` int code array. The
     assignment math is the bit-exact twin of the distributed HOF argmin
     (quantize via _np_quantize; first-occurrence argmin over
-    cluster-sorted centroids = array_min's (dist, cluster) order)."""
+    cluster-sorted centroids = array_min's (dist, cluster) order).
+    NULL vectors encode to NULL (expression-twin null propagation);
+    mis-sized vectors raise descriptively (_vmat_from_series)."""
     cids, cvs = _sub_centroids(book_rows, m)
 
     @F.pandas_udf("array<int>")
@@ -140,14 +166,18 @@ def _encode_udf(book_rows, m: int, sub: int, quant: int):
 
         if not len(v):
             return pd.Series([], dtype=object)
-        vmat = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        vmat, mask = _vmat_from_series(v, m * sub)
         q = _np_quantize(vmat, quant)
         out = np.empty((len(vmat), m), dtype=np.int32)
         for mi in range(m):
             d = q[:, mi * sub : (mi + 1) * sub][:, None, :] - cvs[mi][None, :, :]
             dist = np.einsum("nks,nks->nk", d, d)
             out[:, mi] = cids[mi][np.argmin(dist, axis=1)]
-        return pd.Series(list(out))
+        res = np.full(len(v), None, dtype=object)
+        rows_obj = np.empty(len(out), dtype=object)
+        rows_obj[:] = list(out)  # 1-D object rows: masked assign stays row-wise
+        res[mask] = rows_obj
+        return pd.Series(res)
 
     return _encode
 
@@ -637,13 +667,17 @@ def pq_topk(
 
         if not len(v):
             return pd.Series([], dtype=object)
-        vmat = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        vmat, mask = _vmat_from_series(v, m * sub)
         q = _np_quantize(vmat, quant)
         out = np.full((len(vmat), m * cpb), 2**62, dtype=np.int64)
         for mi in range(m):
             d = q[:, mi * sub : (mi + 1) * sub][:, None, :] - cvs[mi][None, :, :]
             out[:, mi * cpb + cids[mi]] = np.einsum("nks,nks->nk", d, d)
-        return pd.Series(list(out))
+        res = np.full(len(v), None, dtype=object)
+        rows_obj = np.empty(len(out), dtype=object)
+        rows_obj[:] = list(out)
+        res[mask] = rows_obj
+        return pd.Series(res)
 
     qtab = query_df.select("query_id", _qtab(F.col(vec_col)).alias("_qarr"))
 

@@ -479,6 +479,30 @@ def knn_auto_res(n_points: int, k: int = 5) -> int:
     return max(0, min(H.RES_MAX, int((math.log2(target_cells) - 3.0) // 2)))
 
 
+# estimated bytes per skeleton row for the stats-based auto-res: the
+# two float64 coordinate columns dominate Catalyst's width accounting
+# for an (id, lon, lat) projection
+_SKELETON_ROW_BYTES = 16.0
+
+
+def knn_auto_res_points(
+    points: DataFrame, k: int = 5, row_bytes: float = _SKELETON_ROW_BYTES
+) -> int:
+    """Stats-based twin of :func:`knn_auto_res`: derive the point count
+    from Catalyst's size estimate of the skeleton plan instead of
+    running a count() job — at 10^12 rows that count is a full extra
+    scan paid before the join starts, and the res knob only needs an
+    order-of-magnitude n (each res step quadruples the grid, and the
+    operator's output is EXACT kNN at any res). Falls back to one
+    count() only when plan stats are unavailable."""
+    est = _plan_size_bytes(points)
+    if 0 < est < (1 << 60):
+        n = max(1, int(est / row_bytes))
+    else:
+        n = points.count()
+    return knn_auto_res(n, k=k)
+
+
 # radius_join auto-res sizing: aim for this many cell ROWS of disk
 # half-height — (2·5+1)² ≈ 10² disk cells per query, the sweet spot
 # between per-cell candidate volume and disk explode size

@@ -282,7 +282,7 @@ def _cover_rings_many(
         elif any(len(r) < 3 for r in rings):
             pre_fallback.append(i)
         else:
-            rlon_l.extend([r for r in rings])
+            rlon_l.extend(rings)
             ring_poly_l.extend([i] * len(rings))
     for i in pre_fallback:
         out[i] = _cover_rings(rings_list[i], res, res_max, be, expand_gap=expand_gap)
@@ -461,13 +461,13 @@ def _cover_rings_many(
     ey2[tgt] = vlat[src2]
     # each edge carries ITS ring's longitude-frame center: the per-poly
     # kernel shifts query lons per ring via
-    # plon = center + ((lon − center + 180) % 360 − 180), which is the
-    # identity in exact arithmetic but perturbs lons by ~1 ulp in
-    # float64 — enough to flip a corner lying EXACTLY on a polygon
-    # edge (caught by a real mismatch on an axis-aligned square whose
-    # edge coincides with a cell boundary). The batch classifier must
-    # apply the SAME transform per (corner, ring) to stay
-    # decision-identical, not just mathematically equal.
+    # plon = center + ((lon − center + 180) % 360 − 180) — but ONLY for
+    # lons whose delta from the center actually leaves [-180, 180)
+    # (points_in_ring's conditional; the unconditional shift perturbed
+    # in-frame lons by ~1 ulp and broke the half-open edge convention).
+    # The batch classifier must apply the SAME conditional per
+    # (corner, ring) to stay decision-identical, not just
+    # mathematically equal.
     ecen[tgt] = (0.5 * (rmin_lon[r_rows] + rmax_lon[r_rows]))[eridx]
     syn_close[tgt] = open_last
     ex1 = ex1.reshape(B, e_max)
@@ -502,11 +502,17 @@ def _cover_rings_many(
         y2 = ey2[pidx][:, None, :]
         px = c_lons[:, :, None]
         py = c_lats[:, :, None]
-        # per-ring frame shift, bit-identical to points_in_ring (see
-        # the ecen construction note): NaN-padded edges yield NaN
-        # shifted lons whose comparisons are all False
+        # per-ring CONDITIONAL frame shift, bit-identical to
+        # points_in_ring (see the ecen construction note): the batch
+        # eligibility gate (span + cell width < 178°) means `need` is
+        # always False here — corners stay raw — but the conditional is
+        # written out so the twin stays expression-identical. NaN-padded
+        # edges give NaN deltas → need False → raw px, and their NaN
+        # edge coords make every crossing comparison False.
         cen = ecen[pidx][:, None, :]
-        pxs = cen + ((px - cen + 180.0) % 360.0 - 180.0)
+        delta = px - cen
+        need = (delta < -180.0) | (delta >= 180.0)
+        pxs = np.where(need, cen + ((delta + 180.0) % 360.0 - 180.0), px)
         cond = (y1 > py) != (y2 > py)
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)

@@ -251,7 +251,15 @@ def pip_crossing_oracle_sql(
     def fmod360(expr: str) -> str:
         return f"(({expr}) - floor(({expr}) / 360.0) * 360.0)"
 
-    plon_norm = f"(center + ({fmod360('lon - center + 180.0')} - 180.0))"
+    # conditional frame shift, twin of points_in_ring: lons whose delta
+    # from the ring center already lies in [-180, 180) stay RAW (the
+    # unconditional modulo shift perturbed in-frame lons by ~1 ulp and
+    # broke the half-open edge convention for points exactly on an
+    # edge); only genuinely out-of-frame lons pay the wrap
+    plon_norm = (
+        "(case when (lon - center) >= -180.0 and (lon - center) < 180.0"
+        f" then lon else (center + ({fmod360('lon - center + 180.0')} - 180.0)) end)"
+    )
     xint = "(x1 + (lat - y1) * (x2 - x1) / (y2 - y1))"
     crossing_norm = f"(((y1 > lat) != (y2 > lat)) and plon < {xint})"
 
@@ -1571,13 +1579,14 @@ _QUERIES_SQL = """
 
 
 def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.knn_join import knn_auto_res, knn_join
+    from ..operators.knn_join import knn_auto_res_points, knn_join
 
     _load(spark, sf_dir, "customer", "supplier")
     points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
     qs = spark.sql(_QUERIES_SQL).toPandas()
-    # density-derived res (pure perf knob — exact kNN at any res)
-    res = knn_auto_res(points.count(), k=5)
+    # density-derived res (pure perf knob — exact kNN at any res);
+    # stats-based, no count() scan (adversarial-review r5)
+    res = knn_auto_res_points(points, k=5)
     return knn_join(spark, points, qs, res=res).select(
         "query_id", "image_id", "rank"
     )
@@ -3658,12 +3667,12 @@ _register_fn("raster_vector_roundtrip", _raster_vector, _raster_vector_oracle())
 # Distributed kNN (query side is a DataFrame — the 10^6-query scale
 # path). Same oracle as the driver-state variant.
 def _knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.knn_join import knn_auto_res, knn_join_many
+    from ..operators.knn_join import knn_auto_res_points, knn_join_many
 
     _load(spark, sf_dir, "customer", "supplier")
     points = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
     qdf = spark.sql(_QUERIES_SQL)
-    res = knn_auto_res(points.count(), k=5)
+    res = knn_auto_res_points(points, k=5)
     return knn_join_many(spark, points, qdf, res=res).select(
         "query_id", "image_id", "rank"
     )
@@ -3924,7 +3933,7 @@ _register_fn("dedup_image_clusters", _phash_clusters, _phash_clusters_oracle())
 def _knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from ..operators.knn_join import knn_auto_res, knn_join_many
+    from ..operators.knn_join import knn_auto_res_points, knn_join_many
 
     _load(spark, sf_dir, "customer")
     pts = spark.sql(_POINTS_SQL).withColumnRenamed("point_id", "image_id")
@@ -3932,7 +3941,7 @@ def _knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_id").alias("query_id"), "lon", "lat", F.lit(4).alias("k")
     )  # k+1: rank 1 is the point itself (distinct coords by fixture)
     knn = (
-        knn_join_many(spark, pts, qs, res=knn_auto_res(pts.count(), k=4))
+        knn_join_many(spark, pts, qs, res=knn_auto_res_points(pts, k=4))
         .where(F.col("image_id") != F.col("query_id"))
         .select(
             F.col("query_id").cast("bigint").alias("src"),

@@ -251,3 +251,29 @@ class TestRegimeParity:
         for bad in (np.nan, np.inf, -np.inf):
             with pytest.raises(ValueError, match="contract"):
                 _np_quantize(np.array([[0.5, bad]]), 1000)
+
+    def test_encode_kernel_null_propagates_ragged_raises(self, spark):
+        """The Arrow encode kernels replaced null-PROPAGATING Spark
+        expressions: a NULL embedding must yield a NULL code row (not
+        crash the stage with numpy's inhomogeneous-shape error), and a
+        mis-sized embedding must raise a DESCRIPTIVE error naming the
+        expected dimension (corruption-surfacing, the WKB decoder
+        discipline)."""
+        from pyspark.sql import functions as F
+
+        from htrc_ingester_spark.operators.clustering import _encode_udf
+
+        book = [(mi, c, [1000 * (c + 1)] * 4) for mi in range(2) for c in range(3)]
+        enc = _encode_udf(book, 2, 4, 1000)
+        df = spark.createDataFrame(
+            [("a", [0.1] * 8), ("b", None), ("c", [0.9] * 8)],
+            "vec_id string, embedding array<double>",
+        )
+        rows = {r.vec_id: r.codes for r in df.select("vec_id", enc(F.col("embedding")).alias("codes")).collect()}
+        assert rows["b"] is None
+        assert rows["a"] is not None and len(rows["a"]) == 2
+        bad = spark.createDataFrame(
+            [("a", [0.1] * 5)], "vec_id string, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="expected \\(8,\\)"):
+            bad.select(enc(F.col("embedding")).alias("c")).collect()

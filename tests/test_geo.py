@@ -127,17 +127,29 @@ def oracle_point_in_ring(lon, lat, ring):
     if rl[0] != rl[-1] or rt[0] != rt[-1]:
         rl.append(rl[0])
         rt.append(rt[0])
-    # unwrap
-    u = [rl[0]]
-    for i in range(1, len(rl)):
-        d = rl[i] - rl[i - 1]
-        d = (d + 180.0) % 360.0 - 180.0
-        u.append(u[-1] + d)
+    # unwrap — with the module convention's planar identity: a ring
+    # whose every raw step already lies in [-180, 180) IS its own
+    # continuous frame (the cumsum reconstruction below is identity
+    # only in exact arithmetic; its ~1-ulp drift off exactly-
+    # representable coordinates is an artifact, not the convention)
+    if all(-180.0 <= rl[i] - rl[i - 1] < 180.0 for i in range(1, len(rl))):
+        u = list(rl)
+    else:
+        u = [rl[0]]
+        for i in range(1, len(rl)):
+            d = rl[i] - rl[i - 1]
+            d = (d + 180.0) % 360.0 - 180.0
+            u.append(u[-1] + d)
     wind = round((u[-1] - u[0]) / 360.0)
     if wind == 0:
         lo, hi = min(u), max(u)
         center = 0.5 * (lo + hi)
-        px = center + ((lon - center + 180.0) % 360.0 - 180.0)
+        # conditional frame shift (module convention): in-frame lons
+        # stay raw so points exactly on an edge keep the half-open rule
+        if -180.0 <= lon - center < 180.0:
+            px = lon
+        else:
+            px = center + ((lon - center + 180.0) % 360.0 - 180.0)
         inside = False
         for i in range(len(u) - 1):
             x1, y1, x2, y2 = u[i], rt[i], u[i + 1], rt[i + 1]
@@ -249,6 +261,24 @@ class TestPIPKernel:
             got = G.points_in_ring(lon, lat, rl, rt)
             want = [oracle_point_in_ring(lon[i], lat[i], ring) for i in range(300)]
             np.testing.assert_array_equal(got, want, err_msg=poly["poly_id"])
+
+    def test_unwrap_ring_identity_on_planar_rings(self):
+        """A ring whose every raw step is already in [-180, 180) must
+        come back VERBATIM — the cumsum reconstruction perturbs
+        non-dyadic steps by ~1 ulp of 180, which moved edges off
+        exactly-representable grid-line coordinates and broke the
+        batch-vs-per-poly cover decision identity (the regression is
+        pinned end-to-end in test_spatial_operators)."""
+        planar = np.array([-5.366258602296037, -5.2294921875, -5.2294921875, -5.37, -5.366258602296037])
+        u = G.unwrap_ring(planar)
+        assert u.tolist() == planar.tolist()  # bitwise, incl. the non-dyadic walk
+        # wrap behavior unchanged: an antimeridian step still unwraps
+        cross = np.array([179.5, -179.5, -179.0, 179.0, 179.5])
+        uc = G.unwrap_ring(cross)
+        assert uc[0] == 179.5 and uc[1] == 180.5  # continuous frame
+        # polar-cap winding unchanged
+        cap = np.array([0.0, 120.0, -120.0, 0.0])
+        assert G.ring_winding(cap) == 1
 
 
 class TestHaversine:

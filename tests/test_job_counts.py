@@ -45,10 +45,13 @@ PINS = [
     ("raster_cost_distance", 8),
     # ring-expansion kNN: per-round materialize + active-count, three
     # size-estimate regimes collapse to the pinned-broadcast one here
-    # (r5: 15 -> 11 — the density-derived auto-res resolves the
-    # sf0.001 fixture in fewer expansion rounds, +1 count job for the
-    # density estimate)
-    ("knn_join_distributed", 11),
+    # (r5: 15 -> 11 via density-derived auto-res; then 11 -> 12 when
+    # the density estimate moved from a count() SCAN to Catalyst plan
+    # stats — the count job disappears, but the stats-rounded res is
+    # one finer at this tiny fixture, costing one extra expansion
+    # round; at the operator's target scale the removed full-table
+    # scan is the win)
+    ("knn_join_distributed", 12),
     # banded LSH pair-gen (single exchange) + pointer-jumping CC
     ("dedup_image_clusters", 13),
     # seeded Lloyd under the driver-bounded regime: one

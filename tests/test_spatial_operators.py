@@ -1499,6 +1499,43 @@ class TestBatchCoverKernel:
             )
         self._assert_identical(cases, 8, 12, 3)
 
+    def test_nondyadic_walk_then_exact_boundary_edge_identical(self):
+        """A NON-DYADIC vertex followed by an edge lying exactly on a
+        cell boundary: unwrap_ring's cumsum reconstruction perturbed
+        the exactly-representable edge lon by ~1e-14, so the per-poly
+        kernel's edge-bbox test (run in the unwrap frame) missed the
+        boundary column the batch kernel (raw-lon frame) kept —
+        926/4000 cover divergences before unwrap_ring gained its
+        planar identity path (caught by adversarial review fuzz)."""
+        import numpy as np
+
+        res, res_max = 8, 12
+        w = 360.0 / (1 << (res_max + 2))
+        h = 180.0 / (1 << (res_max + 1))
+        rng = np.random.default_rng(11)
+        cases = []
+        for _ in range(120):
+            xi = int(rng.integers(8, (1 << (res_max + 2)) - 8))
+            yi = int(rng.integers(8, (1 << (res_max + 1)) - 8))
+            x0 = -180.0 + xi * w  # exact res_max cell boundary
+            y0 = -90.0 + yi * h
+            xa = x0 - 2 * w - 0.1 * float(rng.random())  # non-dyadic
+            cases.append(
+                [
+                    np.array(
+                        [
+                            [xa, y0],
+                            [x0, y0],  # vertical edge exactly at x0
+                            [x0, y0 + 2 * h],
+                            [xa, y0 + 2 * h],
+                            [xa, y0],
+                        ]
+                    )
+                ]
+            )
+        self._assert_identical(cases, res, res_max, 3)
+        self._assert_identical(cases, res, res_max, 0)
+
     def test_out_of_frame_lons_identical(self):
         """Rings outside [-180, 180) or touching exactly +180 (where
         ring_bbox's normalization flips the seed bbox through the
