@@ -505,14 +505,20 @@ def _cover_rings_many(
         # per-ring CONDITIONAL frame shift, bit-identical to
         # points_in_ring (see the ecen construction note): the batch
         # eligibility gate (span + cell width < 178°) means `need` is
-        # always False here — corners stay raw — but the conditional is
-        # written out so the twin stays expression-identical. NaN-padded
-        # edges give NaN deltas → need False → raw px, and their NaN
-        # edge coords make every crossing comparison False.
+        # always False here — corners stay raw — so the modulo branch
+        # is guarded behind need.any() exactly like points_in_ring's
+        # (np.where would evaluate it for EVERY (corner, edge) element
+        # of the dense frontier, ~doubling this inner loop's flops for
+        # a branch the gate proves dead). NaN-padded edges give NaN
+        # deltas → need False → raw px, and their NaN edge coords make
+        # every crossing comparison False.
         cen = ecen[pidx][:, None, :]
         delta = px - cen
         need = (delta < -180.0) | (delta >= 180.0)
-        pxs = np.where(need, cen + ((delta + 180.0) % 360.0 - 180.0), px)
+        if need.any():
+            pxs = np.where(need, cen + ((delta + 180.0) % 360.0 - 180.0), px)
+        else:
+            pxs = px
         cond = (y1 > py) != (y2 > py)
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
