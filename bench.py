@@ -63,6 +63,17 @@ HEADLINE = [
     "phash_search_radius",
     "trajectory_od_matrix",
     "quadkey_tile_hist",
+    # r5 final rotation: eight more never-driver-sampled entries, each
+    # sub-1.2 s at sf0.1 (probed before inclusion so the headline wall
+    # stays comparable round-over-round)
+    "events_type_pivot",
+    "events_json_extract",
+    "attribution_click_view",
+    "trajectory_resample_ticks",
+    "text_quality_full",
+    "similarity_ann_multiprobe",
+    "pip_join_convex_oracle",
+    "coverage_gaps_rects",
 ]
 
 
