@@ -450,8 +450,10 @@ def _pip_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cover-as-table PIP regime (VERDICT r4 #1): 10^4 polygons trip
     pip_join's _TABLE_POLYS_BUDGET dispatch — the cover is built
     DISTRIBUTED (mapInPandas over the per-polygon kernel), the probe is
-    a cell-keyed shuffle join of the skeleton, and the refine cogroups
-    candidates with the polygon table on (poly_id, salt). Value-checked
+    a cell-keyed shuffle join of the skeleton, and the refine takes the
+    JOIN shape (parcel-sized rings equi-join candidates on poly_id —
+    the auto-chosen shape for small rings; pip_join_table_cogroup
+    oracle-checks the other shape). Value-checked
     by the same crossing-count oracle as every other PIP entry (with
     the result-identical lat-band prefilter keeping DuckDB off the full
     10^4-poly × points cross product). res_max=14 so the adaptive cover
@@ -509,6 +511,47 @@ def _pip_wkb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_fn("pip_join_wkb_table", _pip_wkb_table, _pip_many_oracle())
+
+
+def _pip_table_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table regime's OTHER refine shape under a value oracle: the
+    cogroup refine ships rings per (polygon, salt) instead of per
+    candidate row — the coastline-grade path for vertex-heavy rings.
+    Auto-dispatch picks it from ring size (pinned in pytest); here it
+    is forced on a 128-polygon grid subset so the cogroup kernel's
+    output is value-checked against the SAME crossing-count DuckDB
+    oracle as the join-shape entries (refine shape must be invisible
+    in the result). 128 polys, not 10^4 — per-group Arrow overhead
+    makes cogroup the wrong shape for many small polygons (measured
+    135 s vs ~3 s), which is exactly why the dispatch exists."""
+    from ..data import polygons_grid_wkb
+    from ..operators.pip_join import pip_join_table
+
+    wdf = spark.createDataFrame(
+        polygons_grid_wkb(128), "poly_id string, wkb binary"
+    )
+    img = FS.load_images(spark, sf_dir)
+    return (
+        pip_join_table(
+            spark, img, wdf, res=9, res_max=14,
+            refine="cogroup", refine_salt=3,
+        )
+        .select("image_id", "poly_id")
+        .orderBy("image_id", "poly_id")
+    )
+
+
+def _pip_table_cogroup_oracle() -> str:
+    from ..data import polygons_grid
+
+    return pip_crossing_oracle_sql(
+        polygons_grid(128), FS.images_sql("lineitem"), lat_prefilter=True
+    )
+
+
+_register_fn(
+    "pip_join_table_cogroup", _pip_table_cogroup, _pip_table_cogroup_oracle()
+)
 
 
 # ===========================================================================
