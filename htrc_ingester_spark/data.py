@@ -331,6 +331,21 @@ def polygons_grid_wkb(n: int = 10000) -> list[tuple[str, bytes]]:
     ]
 
 
+def polygons_grid_wkt(n: int = 10000) -> list[tuple[str, str]]:
+    """The many-polygon grid fixture as WKT text — the PostGIS-dump /
+    CSV-export arrival shape for the cover-as-table regime
+    (pip_join_wkt_table catalog entry: 10^4 text polygons parse
+    DISTRIBUTED, never on the driver). rings_to_wkt prints shortest
+    round-trip floats, so the crossing-count oracle's vertices stay
+    bit-identical through the text wire."""
+    from .geo.wkt import rings_to_wkt
+
+    return [
+        (p["poly_id"], rings_to_wkt([p["ring"]]))
+        for p in polygons_grid(n)
+    ]
+
+
 def polygons_pdf(seed: int = 42) -> pd.DataFrame:
     rows = polygons(seed)
     return pd.DataFrame(

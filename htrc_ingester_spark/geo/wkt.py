@@ -134,9 +134,51 @@ def polys_from_wkt(rows) -> list[dict]:
 def polys_from_wkt_column(df, id_col: str = "poly_id", wkt_col: str = "wkt") -> list[dict]:
     """Spark DataFrame (id, wkt) → spec list. Collects: the polygon
     side is the driver-indexed broadcast side of the PIP join by
-    design (see module docstring)."""
+    design (see module docstring). Past the polygon budget use
+    :func:`polys_df_from_wkt_column` + ``pip_join_table`` instead."""
     rows = df.select(id_col, wkt_col).collect()
     return polys_from_wkt((r[0], r[1]) for r in rows)
+
+
+def polys_df_from_wkt_column(df, id_col: str = "poly_id", wkt_col: str = "wkt"):
+    """Distributed WKT parse → the (poly_id string, rings
+    array<array<array<double>>>) DataFrame ``pip_join_table``
+    consumes — the text twin of geo.wkb.polys_df_from_wkb_column for
+    the PostGIS-dump / CSV-export arrival shape at catalog scale.
+    10^6+ WKT strings parse in executor Arrow batches and never touch
+    the driver. Empty geometries are dropped, matching the driver
+    path; a malformed string fails the TASK with the parser's
+    ValueError (poly_id in the message) rather than silently skipping
+    — interchange corruption must surface, the reference's
+    checksum-validate discipline."""
+    import pandas as pd
+
+    from ..functions import ensure_parallelism
+    from ..operators.pip_join import RINGS_SQL_TYPE
+
+    def _decode(batches):
+        for pdf in batches:
+            ids: list[str] = []
+            rings_out: list[list] = []
+            for pid, wkt in zip(pdf[id_col], pdf[wkt_col]):
+                try:
+                    rings = wkt_to_rings(wkt)
+                except ValueError as exc:
+                    raise ValueError(f"poly_id={pid!r}: {exc}") from exc
+                if rings:
+                    ids.append(str(pid))
+                    rings_out.append(
+                        [[[float(x), float(y)] for x, y in ring] for ring in rings]
+                    )
+            if ids:
+                yield pd.DataFrame({"poly_id": ids, "rings": rings_out})
+
+    # same pre-decode widening rationale as the WKB twin: a text
+    # catalog packs to 1-2 splits at 10^5 rows; widen while the rows
+    # are compact strings, not decoded nested arrays
+    return ensure_parallelism(df.select(id_col, wkt_col)).mapInPandas(
+        _decode, schema=f"poly_id string, rings {RINGS_SQL_TYPE}"
+    )
 
 
 def _geom_rings(geom: dict) -> list[list[tuple[float, float]]]:

@@ -513,6 +513,30 @@ def _pip_wkb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_fn("pip_join_wkb_table", _pip_wkb_table, _pip_many_oracle())
 
 
+def _pip_wkt_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEXT twin of pip_join_wkb_table: 10^4 polygons arrive as a
+    WKT string column (the PostGIS-dump / CSV-export shape) and parse
+    DISTRIBUTED (geo.wkt.polys_df_from_wkt_column executor batches)
+    straight into the cover-as-table regime — no driver round-trip.
+    rings_to_wkt prints shortest round-trip floats, so this must
+    reproduce the binary entry's hashes bit-for-bit under the same
+    crossing-count oracle."""
+    from ..data import polygons_grid_wkt
+    from ..geo.wkt import polys_df_from_wkt_column
+    from ..operators.pip_join import pip_join_table
+
+    wdf = spark.createDataFrame(polygons_grid_wkt(), "poly_id string, wkt string")
+    img = FS.load_images(spark, sf_dir)
+    return (
+        pip_join_table(spark, img, polys_df_from_wkt_column(wdf), res=9, res_max=14)
+        .select("image_id", "poly_id")
+        .orderBy("image_id", "poly_id")
+    )
+
+
+_register_fn("pip_join_wkt_table", _pip_wkt_table, _pip_many_oracle())
+
+
 def _pip_table_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The table regime's OTHER refine shape under a value oracle: the
     cogroup refine ships rings per (polygon, salt) instead of per

@@ -212,3 +212,64 @@ class TestSparkColumnIngestion:
             .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
         )
         assert a.equals(b)
+
+    def test_distributed_parse_matches_driver_parse(self, spark):
+        """polys_df_from_wkt_column (executor-batch parse, the text
+        scale path) must produce exactly the rings the driver-side
+        parser produces — float64 bit-for-bit, empty geometries
+        dropped on both paths."""
+        from htrc_ingester_spark.geo.wkt import (
+            polys_df_from_wkt_column,
+            polys_from_wkt,
+        )
+
+        rows = data.polygons_holes_wkt() + [("empty", "POLYGON EMPTY")]
+        wdf = spark.createDataFrame(rows, "poly_id string, wkt string")
+        got = {
+            r["poly_id"]: [
+                [(float(x), float(y)) for x, y in ring] for ring in r["rings"]
+            ]
+            for r in polys_df_from_wkt_column(wdf).collect()
+        }
+        want = {p["poly_id"]: p["rings"] for p in polys_from_wkt(rows)}
+        assert got == want
+        assert "empty" not in got
+
+    def test_distributed_parse_feeds_pip_join_table(self, spark):
+        """Text column → distributed parse → cover-as-table PIP equals
+        the broadcast pip_join on the original dict spec — the
+        composition a PostGIS-dump/CSV-export user runs at catalog
+        scale, results identical to the driver regime."""
+        from htrc_ingester_spark.geo.wkt import polys_df_from_wkt_column
+        from htrc_ingester_spark.operators.pip_join import pip_join, pip_join_table
+
+        pdf = data.images_meta_pdf(300)
+        pts = spark.createDataFrame(pdf[["image_id", "lon", "lat"]])
+        wdf = spark.createDataFrame(
+            data.polygons_holes_wkt(), "poly_id string, wkt string"
+        )
+        a = (
+            pip_join(spark, pts, data.polygons_holes(), res=7)
+            .select("image_id", "poly_id").toPandas()
+            .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
+        )
+        b = (
+            pip_join_table(spark, pts, polys_df_from_wkt_column(wdf), res=7)
+            .select("image_id", "poly_id").toPandas()
+            .sort_values(["image_id", "poly_id"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert len(a) > 0
+
+    def test_malformed_wkt_fails_task_with_poly_id(self, spark):
+        """Interchange corruption must surface (the reference's
+        checksum-validate discipline), and name the offending row."""
+        from htrc_ingester_spark.geo.wkt import polys_df_from_wkt_column
+
+        rows = [
+            ("good", data.polygons_holes_wkt()[0][1]),
+            ("badrow", "POLYGON((not numbers))"),
+        ]
+        wdf = spark.createDataFrame(rows, "poly_id string, wkt string")
+        with pytest.raises(Exception, match="badrow"):
+            polys_df_from_wkt_column(wdf).collect()
