@@ -219,3 +219,67 @@ def polys_from_geojson(obj: dict, id_prop: str = "poly_id") -> list[dict]:
 def polys_from_geojson_file(path: str, id_prop: str = "poly_id") -> list[dict]:
     with open(path) as fh:
         return polys_from_geojson(json.load(fh), id_prop)
+
+
+def polys_df_from_geojson_column(
+    df, json_col: str = "feature", id_prop: str = "poly_id", id_col: str | None = None
+):
+    """Distributed newline-delimited-GeoJSON parse → the (poly_id
+    string, rings array<array<array<double>>>) DataFrame
+    ``pip_join_table`` consumes — the GeoJSONL arrival shape (one
+    Feature or bare geometry JSON per row; ``spark.read.text`` hands
+    exactly this). Completes the executor-batch ingest trio with
+    geo.wkb.polys_df_from_wkb_column and polys_df_from_wkt_column.
+
+    Feature ids come from ``properties[id_prop]``, falling back to the
+    feature ``id``, falling back to ``id_col`` when given — the driver
+    twin's positional-index fallback does NOT exist here (row order is
+    not stable across a distributed scan), so a feature with no id at
+    all fails the task. Empty geometries are dropped, matching the
+    driver path; malformed JSON or geometry fails the TASK with a
+    ValueError naming the row — interchange corruption must surface,
+    the reference's checksum-validate discipline."""
+    import pandas as pd
+
+    from ..functions import ensure_parallelism
+    from ..operators.pip_join import RINGS_SQL_TYPE
+
+    cols = [json_col] if id_col is None else [id_col, json_col]
+
+    def _decode(batches):
+        for pdf in batches:
+            ids: list[str] = []
+            rings_out: list[list] = []
+            fallback = pdf[id_col] if id_col is not None else [None] * len(pdf)
+            for fb, raw in zip(fallback, pdf[json_col]):
+                try:
+                    obj = json.loads(raw)
+                    if obj.get("type") != "Feature":  # bare geometry
+                        obj = {"type": "Feature", "geometry": obj, "properties": {}}
+                    pid = (obj.get("properties") or {}).get(
+                        id_prop, obj.get("id", fb)
+                    )
+                    if pid is None:
+                        raise ValueError(
+                            f"feature has no properties[{id_prop!r}], no 'id', "
+                            "and no id_col fallback"
+                        )
+                    rings = _geom_rings(obj["geometry"])
+                except (ValueError, KeyError, AttributeError, TypeError) as exc:
+                    # JSONDecodeError is a ValueError; KeyError covers a
+                    # Feature with no geometry, Attribute/TypeError a
+                    # null geometry or non-object row — all corruption,
+                    # all named by the offending row
+                    head = str(raw)[:80]
+                    raise ValueError(f"geojson row {head!r}: {exc}") from exc
+                if rings:
+                    ids.append(str(pid))
+                    rings_out.append(
+                        [[[float(x), float(y)] for x, y in ring] for ring in rings]
+                    )
+            if ids:
+                yield pd.DataFrame({"poly_id": ids, "rings": rings_out})
+
+    return ensure_parallelism(df.select(*cols)).mapInPandas(
+        _decode, schema=f"poly_id string, rings {RINGS_SQL_TYPE}"
+    )
