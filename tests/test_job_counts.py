@@ -59,6 +59,17 @@ PINS = [
     # (r5: 11 -> 7; the per-iteration (cluster,pos) exchanges only
     # run past _DRIVER_TRAIN_MAX_BYTES)
     ("kmeans_clusters", 7),
+    # cover-as-table regime (not iterative, but its fixed job
+    # composition — polys normalize + size-driven repartition stats +
+    # distributed cover build/persist + refine-shape max-agg + probe +
+    # the collect-protocol orderBy's range-partition sample — is the
+    # per-entry floor the sandbox scheduler amortizes at scale; a
+    # regression that adds an action shows up here exactly)
+    ("pip_join_many_polys", 14),
+    ("pip_join_wkb_table", 14),
+    ("pip_join_wkt_table", 14),
+    # forced-cogroup twin skips the refine-shape max-agg decision job
+    ("pip_join_table_cogroup", 13),
 ]
 
 
