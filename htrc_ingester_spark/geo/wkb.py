@@ -294,6 +294,8 @@ def polys_df_from_wkb_column(df, id_col: str = "poly_id", wkb_col: str = "wkb"):
             rings_out: list[list] = []
             for pid, wkb in zip(pdf[id_col], pdf[wkb_col]):
                 try:
+                    if wkb is None:
+                        raise ValueError("NULL geometry value")
                     rings = wkb_to_rings(bytes(wkb))
                 except ValueError as exc:
                     raise ValueError(f"poly_id={pid!r}: {exc}") from exc

@@ -162,6 +162,8 @@ def polys_df_from_wkt_column(df, id_col: str = "poly_id", wkt_col: str = "wkt"):
             rings_out: list[list] = []
             for pid, wkt in zip(pdf[id_col], pdf[wkt_col]):
                 try:
+                    if wkt is None:
+                        raise ValueError("NULL geometry value")
                     rings = wkt_to_rings(wkt)
                 except ValueError as exc:
                     raise ValueError(f"poly_id={pid!r}: {exc}") from exc
@@ -253,6 +255,8 @@ def polys_df_from_geojson_column(
             fallback = pdf[id_col] if id_col is not None else [None] * len(pdf)
             for fb, raw in zip(fallback, pdf[json_col]):
                 try:
+                    if raw is None:
+                        raise ValueError("NULL geometry value")
                     obj = json.loads(raw)
                     if obj.get("type") != "Feature":  # bare geometry
                         obj = {"type": "Feature", "geometry": obj, "properties": {}}

@@ -274,6 +274,30 @@ class TestSparkColumnIngestion:
         with pytest.raises(Exception, match="badrow"):
             polys_df_from_wkt_column(wdf).collect()
 
+    def test_null_geometry_fails_task_naming_row(self, spark):
+        """A NULL geometry cell is catalog corruption: all three
+        distributed decoders (WKT / WKB / GeoJSONL) must fail the task
+        with the offending row named, not an opaque TypeError."""
+        from htrc_ingester_spark.geo.wkb import polys_df_from_wkb_column
+        from htrc_ingester_spark.geo.wkt import (
+            polys_df_from_geojson_column,
+            polys_df_from_wkt_column,
+        )
+
+        wdf = spark.createDataFrame(
+            [("nullrow", None)], "poly_id string, wkt string"
+        )
+        with pytest.raises(Exception, match="nullrow.*NULL geometry"):
+            polys_df_from_wkt_column(wdf).collect()
+        bdf = spark.createDataFrame(
+            [("nullrow", None)], "poly_id string, wkb binary"
+        )
+        with pytest.raises(Exception, match="nullrow.*NULL geometry"):
+            polys_df_from_wkb_column(bdf).collect()
+        fdf = spark.createDataFrame([(None,)], "feature string")
+        with pytest.raises(Exception, match="NULL geometry"):
+            polys_df_from_geojson_column(fdf).collect()
+
 
 class TestGeoJSONLColumnIngestion:
     """polys_df_from_geojson_column — the newline-delimited-GeoJSON
