@@ -74,6 +74,37 @@ HEADLINE = [
     "similarity_ann_multiprobe",
     "pip_join_convex_oracle",
     "coverage_gaps_rects",
+    # r5 closing rotation: the LAST 22 never-driver-sampled entries —
+    # with these, every catalog entry has either a driver CORRECTNESS
+    # sample or a recorded headline wall+MAD. Each was probed first
+    # (cold protocol, sf0.1); the six heavier ones (wkt-table twin,
+    # cogroup refine shape, the dedup cluster/survivor/winnow family,
+    # mutual-kNN) are included deliberately so the final bench records
+    # the whole dedup pipeline, both table-regime refine shapes, and
+    # the text-ingest twin. Headline TOTAL grows by construction;
+    # r3_subset_total stays the round-over-round comparable number.
+    "pip_join_wkt_table",
+    "pip_join_table_cogroup",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_winnow_pairs",
+    "dedup_image_phash",
+    "knn_mutual_pairs",
+    "similarity_ivf_topk",
+    "segment_intersect_roads",
+    "ring_metrics_polygons",
+    "geofence_transitions_rects",
+    "raster_isobands",
+    "raster_gradient_slope",
+    "tile_sample_topk",
+    "segment_density_cells",
+    "events_cohort_retention",
+    "events_moving_avg",
+    "events_value_ntile",
+    "events_sliding_window",
+    "adaptive_multires_hist",
+    "events_value_anomalies",
+    "zonal_buffer_counts",
 ]
 
 
