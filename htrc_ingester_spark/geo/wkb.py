@@ -271,50 +271,89 @@ def polys_from_wkb_column(df, id_col: str = "poly_id", wkb_col: str = "wkb") -> 
     return polys_from_wkb((r[0], bytes(r[1])) for r in rows)
 
 
-def polys_df_from_wkb_column(df, id_col: str = "poly_id", wkb_col: str = "wkb"):
-    """Distributed WKB decode → the (poly_id string, rings
-    array<array<array<double>>>) DataFrame :func:`pip_join_table`
-    consumes — the GeoParquet SCALE path. 10^6+ binary geometries
-    decode in executor Arrow batches and never touch the driver;
-    :func:`polys_from_wkb_column` stays the broadcast-regime
-    convenience twin (collect + driver decode, right when the polygon
-    side is the broadcast side anyway). Empty geometries are dropped,
-    matching the driver path; a malformed blob fails the TASK with the
-    decoder's ValueError (poly_id in the message) rather than silently
-    skipping — interchange corruption must surface, the reference's
-    checksum-validate discipline."""
+def _ingest_polys_df(df, cols: list, parse_row, out: str = "wkb"):
+    """Shared executor-batch scaffold for the distributed geometry
+    ingest trio (WKB / WKT / GeoJSONL — one parser each, one scaffold):
+    iterate the batch rows, ``parse_row(*row_values) -> (pid, rings,
+    wire_bytes_or_None)`` (raising ValueError naming the offending row
+    on any corruption), drop empty geometries, and emit either
+
+    - ``out="wkb"`` (default): ``(poly_id string, wkb binary)`` — the
+      engine's NATIVE wire (:func:`pip_join_table` point 0), so the
+      parse feeds the cover-as-table regime with zero further
+      conversion passes. ``wire_bytes`` passes through verbatim when
+      the input already is WKB; text parsers return None and the
+      rings are encoded here (one pass, no nested-array Arrow hop).
+    - ``out="rings"``: ``(poly_id string, rings
+      array<array<array<double>>>)`` — the nested spec shape, for
+      consumers of the ring lists themselves.
+
+    Widening rationale (shared by all three): a 10^5-geometry catalog
+    is only tens of MB, so the file packer hands it to 1-2 splits and
+    everything downstream pins to 1-2 cores. Widen BEFORE the decode —
+    the shuffle moves compact strings/binary, not decoded nested
+    arrays (measured: decode+persist 6.0 s at BOTH local[2] and
+    local[8] before; scales after). At catalog scale the input arrives
+    in thousands of splits and the guard is a no-op."""
     import pandas as pd
 
     from ..functions import ensure_parallelism
-    from ..operators.pip_join import RINGS_SQL_TYPE
+
+    if out == "rings":
+        from ..operators.pip_join import RINGS_SQL_TYPE
+
+        schema, geom_col = f"poly_id string, rings {RINGS_SQL_TYPE}", "rings"
+    elif out == "wkb":
+        schema, geom_col = "poly_id string, wkb binary", "wkb"
+    else:
+        raise ValueError(f"out must be 'wkb' or 'rings', got {out!r}")
 
     def _decode(batches):
         for pdf in batches:
             ids: list[str] = []
-            rings_out: list[list] = []
-            for pid, wkb in zip(pdf[id_col], pdf[wkb_col]):
-                try:
-                    if wkb is None:
-                        raise ValueError("NULL geometry value")
-                    rings = wkb_to_rings(bytes(wkb))
-                except ValueError as exc:
-                    raise ValueError(f"poly_id={pid!r}: {exc}") from exc
-                if rings:
-                    ids.append(str(pid))
-                    rings_out.append(
+            geoms: list = []
+            for vals in zip(*(pdf[c] for c in cols)):
+                pid, rings, wire = parse_row(*vals)
+                if not rings:
+                    continue  # empty geometry matches nothing — drop
+                ids.append(str(pid))
+                if geom_col == "rings":
+                    geoms.append(
                         [[[float(x), float(y)] for x, y in ring] for ring in rings]
                     )
+                else:
+                    geoms.append(wire if wire is not None else rings_to_wkb(rings))
             if ids:
-                yield pd.DataFrame({"poly_id": ids, "rings": rings_out})
+                yield pd.DataFrame({"poly_id": ids, geom_col: geoms})
 
-    # a 10^5-polygon GeoParquet catalog is only tens of MB, so the file
-    # packer hands it to 1-2 splits and the decode (and everything
-    # downstream: the nested-rings persist, the cover kernel) pins to
-    # 1-2 cores. Widen BEFORE the decode — the shuffle moves compact
-    # binary WKB, not decoded nested arrays (measured: decode+persist
-    # 6.0 s at BOTH local[2] and local[8] before; scales after). At
-    # catalog scale the input arrives in thousands of splits and the
-    # guard is a no-op.
-    return ensure_parallelism(df.select(id_col, wkb_col)).mapInPandas(
-        _decode, schema=f"poly_id string, rings {RINGS_SQL_TYPE}"
-    )
+    return ensure_parallelism(df.select(*cols)).mapInPandas(_decode, schema=schema)
+
+
+def polys_df_from_wkb_column(
+    df, id_col: str = "poly_id", wkb_col: str = "wkb", out: str = "wkb"
+):
+    """Distributed WKB validate/decode → the DataFrame
+    :func:`pip_join_table` consumes — the GeoParquet SCALE path. 10^6+
+    binary geometries decode in executor Arrow batches and never touch
+    the driver; :func:`polys_from_wkb_column` stays the
+    broadcast-regime convenience twin (collect + driver decode, right
+    when the polygon side is the broadcast side anyway). By default
+    the VALIDATED ORIGINAL bytes pass through as the engine's native
+    binary wire (strict-decode every blob, re-emit verbatim);
+    ``out="rings"`` emits the nested ring-list spec instead. Empty
+    geometries are dropped, matching the driver path; a malformed blob
+    fails the TASK with the decoder's ValueError (poly_id in the
+    message) rather than silently skipping — interchange corruption
+    must surface, the reference's checksum-validate discipline."""
+
+    def _parse(pid, wkb):
+        try:
+            if wkb is None:
+                raise ValueError("NULL geometry value")
+            raw = bytes(wkb)
+            rings = wkb_to_rings(raw)
+        except ValueError as exc:
+            raise ValueError(f"poly_id={pid!r}: {exc}") from exc
+        return pid, rings, raw
+
+    return _ingest_polys_df(df, [id_col, wkb_col], _parse, out)

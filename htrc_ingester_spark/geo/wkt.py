@@ -41,8 +41,10 @@ __all__ = [
     "rings_to_wkt",
     "polys_from_wkt",
     "polys_from_wkt_column",
+    "polys_df_from_wkt_column",
     "polys_from_geojson",
     "polys_from_geojson_file",
+    "polys_df_from_geojson_column",
 ]
 
 _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
@@ -140,47 +142,34 @@ def polys_from_wkt_column(df, id_col: str = "poly_id", wkt_col: str = "wkt") -> 
     return polys_from_wkt((r[0], r[1]) for r in rows)
 
 
-def polys_df_from_wkt_column(df, id_col: str = "poly_id", wkt_col: str = "wkt"):
-    """Distributed WKT parse → the (poly_id string, rings
-    array<array<array<double>>>) DataFrame ``pip_join_table``
+def polys_df_from_wkt_column(
+    df, id_col: str = "poly_id", wkt_col: str = "wkt", out: str = "wkb"
+):
+    """Distributed WKT parse → the DataFrame ``pip_join_table``
     consumes — the text twin of geo.wkb.polys_df_from_wkb_column for
     the PostGIS-dump / CSV-export arrival shape at catalog scale.
     10^6+ WKT strings parse in executor Arrow batches and never touch
-    the driver. Empty geometries are dropped, matching the driver
-    path; a malformed string fails the TASK with the parser's
-    ValueError (poly_id in the message) rather than silently skipping
-    — interchange corruption must surface, the reference's
-    checksum-validate discipline."""
-    import pandas as pd
+    the driver. By default the parsed rings are encoded STRAIGHT to
+    the engine's native binary wire (poly_id, wkb) in the same batch
+    pass — text in, compact WKB out, no nested-array Arrow hop and no
+    second conversion pass inside pip_join_table; ``out="rings"``
+    emits the nested ring-list spec instead. Empty geometries are
+    dropped, matching the driver path; a malformed string fails the
+    TASK with the parser's ValueError (poly_id in the message) rather
+    than silently skipping — interchange corruption must surface, the
+    reference's checksum-validate discipline."""
+    from .wkb import _ingest_polys_df
 
-    from ..functions import ensure_parallelism
-    from ..operators.pip_join import RINGS_SQL_TYPE
+    def _parse(pid, wkt):
+        try:
+            if wkt is None:
+                raise ValueError("NULL geometry value")
+            rings = wkt_to_rings(wkt)
+        except ValueError as exc:
+            raise ValueError(f"poly_id={pid!r}: {exc}") from exc
+        return pid, rings, None
 
-    def _decode(batches):
-        for pdf in batches:
-            ids: list[str] = []
-            rings_out: list[list] = []
-            for pid, wkt in zip(pdf[id_col], pdf[wkt_col]):
-                try:
-                    if wkt is None:
-                        raise ValueError("NULL geometry value")
-                    rings = wkt_to_rings(wkt)
-                except ValueError as exc:
-                    raise ValueError(f"poly_id={pid!r}: {exc}") from exc
-                if rings:
-                    ids.append(str(pid))
-                    rings_out.append(
-                        [[[float(x), float(y)] for x, y in ring] for ring in rings]
-                    )
-            if ids:
-                yield pd.DataFrame({"poly_id": ids, "rings": rings_out})
-
-    # same pre-decode widening rationale as the WKB twin: a text
-    # catalog packs to 1-2 splits at 10^5 rows; widen while the rows
-    # are compact strings, not decoded nested arrays
-    return ensure_parallelism(df.select(id_col, wkt_col)).mapInPandas(
-        _decode, schema=f"poly_id string, rings {RINGS_SQL_TYPE}"
-    )
+    return _ingest_polys_df(df, [id_col, wkt_col], _parse, out)
 
 
 def _geom_rings(geom: dict) -> list[list[tuple[float, float]]]:
@@ -224,66 +213,62 @@ def polys_from_geojson_file(path: str, id_prop: str = "poly_id") -> list[dict]:
 
 
 def polys_df_from_geojson_column(
-    df, json_col: str = "feature", id_prop: str = "poly_id", id_col: str | None = None
+    df,
+    json_col: str = "feature",
+    id_prop: str = "poly_id",
+    id_col: str | None = None,
+    out: str = "wkb",
 ):
-    """Distributed newline-delimited-GeoJSON parse → the (poly_id
-    string, rings array<array<array<double>>>) DataFrame
+    """Distributed newline-delimited-GeoJSON parse → the DataFrame
     ``pip_join_table`` consumes — the GeoJSONL arrival shape (one
     Feature or bare geometry JSON per row; ``spark.read.text`` hands
     exactly this). Completes the executor-batch ingest trio with
-    geo.wkb.polys_df_from_wkb_column and polys_df_from_wkt_column.
+    geo.wkb.polys_df_from_wkb_column and polys_df_from_wkt_column; by
+    default the parsed rings encode straight to the engine's native
+    binary wire (poly_id, wkb) in the same batch pass, ``out="rings"``
+    emits the nested ring-list spec instead.
 
     Feature ids come from ``properties[id_prop]``, falling back to the
-    feature ``id``, falling back to ``id_col`` when given — the driver
-    twin's positional-index fallback does NOT exist here (row order is
-    not stable across a distributed scan), so a feature with no id at
-    all fails the task. Empty geometries are dropped, matching the
+    feature ``id``, falling back to ``id_col`` when given — a stored
+    JSON ``null`` at either step counts as MISSING and falls through
+    (exporters commonly emit ``"id": null``), so only a feature with
+    no id anywhere fails the task. The driver twin's positional-index
+    fallback does NOT exist here (row order is not stable across a
+    distributed scan). Empty geometries are dropped, matching the
     driver path; malformed JSON or geometry fails the TASK with a
     ValueError naming the row — interchange corruption must surface,
     the reference's checksum-validate discipline."""
-    import pandas as pd
+    from .wkb import _ingest_polys_df
 
-    from ..functions import ensure_parallelism
-    from ..operators.pip_join import RINGS_SQL_TYPE
+    def _parse_obj(fb, raw):
+        try:
+            if raw is None:
+                raise ValueError("NULL geometry value")
+            obj = json.loads(raw)
+            if obj.get("type") != "Feature":  # bare geometry
+                obj = {"type": "Feature", "geometry": obj, "properties": {}}
+            pid = (obj.get("properties") or {}).get(id_prop)
+            if pid is None:  # JSON null == missing: fall through
+                pid = obj.get("id")
+            if pid is None:
+                pid = fb
+            if pid is None:
+                raise ValueError(
+                    f"feature has no properties[{id_prop!r}], no 'id', "
+                    "and no id_col fallback"
+                )
+            rings = _geom_rings(obj["geometry"])
+        except (ValueError, KeyError, AttributeError, TypeError) as exc:
+            # JSONDecodeError is a ValueError; KeyError covers a
+            # Feature with no geometry, Attribute/TypeError a
+            # null geometry or non-object row — all corruption,
+            # all named by the offending row
+            head = str(raw)[:80]
+            raise ValueError(f"geojson row {head!r}: {exc}") from exc
+        return pid, rings, None
 
-    cols = [json_col] if id_col is None else [id_col, json_col]
-
-    def _decode(batches):
-        for pdf in batches:
-            ids: list[str] = []
-            rings_out: list[list] = []
-            fallback = pdf[id_col] if id_col is not None else [None] * len(pdf)
-            for fb, raw in zip(fallback, pdf[json_col]):
-                try:
-                    if raw is None:
-                        raise ValueError("NULL geometry value")
-                    obj = json.loads(raw)
-                    if obj.get("type") != "Feature":  # bare geometry
-                        obj = {"type": "Feature", "geometry": obj, "properties": {}}
-                    pid = (obj.get("properties") or {}).get(
-                        id_prop, obj.get("id", fb)
-                    )
-                    if pid is None:
-                        raise ValueError(
-                            f"feature has no properties[{id_prop!r}], no 'id', "
-                            "and no id_col fallback"
-                        )
-                    rings = _geom_rings(obj["geometry"])
-                except (ValueError, KeyError, AttributeError, TypeError) as exc:
-                    # JSONDecodeError is a ValueError; KeyError covers a
-                    # Feature with no geometry, Attribute/TypeError a
-                    # null geometry or non-object row — all corruption,
-                    # all named by the offending row
-                    head = str(raw)[:80]
-                    raise ValueError(f"geojson row {head!r}: {exc}") from exc
-                if rings:
-                    ids.append(str(pid))
-                    rings_out.append(
-                        [[[float(x), float(y)] for x, y in ring] for ring in rings]
-                    )
-            if ids:
-                yield pd.DataFrame({"poly_id": ids, "rings": rings_out})
-
-    return ensure_parallelism(df.select(*cols)).mapInPandas(
-        _decode, schema=f"poly_id string, rings {RINGS_SQL_TYPE}"
-    )
+    if id_col is None:
+        return _ingest_polys_df(
+            df, [json_col], lambda raw: _parse_obj(None, raw), out
+        )
+    return _ingest_polys_df(df, [id_col, json_col], _parse_obj, out)

@@ -517,10 +517,11 @@ def _pip_wkt_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TEXT twin of pip_join_wkb_table: 10^4 polygons arrive as a
     WKT string column (the PostGIS-dump / CSV-export shape) and parse
     DISTRIBUTED (geo.wkt.polys_df_from_wkt_column executor batches)
-    straight into the cover-as-table regime — no driver round-trip.
-    rings_to_wkt prints shortest round-trip floats, so this must
-    reproduce the binary entry's hashes bit-for-bit under the same
-    crossing-count oracle."""
+    straight onto the native binary wire feeding the cover-as-table
+    regime — no driver round-trip, no nested-array hop (the parse
+    batch emits WKB directly). rings_to_wkt prints shortest
+    round-trip floats, so this must reproduce the binary entry's
+    hashes bit-for-bit under the same crossing-count oracle."""
     from ..data import polygons_grid_wkt
     from ..geo.wkt import polys_df_from_wkt_column
     from ..operators.pip_join import pip_join_table

@@ -316,11 +316,18 @@ class TestDistributedDecode:
             r["poly_id"]: [
                 [(float(x), float(y)) for x, y in ring] for ring in r["rings"]
             ]
-            for r in polys_df_from_wkb_column(wdf).collect()
+            for r in polys_df_from_wkb_column(wdf, out="rings").collect()
         }
         want = {p["poly_id"]: p["rings"] for p in polys_from_wkb(rows)}
         assert got == want
         assert "empty" not in got
+        # default output is the native wire: the VALIDATED ORIGINAL
+        # bytes pass through verbatim (empty geometries dropped)
+        wire = {
+            r["poly_id"]: bytes(r["wkb"])
+            for r in polys_df_from_wkb_column(wdf).collect()
+        }
+        assert wire == {pid: bytes(b) for pid, b in rows if pid != "empty"}
 
     def test_distributed_decode_feeds_pip_join_table(self, spark):
         """Binary column → distributed decode → cover-as-table PIP

@@ -223,17 +223,26 @@ class TestSparkColumnIngestion:
             polys_from_wkt,
         )
 
+        from htrc_ingester_spark.geo.wkb import wkb_to_rings
+
         rows = data.polygons_holes_wkt() + [("empty", "POLYGON EMPTY")]
         wdf = spark.createDataFrame(rows, "poly_id string, wkt string")
         got = {
             r["poly_id"]: [
                 [(float(x), float(y)) for x, y in ring] for ring in r["rings"]
             ]
-            for r in polys_df_from_wkt_column(wdf).collect()
+            for r in polys_df_from_wkt_column(wdf, out="rings").collect()
         }
         want = {p["poly_id"]: p["rings"] for p in polys_from_wkt(rows)}
         assert got == want
         assert "empty" not in got
+        # the default output is the native binary wire: same rings,
+        # encoded in the same batch pass (no second conversion hop)
+        wire = {
+            r["poly_id"]: wkb_to_rings(bytes(r["wkb"]))
+            for r in polys_df_from_wkt_column(wdf).collect()
+        }
+        assert wire == want
 
     def test_distributed_parse_feeds_pip_join_table(self, spark):
         """Text column → distributed parse → cover-as-table PIP equals
@@ -316,19 +325,29 @@ class TestGeoJSONLColumnIngestion:
             polys_from_geojson,
         )
 
+        from htrc_ingester_spark.geo.wkb import wkb_to_rings
+
         rows = [(r,) for r in self._feature_rows()]
         fdf = spark.createDataFrame(rows, "feature string")
         got = {
             r["poly_id"]: [
                 [(float(x), float(y)) for x, y in ring] for ring in r["rings"]
             ]
-            for r in polys_df_from_geojson_column(fdf).collect()
+            for r in polys_df_from_geojson_column(fdf, out="rings").collect()
         }
         want = {
             p["poly_id"]: p["rings"]
             for p in polys_from_geojson(data.polygons_holes_geojson())
         }
         assert got == want and len(got) > 0
+        wire = {
+            r["poly_id"]: [
+                [(float(x), float(y)) for x, y in ring]
+                for ring in wkb_to_rings(bytes(r["wkb"]))
+            ]
+            for r in polys_df_from_geojson_column(fdf).collect()
+        }
+        assert wire == want
 
     def test_distributed_parse_feeds_pip_join_table(self, spark):
         from htrc_ingester_spark.geo.wkt import polys_df_from_geojson_column
@@ -382,3 +401,38 @@ class TestGeoJSONLColumnIngestion:
         )
         out = polys_df_from_geojson_column(fdf, id_col="row_id").collect()
         assert [r["poly_id"] for r in out] == ["from_col"]
+
+    def test_json_null_id_falls_through(self, spark):
+        """A stored JSON null at properties[id_prop] or the feature
+        'id' counts as MISSING (exporters commonly emit '\"id\": null')
+        — the documented properties→id→id_col precedence must fall
+        through it, not fail the job while a usable fallback exists."""
+        from htrc_ingester_spark.geo.wkt import polys_df_from_geojson_column
+
+        coords = '[[[0,0],[2,0],[2,2],[0,2],[0,0]]]'
+        rows = [
+            # properties[poly_id] is null → feature id wins
+            (
+                "colA",
+                '{"type": "Feature", "id": "feat_id", "properties": '
+                '{"poly_id": null}, "geometry": {"type": "Polygon", '
+                f'"coordinates": {coords}}}}}',
+            ),
+            # both properties[poly_id] and id are null → id_col wins
+            (
+                "colB",
+                '{"type": "Feature", "id": null, "properties": '
+                '{"poly_id": null}, "geometry": {"type": "Polygon", '
+                f'"coordinates": {coords}}}}}',
+            ),
+        ]
+        fdf = spark.createDataFrame(rows, "row_id string, feature string")
+        out = sorted(
+            r["poly_id"]
+            for r in polys_df_from_geojson_column(fdf, id_col="row_id").collect()
+        )
+        assert out == ["colB", "feat_id"]
+        # and with NO id_col, the all-null row must still fail clearly
+        fdf2 = spark.createDataFrame([(rows[1][1],)], "feature string")
+        with pytest.raises(Exception, match="no id_col fallback"):
+            polys_df_from_geojson_column(fdf2).collect()
