@@ -66,9 +66,17 @@ from ..geo.backend import H3LiteBackend, get_backend
 def poly_rings(p: dict) -> list[np.ndarray]:
     """Normalize a polygon spec to its ring list as (N, 2) float64
     arrays. Accepts ``rings: [ring, ...]`` (holes / MultiPolygon,
-    even-odd semantics) or the legacy single ``ring``."""
+    even-odd semantics) or the legacy single ``ring``.
+
+    Zero-vertex rings are dropped outright: an empty ring is an
+    even-odd no-op everywhere (``points_in_ring`` is all-False below 3
+    vertices, and it contributes no bbox, edges, or corner parity), so
+    dropping is decision-identical — and it keeps the cover kernels
+    (which index ``ring[:, 0]``) total over tolerated spec input. The
+    ``reshape(-1, 2)`` normalizes the empty list's ``(0,)`` shape."""
     rings = p["rings"] if "rings" in p else [p["ring"]]
-    return [np.asarray(r, dtype=np.float64) for r in rings]
+    arrs = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings]
+    return [a for a in arrs if len(a)]
 
 
 def _classify(cells: np.ndarray, rings: list[np.ndarray], backend=None):
@@ -617,8 +625,12 @@ def build_cell_cover(
     return pd.DataFrame(
         {
             "cell": np.concatenate(rows_cell),
+            # str() here keeps the cover column a real string column
+            # (the documented poly_id:str contract): raw int ids would
+            # fall off the Arrow createDataFrame path downstream and
+            # mismatch the str-keyed refine broadcast dict
             "poly_id": np.repeat(
-                np.array([p["poly_id"] for p in polys], dtype=object),
+                np.array([str(p["poly_id"]) for p in polys], dtype=object),
                 [len(c) for c, _f in covers],
             ),
             "full": np.concatenate([f for c, f in covers if len(c)]),
@@ -662,7 +674,14 @@ def _polys_key(polys: list[dict], res: int, res_max: int, backend_name: str) -> 
     h = hashlib.md5()
     for p in polys:
         h.update(str(p.get("poly_id")).encode())
-        for r in poly_rings(p):
+        rs = poly_rings(p)
+        # ring/vertex counts delimit the undelimited coordinate bytes:
+        # without them, one quad and two 2-vertex segments with the
+        # same flat vertex walk would collide to the same key and
+        # silently reuse the wrong memoized cover
+        h.update(f"|{len(rs)}".encode())
+        for r in rs:
+            h.update(f"|{len(r)}|".encode())
             h.update(r.tobytes())
     h.update(f"|{res}|{res_max}|{backend_name}".encode())
     return h.hexdigest()
@@ -687,6 +706,20 @@ _ARTIFACT_MEMO_MAX = 64
 # comfortably inside Spark's broadcast envelope. Continental covers
 # blow past it and keep the chain plan, which is the 100-TB scale path.
 _FLAT_MAX_CELLS = 2_000_000
+
+
+def _probe_cells(points: DataFrame, levels, be, lon_col: str, lat_col: str) -> DataFrame:
+    """Point-side probe column, shared by both join regimes: a flat
+    (single-level) cover gets ONE codegen encode with no row
+    multiplication; a multi-level cover probes with its ancestor-chain
+    cells (array + explode — narrow, whole-stage codegen). Cover
+    levels are disjoint regions per polygon, so no duplicate hits."""
+    if len(levels) == 1:
+        return points.withColumn(
+            "__cell", be.encode_col(lon_col, lat_col, int(levels[0]))
+        )
+    chain = F.array(*[be.encode_col(lon_col, lat_col, int(r)) for r in levels])
+    return points.withColumn("__cell", F.explode(chain))
 
 
 def _expand_cover(cover: pd.DataFrame, fine: int, backend=None) -> pd.DataFrame:
@@ -746,7 +779,11 @@ def _cover_artifacts(
             T.StructField("full", T.BooleanType(), False),
         ]
     )
-    rings = {p["poly_id"]: poly_rings(p) for p in polys}
+    # keyed by str(): the cover frame's poly_id column is StringType,
+    # so the refine lookup arrives as a STRING even when the spec used
+    # int ids — an unnormalized key only surfaced when a point landed
+    # in a partial cell (KeyError in production, green smoke tests)
+    rings = {str(p["poly_id"]): poly_rings(p) for p in polys}
     bc_rings = spark.sparkContext.broadcast(rings)
 
     @F.pandas_udf(T.BooleanType())
@@ -754,9 +791,9 @@ def _cover_artifacts(
         out = np.zeros(len(lon), dtype=bool)
         lon_v = lon.to_numpy(dtype=np.float64)
         lat_v = lat.to_numpy(dtype=np.float64)
-        pid_v = pid.to_numpy()
-        for poly_id in pd.unique(pid_v):
-            ii = np.nonzero(pid_v == poly_id)[0]
+        # single-pass grouping (the _refine_join idiom) — a per-unique
+        # full-batch mask was O(unique polys × batch rows)
+        for poly_id, ii in lon.groupby(pid.to_numpy()).indices.items():
             out[ii] = G.points_in_rings(lon_v[ii], lat_v[ii], bc_rings.value[poly_id])
         return pd.Series(out)
 
@@ -869,16 +906,7 @@ def pip_join(
     # Scan economics: see the persist_candidates doc — selective covers
     # persist the candidate set (single point-side scan), near-global
     # covers re-scan the column-pruned skeleton per branch.
-    if len(art["levels"]) == 1:
-        # flat cover: one encode, no row multiplication
-        probe = points.withColumn(
-            "__cell", be.encode_col(lon_col, lat_col, int(art["levels"][0]))
-        )
-    else:
-        chain = F.array(
-            *[be.encode_col(lon_col, lat_col, int(r)) for r in art["levels"]]
-        )
-        probe = points.withColumn("__cell", F.explode(chain))
+    probe = _probe_cells(points, art["levels"], be, lon_col, lat_col)
     cand = probe.join(
         F.broadcast(art["cover_df"]), F.col("__cell") == F.col("cell"), "inner"
     )
@@ -1087,6 +1115,12 @@ def pip_join_table(
     No driver-side polygon loop, no broadcast of the cover, nothing
     quadratic.
     """
+    if refine not in ("auto", "join", "cogroup"):
+        # a typo must not silently fall through to the cogroup branch —
+        # the wrong shape for small polygons by a measured 40×
+        raise ValueError(
+            f"refine must be 'auto', 'join', or 'cogroup'; got {refine!r}"
+        )
     be = get_backend(backend) if isinstance(backend, (str, type(None))) else backend
     if res_max is None:
         res_max = min(res + 5, be.res_max)
@@ -1108,6 +1142,8 @@ def pip_join_table(
 
     def _decode_poly(pid, blob):
         try:
+            if blob is None:  # a raw GeoParquet frame can carry NULLs
+                raise ValueError("NULL geometry value")
             return wkb_to_ring_arrays(bytes(blob))
         except ValueError as exc:  # surface corruption with the row id
             raise ValueError(f"poly_id={pid!r}: {exc}") from exc
@@ -1218,13 +1254,7 @@ def pip_join_table(
             cover = flat
             levels = [fine]
 
-    if len(levels) == 1:
-        probe = points.withColumn(
-            "__cell", be.encode_col(lon_col, lat_col, int(levels[0]))
-        )
-    else:
-        chain = F.array(*[be.encode_col(lon_col, lat_col, int(r)) for r in levels])
-        probe = points.withColumn("__cell", F.explode(chain))
+    probe = _probe_cells(points, levels, be, lon_col, lat_col)
     cand = probe.join(
         cover.drop("res").withColumnRenamed("cell", "__cell"), "__cell", "inner"
     )

@@ -86,6 +86,58 @@ class TestPIPJoin:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_int_poly_ids_survive_partial_cell_refine(self, spark):
+        """The cover frame's poly_id column is StringType, so the refine
+        broadcast dict must be keyed by str(pid) too — with raw int ids
+        the KeyError only fired when a point landed in a PARTIAL cell
+        (green smoke tests, intermittent production crash)."""
+        pdf = pd.DataFrame(
+            {"image_id": ["edge"], "lon": [0.999], "lat": [0.5]}
+        )
+        out = pip_join(
+            spark,
+            spark.createDataFrame(pdf),
+            [{"poly_id": 7, "ring": [(0, 0), (1, 0), (1, 1), (0, 1)]}],
+            res=4,
+        ).toPandas()
+        assert list(out["poly_id"]) == ["7"]
+
+    def test_zero_vertex_ring_is_even_odd_noop(self, spark):
+        """A 0-vertex ring in the spec (e.g. from upstream parsing) is
+        an even-odd no-op: same cover, same matches, no IndexError in
+        the cover kernels."""
+        square = [(0, 0), (2, 0), (2, 2), (0, 2)]
+        with_empty = [{"poly_id": "a", "rings": [square, []]}]
+        plain = [{"poly_id": "a", "rings": [square]}]
+        ca = build_cell_cover(with_empty, 6)
+        cb = build_cell_cover(plain, 6)
+        assert ca.sort_values(["cell"]).reset_index(drop=True).equals(
+            cb.sort_values(["cell"]).reset_index(drop=True)
+        )
+        pdf = pd.DataFrame({"image_id": ["in"], "lon": [1.0], "lat": [1.0]})
+        out = pip_join(spark, spark.createDataFrame(pdf), with_empty, res=5).toPandas()
+        assert list(out["poly_id"]) == ["a"]
+
+    def test_memo_key_distinguishes_ring_partitions(self, spark):
+        """Two polygon sets with the SAME flat vertex walk but a
+        different ring partition (one quad vs two 2-vertex segments)
+        must not collide in the driver artifact memo — a collision
+        silently reuses the wrong cover."""
+        from htrc_ingester_spark.operators.pip_join import _polys_key
+
+        v = [(0, 0), (2, 0), (2, 2), (0, 2)]
+        quad = [{"poly_id": "p", "rings": [v]}]
+        segs = [{"poly_id": "p", "rings": [v[:2], v[2:]]}]
+        assert _polys_key(quad, 5, 9, "h3lite") != _polys_key(segs, 5, 9, "h3lite")
+        # end-to-end: the quad matches its interior, the segment pair
+        # (degenerate, even-odd no-ops) matches nothing — run back to
+        # back in one session so a memo collision would surface
+        pdf = pd.DataFrame({"image_id": ["in"], "lon": [1.0], "lat": [1.0]})
+        pts = spark.createDataFrame(pdf)
+        a = pip_join(spark, pts, quad, res=5).toPandas()
+        b = pip_join(spark, pts, segs, res=5).toPandas()
+        assert list(a["poly_id"]) == ["p"] and len(b) == 0
+
 
 def oracle_point_in_rings(lon, lat, rings):
     """Independent even-odd multi-ring oracle: XOR of per-ring verdicts."""
@@ -1590,6 +1642,35 @@ class TestPIPTable:
         )
         pd.testing.assert_frame_equal(tb, bc)
         assert len(bc) > 0
+
+    def test_bad_refine_value_raises(self, spark, images_df):
+        """A refine typo must raise, not silently fall through to the
+        cogroup shape (the wrong shape for small polygons by 40×)."""
+        from htrc_ingester_spark.operators.pip_join import pip_join_table, polys_to_df
+
+        with pytest.raises(ValueError, match="refine"):
+            pip_join_table(
+                spark, images_df, polys_to_df(spark, data.polygons()),
+                res=7, refine="Join",
+            )
+
+    def test_null_wkb_in_direct_frame_fails_naming_row(self, spark, images_df):
+        """A raw GeoParquet frame handed straight to pip_join_table can
+        carry NULL geometry cells; the cover build must fail the task
+        naming the poly_id (the loader decoders' discipline), not die
+        with an untagged TypeError."""
+        from htrc_ingester_spark.geo.wkb import rings_to_wkb
+        from htrc_ingester_spark.operators.pip_join import pip_join_table
+
+        wdf = spark.createDataFrame(
+            [
+                ("good", rings_to_wkb([[(0, 0), (1, 0), (1, 1), (0, 1)]])),
+                ("nullrow", None),
+            ],
+            "poly_id string, wkb binary",
+        )
+        with pytest.raises(Exception, match="nullrow.*NULL geometry"):
+            pip_join_table(spark, images_df, wdf, res=7).count()
 
     def test_table_matches_broadcast_on_holes_fixture_cogroup(self, spark, images_df):
         from htrc_ingester_spark.operators.pip_join import pip_join_table, polys_to_df
