@@ -150,6 +150,31 @@ def _vmat_from_series(v: pd.Series, dim: int):
     return vmat, mask
 
 
+def _quantized_batch(v: pd.Series, dim: int, quant: int):
+    """Shared Arrow-kernel prep for the PQ encode and ADC-table
+    kernels: vector batch → (quantized (n_valid, dim) int64 matrix,
+    valid-row mask), or None for an empty batch. One scaffold so the
+    null/ragged handling can never drift between the two kernels
+    whose outputs must stay bit-paired."""
+    if not len(v):
+        return None
+    vmat, mask = _vmat_from_series(v, dim)
+    return _np_quantize(vmat, quant), mask
+
+
+def _masked_rows(out, mask, n: int) -> pd.Series:
+    """Valid-row 2-D kernel results → object Series with NULLs at the
+    masked-out (null-vector) positions — the expression twins' null
+    propagation, shared by both kernels."""
+    import numpy as np
+
+    res = np.full(n, None, dtype=object)
+    rows_obj = np.empty(len(out), dtype=object)
+    rows_obj[:] = list(out)  # 1-D object rows: masked assign stays row-wise
+    res[mask] = rows_obj
+    return pd.Series(res)
+
+
 def _encode_udf(book_rows, m: int, sub: int, quant: int):
     """Arrow-batched numpy argmin encoder over a trained codebook
     closure: raw vector column → length-``m`` int code array. The
@@ -164,20 +189,16 @@ def _encode_udf(book_rows, m: int, sub: int, quant: int):
     def _encode(v: pd.Series) -> pd.Series:
         import numpy as np
 
-        if not len(v):
+        prep = _quantized_batch(v, m * sub, quant)
+        if prep is None:
             return pd.Series([], dtype=object)
-        vmat, mask = _vmat_from_series(v, m * sub)
-        q = _np_quantize(vmat, quant)
-        out = np.empty((len(vmat), m), dtype=np.int32)
+        q, mask = prep
+        out = np.empty((len(q), m), dtype=np.int32)
         for mi in range(m):
             d = q[:, mi * sub : (mi + 1) * sub][:, None, :] - cvs[mi][None, :, :]
             dist = np.einsum("nks,nks->nk", d, d)
             out[:, mi] = cids[mi][np.argmin(dist, axis=1)]
-        res = np.full(len(v), None, dtype=object)
-        rows_obj = np.empty(len(out), dtype=object)
-        rows_obj[:] = list(out)  # 1-D object rows: masked assign stays row-wise
-        res[mask] = rows_obj
-        return pd.Series(res)
+        return _masked_rows(out, mask, len(v))
 
     return _encode
 
@@ -190,6 +211,25 @@ def _encode_udf(book_rows, m: int, sub: int, quant: int):
 # 100-TB regime) run the distributed grouped-Lloyd plan unchanged;
 # pass driver_max_bytes=0 to force it.
 _DRIVER_TRAIN_MAX_BYTES = 64 << 20
+
+
+def _np_train_rows(qt: DataFrame, dim: int, id_col: str) -> list:
+    """Collect a quantized frame for driver-bounded training: NULL
+    vectors are dropped from the training set (they carry no signal —
+    the distributed twin excludes them from seeding and centroid
+    updates identically; their ASSIGNMENT is still produced by the
+    null-propagating encode kernel), and a mis-sized vector raises the
+    descriptive error _vmat_from_series gives in the distributed
+    regime instead of numpy's opaque inhomogeneous-shape error —
+    the regime gate must never change observable behavior."""
+    rows = [r for r in qt.collect() if r["qv"] is not None]
+    for r in rows:
+        if len(r["qv"]) != dim:
+            raise ValueError(
+                f"{id_col}={r[id_col]!r}: embedding has {len(r['qv'])} dims,"
+                f" expected {dim} — ragged or mis-sized vector column"
+            )
+    return rows
 
 
 def _np_seed_order(ids, k: int):
@@ -256,11 +296,17 @@ def _dist_expr(a: str, b: str, dim: int, dialect: str) -> str:
 
 def _argmin_expr(cs_col: str, vec: str, dim: int) -> str:
     """Spark HOF argmin over a folded centroid array column: (dist,
-    cluster) total order, zero shuffle."""
+    cluster) total order, zero shuffle. NULL vectors argmin to NULL
+    (the Arrow-kernel twins' null propagation) — without the guard,
+    an all-NULL distance struct array_min'd to the smallest cluster
+    id, silently assigning every null-embedding row to cluster 0 (and
+    kmeans_score_stream, which reuses this expression, inherited the
+    same wrong score)."""
     dist_c = _dist_expr(vec, "c.cv", dim, "spark")
     return (
-        f"array_min(transform({cs_col}, c -> struct({dist_c} as dist,"
-        f" c.cluster as cluster))).cluster"
+        f"if({vec} is null, cast(null as int),"
+        f" array_min(transform({cs_col}, c -> struct({dist_c} as dist,"
+        f" c.cluster as cluster))).cluster)"
     )
 
 
@@ -285,7 +331,12 @@ def _centroid_update(assign: DataFrame, dim: int, keys: list[str]) -> DataFrame:
     ]
     cv = "array(" + ", ".join(f"_s{j} div n" for j in range(1, dim + 1)) + ")"
     return (
-        assign.groupBy(*keys)
+        # NULL-assigned rows (null vectors) carry no training signal:
+        # without the filter they formed a phantom NULL-cluster group
+        # AND, pre-guard, deflated cluster 0's floor-mean (count
+        # counted the row, sum skipped its null coordinates)
+        assign.where(F.col("cluster").isNotNull())
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"), *sums)
         .select(*keys, F.expr(cv).alias("cv"))
     )
@@ -300,7 +351,11 @@ def _lloyd(
     # global single-partition window); the row_number window then runs
     # over k rows only.
     h = F.md5(F.concat(F.lit("km:"), F.col(id_col).cast("string")))
-    seeds = qt.withColumn("_h", h).orderBy("_h", id_col).limit(k)
+    # null vectors cannot seed (a NULL centroid would poison every
+    # distance); the driver twin filters identically before seeding
+    seeds = (
+        qt.where(F.col("qv").isNotNull()).withColumn("_h", h).orderBy("_h", id_col).limit(k)
+    )
     centroids = seeds.select(
         (F.row_number().over(Window.orderBy("_h", F.col(id_col))) - 1)
         .cast("int")
@@ -325,8 +380,19 @@ def _quantize(
     # parallelism floor BEFORE the interpreted HOF quantize and every
     # downstream assign/encode projection: a sub-MB embeddings parquet
     # arrives as 1-2 splits and pins the whole training to 1-2 threads
+    #
+    # NULL ids are corruption and must surface loudly (the WKB-decoder
+    # discipline): silently, a NULL id would seed at a DIFFERENT
+    # position in each regime (md5 of NULL is NULL in Spark — sorts
+    # first; 'km:None' on the driver; NULLS LAST in the oracle) and
+    # never equi-join back to its seed row — three divergent
+    # clusterings for one input
     qt = ensure_parallelism(df).select(
-        F.col(id_col), F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv")
+        F.expr(
+            f"if({id_col} is null,"
+            f" raise_error('NULL {id_col} in vector table'), {id_col})"
+        ).alias(id_col),
+        F.expr(_quant_expr(vec_col, quant, "spark")).alias("qv"),
     )
     return qt.persist() if persist else qt
 
@@ -354,17 +420,29 @@ def kmeans_fit(
     (same seeding, argmin total order, floor-mean update — pinned by
     the regime-parity test). Pass 0 to force the distributed trainer.
     """
+    if iters < 1:
+        # iters=0 used to crash obscurely (the distributed loop never
+        # ran, leaving assign=None) — there is no meaningful
+        # zero-iteration assignment, so fail at entry
+        raise ValueError(f"iters must be >= 1, got {iters}")
     spark = df.sparkSession
     from .knn_join import _plan_size_bytes
 
     est = _plan_size_bytes(df)
-    if 0 <= est <= driver_max_bytes and iters > 0:
-        rows = _quantize(df, vec_col, id_col, quant, persist=False).collect()
+    if 0 <= est <= driver_max_bytes:
+        rows = _np_train_rows(
+            _quantize(df, vec_col, id_col, quant, persist=False), dim, id_col
+        )
         if not rows:
-            empty_assign = df.select(
-                F.col(id_col), F.lit(0).cast("int").alias("cluster")
-            ).where(F.lit(False))
-            return empty_assign, spark.createDataFrame(
+            # empty corpus OR all-null vectors: nothing to train. The
+            # distributed twin's seeds are empty too, so its argmin
+            # over an empty centroid fold is NULL for every row —
+            # match it: all-NULL assignment, empty centroids (and a
+            # truly empty input yields zero assignment rows anyway)
+            assign = df.select(
+                F.col(id_col), F.lit(None).cast("int").alias("cluster")
+            )
+            return assign, spark.createDataFrame(
                 [], "cluster int, cv array<bigint>"
             )
         ids = [r[id_col] for r in rows]
@@ -442,6 +520,8 @@ def pq_fit_encode(
     """
     if dim % m:
         raise ValueError("dim must divide into m equal subspaces")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     sub = dim // m
     spark = df.sparkSession
     from .knn_join import _plan_size_bytes
@@ -455,7 +535,9 @@ def pq_fit_encode(
         # of real state). Bit-identical trajectory: same md5 seeding
         # order, same integer argmin total order, same floor-mean
         # update (pinned by test_clustering's regime-parity test).
-        rows = _quantize(df, vec_col, id_col, quant, persist=False).collect()
+        rows = _np_train_rows(
+            _quantize(df, vec_col, id_col, quant, persist=False), dim, id_col
+        )
         book_rows = []
         if rows:
             ids = [r[id_col] for r in rows]
@@ -499,7 +581,15 @@ def pq_fit_encode(
     # row_number window then covers k rows only), joined back to pick
     # each subspace's sub-vector
     h = F.md5(F.concat(F.lit("km:"), F.col(id_col).cast("string")))
-    seeds = qt.select(id_col).withColumn("_h", h).orderBy("_h", id_col).limit(k)
+    # null vectors cannot seed — the same filter _lloyd and the
+    # driver-regime _np_train_rows apply before their seed orders
+    seeds = (
+        qt.where(F.col("qv").isNotNull())
+        .select(id_col)
+        .withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
     seed_ids = seeds.select(
         id_col,
         (F.row_number().over(Window.orderBy("_h", F.col(id_col))) - 1)
@@ -534,16 +624,19 @@ def pq_fit_encode(
     # the collect IS the training execution: 2 sequential Lloyd rounds
     # of tiny barrier stages — run static (session.static_plan), AQE's
     # per-stage replan jobs are pure latency on known-small state
-    with static_plan(spark):
-        book_rows = sorted(
-            (int(r["m"]), int(r["cluster"]), [int(x) for x in r["cv"]])
-            for r in centroids.collect()
-        )
-    # the collect above was the LAST consumer of qt/qtm (the codebook is
-    # now driver-local literals and the encode below re-reads df) — drop
-    # the cached quantized corpus so long-lived sessions don't strand a
-    # copy per pq_fit_encode call
-    qt.unpersist(blocking=False)
+    try:
+        with static_plan(spark):
+            book_rows = sorted(
+                (int(r["m"]), int(r["cluster"]), [int(x) for x in r["cv"]])
+                for r in centroids.collect()
+            )
+    finally:
+        # the collect above was the LAST consumer of qt/qtm (the
+        # codebook is now driver-local literals and the encode below
+        # re-reads df) — drop the cached quantized corpus so long-lived
+        # sessions don't strand a copy per pq_fit_encode call, ALSO on
+        # a failed collect (e.g. the quantize contract guard firing)
+        qt.unpersist(blocking=False)
     return _pq_encode_tail(df, book_rows, m, sub, quant, vec_col, id_col)
 
 
@@ -636,11 +729,12 @@ def pq_topk(
         for r in codebook.collect()
     )
     if not book:  # degenerate: nothing trained → nothing rankable
-        return codes.select(
-            "query_id" if "query_id" in codes.columns else F.lit(None).alias("query_id"),
-        ).where(F.lit(False)).select(
-            F.lit(None).cast("string").alias("query_id"),
-            F.lit(None).cast("string").alias(id_col),
+        # typed from the INPUT schemas so the empty frame unions/
+        # compares cleanly with the trained path's output (id_col is
+        # bigint in the catalog entry, not string)
+        return codes.sparkSession.range(0).select(
+            F.lit(None).cast(query_df.schema["query_id"].dataType).alias("query_id"),
+            F.lit(None).cast(codes.schema[id_col].dataType).alias(id_col),
             F.lit(None).cast("bigint").alias("adist"),
             F.lit(None).cast("int").alias("rank"),
         )
@@ -665,19 +759,15 @@ def pq_topk(
     def _qtab(v: pd.Series) -> pd.Series:
         import numpy as np
 
-        if not len(v):
+        prep = _quantized_batch(v, m * sub, quant)
+        if prep is None:
             return pd.Series([], dtype=object)
-        vmat, mask = _vmat_from_series(v, m * sub)
-        q = _np_quantize(vmat, quant)
-        out = np.full((len(vmat), m * cpb), 2**62, dtype=np.int64)
+        q, mask = prep
+        out = np.full((len(q), m * cpb), 2**62, dtype=np.int64)
         for mi in range(m):
             d = q[:, mi * sub : (mi + 1) * sub][:, None, :] - cvs[mi][None, :, :]
             out[:, mi * cpb + cids[mi]] = np.einsum("nks,nks->nk", d, d)
-        res = np.full(len(v), None, dtype=object)
-        rows_obj = np.empty(len(out), dtype=object)
-        rows_obj[:] = list(out)
-        res[mask] = rows_obj
-        return pd.Series(res)
+        return _masked_rows(out, mask, len(v))
 
     qtab = query_df.select("query_id", _qtab(F.col(vec_col)).alias("_qarr"))
 
@@ -689,6 +779,12 @@ def pq_topk(
     return (
         codes.crossJoin(F.broadcast(qtab))
         .select("query_id", id_col, F.expr(lookups).alias("adist"))
+        # NULL adist (null-coded vector, or a null query vector's NULL
+        # distance table) is not a neighbor: Spark's ascending sort is
+        # NULLS FIRST, so unfiltered nulls would take rank 1..j in
+        # EVERY query. The DuckDB oracle's datax⋈dtab join drops the
+        # same rows naturally (null codes never join).
+        .where(F.col("adist").isNotNull())
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k_results)
     )

@@ -277,3 +277,99 @@ class TestRegimeParity:
         )
         with pytest.raises(Exception, match="expected \\(8,\\)"):
             bad.select(enc(F.col("embedding")).alias("c")).collect()
+
+
+class TestNullSemantics:
+    """r5 review: the module's contract — NULL embeddings yield NULL
+    cluster/codes and carry NO training signal, identically in the
+    driver-bounded and distributed regimes; NULL ids are corruption
+    and fail loudly in every regime."""
+
+    def _null_df(self, spark, vec_rows):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": list(vec_rows) + [900],
+                "embedding": [v.tolist() for v in vec_rows.values()] + [None],
+            }
+        )
+        return spark.createDataFrame(pdf, "vec_id bigint, embedding array<double>")
+
+    def test_kmeans_null_vector_both_regimes(self, spark, vec_df, vec_rows):
+        ndf = self._null_df(spark, vec_rows)
+        clean = {r.vec_id: r.cluster for r in kmeans_lite(vec_df, k=5, iters=2, dim=8).collect()}
+        for dmb in (None, 0):  # driver-bounded regime, forced-distributed
+            kw = {} if dmb is None else {"driver_max_bytes": dmb}
+            got = {r.vec_id: r.cluster for r in kmeans_lite(ndf, k=5, iters=2, dim=8, **kw).collect()}
+            # the null row assigns to NULL...
+            assert got[900] is None
+            # ...and contributes nothing to training: every other
+            # assignment matches the run without the null row
+            assert {i: c for i, c in got.items() if i != 900} == clean
+
+    def test_pq_null_vector_codes_null_and_topk_excludes(self, spark, vec_df, vec_rows):
+        from htrc_ingester_spark.operators.clustering import pq_fit_encode, pq_topk
+
+        ndf = self._null_df(spark, vec_rows)
+        qdf = spark.createDataFrame(
+            pd.DataFrame({"query_id": ["q0"], "embedding": [vec_rows[0].tolist()]})
+        )
+        codes_c, book_c = pq_fit_encode(vec_df, m=2, k=4, iters=2, dim=8)
+        want = pq_topk(codes_c, book_c, qdf, k_results=5, dim=8, m=2).toPandas()
+        for dmb in (None, 0):
+            kw = {} if dmb is None else {"driver_max_bytes": dmb}
+            codes, book = pq_fit_encode(ndf, m=2, k=4, iters=2, dim=8, **kw)
+            cmap = {r.vec_id: r.codes for r in codes.collect()}
+            assert cmap[900] is None
+            got = pq_topk(codes, book, qdf, k_results=5, dim=8, m=2).toPandas()
+            # the null-coded vector is not a neighbor (pre-fix it took
+            # rank 1 via NULLS FIRST) and training was untouched
+            pd.testing.assert_frame_equal(got, want)
+            assert 900 not in set(got.vec_id)
+
+    def test_null_query_vector_yields_no_rows_for_that_query(self, spark, vec_df, vec_rows):
+        from htrc_ingester_spark.operators.clustering import pq_fit_encode, pq_topk
+
+        qdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": ["ok", "nullq"], "embedding": [vec_rows[0].tolist(), None]}
+            ),
+            "query_id string, embedding array<double>",
+        )
+        codes, book = pq_fit_encode(vec_df, m=2, k=4, iters=2, dim=8)
+        got = pq_topk(codes, book, qdf, k_results=3, dim=8, m=2).toPandas()
+        assert set(got.query_id) == {"ok"}
+
+    def test_null_id_raises_in_both_regimes(self, spark, vec_rows):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [None] + list(vec_rows)[:10],
+                "embedding": [[0.1] * 8] + [vec_rows[i].tolist() for i in list(vec_rows)[:10]],
+            }
+        )
+        ndf = spark.createDataFrame(pdf, "vec_id bigint, embedding array<double>")
+        for dmb in (None, 0):
+            kw = {} if dmb is None else {"driver_max_bytes": dmb}
+            with pytest.raises(Exception, match="NULL vec_id"):
+                kmeans_lite(ndf, k=3, iters=1, dim=8, **kw).collect()
+
+    def test_iters_zero_raises(self, spark, vec_df):
+        from htrc_ingester_spark.operators.clustering import pq_fit_encode
+
+        with pytest.raises(ValueError, match="iters"):
+            kmeans_lite(vec_df, k=3, iters=0, dim=8)
+        with pytest.raises(ValueError, match="iters"):
+            pq_fit_encode(vec_df, m=2, k=3, iters=0, dim=8)
+
+    def test_empty_codebook_topk_schema_typed_from_inputs(self, spark, vec_df):
+        """The degenerate empty-codebook pq_topk frame must carry the
+        INPUT id type (bigint here), not a hardcoded string."""
+        from htrc_ingester_spark.operators.clustering import pq_fit_encode, pq_topk
+
+        empty = vec_df.where("vec_id < 0")
+        codes, book = pq_fit_encode(empty, m=2, k=4, iters=2, dim=8)
+        qdf = spark.createDataFrame(
+            pd.DataFrame({"query_id": ["q"], "embedding": [[0.1] * 8]})
+        )
+        out = pq_topk(codes, book, qdf, k_results=3, dim=8, m=2)
+        assert out.count() == 0
+        assert dict(out.dtypes)["vec_id"] == "bigint"
