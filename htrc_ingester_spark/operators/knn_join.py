@@ -77,6 +77,20 @@ def _required_kx_batch(bound_m: np.ndarray, lat_q: np.ndarray, r: np.ndarray, re
     return np.where(full, nxr, kx)
 
 
+def _queries_to_df(spark: SparkSession, queries: pd.DataFrame) -> DataFrame:
+    """Driver-side (query_id, lon, lat, k) pandas frame → typed Spark
+    frame, shared by the knn_join and knn_join_bruteforce wrappers.
+    The explicit schema matters: an EMPTY pandas frame has object-dtype
+    columns Spark cannot infer from — with it, zero queries yield an
+    empty typed result instead of an inference error."""
+    qpdf = queries[["query_id", "lon", "lat", "k"]].copy()
+    qpdf["query_id"] = qpdf["query_id"].astype(str)
+    qpdf["k"] = qpdf["k"].astype(int)
+    return spark.createDataFrame(
+        qpdf, schema="query_id string, lon double, lat double, k int"
+    )
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -103,19 +117,11 @@ def knn_join(
     (dist_m, image_id) total order — and strictly more scalable.
     :func:`knn_join_bruteforce` remains the independent oracle.)
     """
-    qpdf = queries[["query_id", "lon", "lat", "k"]].copy()
-    qpdf["query_id"] = qpdf["query_id"].astype(str)
-    qpdf["k"] = qpdf["k"].astype(int)
-    # explicit schema: an EMPTY pandas frame has object-dtype columns
-    # Spark cannot infer from — with the schema, zero queries return an
-    # empty typed (query_id, image_id, dist_m, rank) frame
-    qdf = spark.createDataFrame(
-        qpdf, schema="query_id string, lon double, lat double, k int"
-    ).select(
+    qdf = _queries_to_df(spark, queries).select(
         F.col("query_id"),
-        F.col("lon").cast("double").alias(lon_col),
-        F.col("lat").cast("double").alias(lat_col),
-        F.col("k").cast("int").alias("k"),
+        F.col("lon").alias(lon_col),
+        F.col("lat").alias(lat_col),
+        F.col("k"),
     )
     return knn_join_many(
         spark, points, qdf, res=res, id_col=id_col,
@@ -134,14 +140,7 @@ def knn_join_bruteforce(
     """Exact baseline: broadcast cross join + window. O(|points|·|queries|)
     — the oracle for the iterative operator and the right plan when the
     query side is tiny and the table is small."""
-    # explicit schema, same reason as the knn_join wrapper: an EMPTY
-    # pandas frame has object-dtype columns Spark cannot infer from
-    qpdf = queries[["query_id", "lon", "lat", "k"]].copy()
-    qpdf["query_id"] = qpdf["query_id"].astype(str)
-    qpdf["k"] = qpdf["k"].astype(int)
-    qdf = spark.createDataFrame(
-        qpdf, schema="query_id string, lon double, lat double, k int"
-    )
+    qdf = _queries_to_df(spark, queries)
     cand = (
         points.select(
             F.col(id_col).alias("image_id"),
@@ -285,8 +284,11 @@ def knn_join_many(
     ch_m = H.cell_h_deg(res) * H.M_PER_DEG_LAT
     nxr, nyr = H.nx(res), H.ny(res)
     # ranks/ties use the SOURCE id dtype (numeric vs string tie-break
-    # matches the other variants); cast to string only at the end
-    id_type = dict(points.dtypes)[id_col]
+    # matches the other variants); cast to string only at the end.
+    # Resolved through the analyzer (select) so a caller's id_col
+    # casing mismatch behaves like every other F.col use here
+    # (case-insensitive) instead of a KeyError on the dtypes dict
+    id_type = points.select(id_col).schema[0].dataType.simpleString()
     empty_topk = f"cast(array() as array<struct<dist_m:double,image_id:{id_type}>>)"
 
     skel = points.select(
@@ -310,6 +312,24 @@ def knn_join_many(
         skel = skel.repartition("cell")
     skel = skel.persist()
 
+    # duplicate query_ids would silently corrupt results: the per-round
+    # groupBy(query_id) merges candidates across the duplicate rows, so
+    # each absorbs neighbors with distances measured to the OTHER row's
+    # coordinates. One tiny agg over the (small-by-design) query table
+    # catches it up front.
+    dup = (
+        queries.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where("_n > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"knn_join_many: duplicate query_id {dup[0]['query_id']!r} — "
+            "query ids must be unique (per-query state is keyed on them)"
+        )
+
     state = (
         queries.select(
             F.col("query_id").cast("string"),
@@ -324,7 +344,11 @@ def knn_join_many(
         .withColumn("r", F.lit(0))
         .withColumn("pkx", F.lit(-1))
         .withColumn("pr", F.lit(-1))
-        .withColumn("done", F.lit(False))
+        # k <= 0 asks for nothing: born done with an empty topk (the
+        # bruteforce twin's rank <= 0 likewise yields no rows). Also
+        # keeps the done-check's topk2[k - 1] from evaluating a
+        # NEGATIVE index, which throws under ANSI
+        .withColumn("done", F.expr("k <= 0"))
         .withColumn("topk", F.expr(empty_topk))
         # lazy persist (round 1 consumes it twice); round outputs are
         # eager localCheckpoints, so this is dropped after round 1
@@ -404,13 +428,16 @@ def knn_join_many(
                 "exhausted",
                 F.expr(f"r_new >= greatest(y0, {nyr - 1} - y0) and kx_new >= {nxr // 2}"),
             )
-            # (size < k AND null-kth) resolves to FALSE, not null, under
-            # SQL three-valued AND — done stays a real boolean
+            # `k > 0 and size(topk2) >= k` short-circuits before the
+            # index under codegen, so topk2[k - 1] only ever evaluates
+            # in-bounds (ANSI throws on both negative and >= size
+            # indices; k <= 0 rows are additionally born done)
             .withColumn(
                 "done2",
                 F.expr(
                     f"done or exhausted or "
-                    f"(size(topk2) >= k and topk2[k - 1].dist_m < r_new * {ch_m!r}d)"
+                    f"(k > 0 and size(topk2) >= k"
+                    f" and topk2[k - 1].dist_m < r_new * {ch_m!r}d)"
                 ),
             )
             .select(
@@ -442,6 +469,21 @@ def knn_join_many(
         if init_state is not None:
             init_state.unpersist()
             init_state = None
+
+    # the contract is EXACT rank-1..k kNN: emitting a best-so-far topk
+    # for queries the round budget didn't resolve would be silently
+    # wrong (missing true neighbors), indistinguishable from exact
+    # output. Normal termination always resolves (the `exhausted`
+    # flag covers grid exhaustion); only an undersized max_rounds
+    # reaches here.
+    remaining = (
+        state.where("not done").count() if n_active is None else n_active
+    )
+    if remaining:
+        raise RuntimeError(
+            f"knn_join_many: {remaining} queries still unresolved after "
+            f"max_rounds={max_rounds} ring expansions — raise max_rounds"
+        )
 
     out = (
         state.select("query_id", F.posexplode("topk").alias("pos", "nb"))
@@ -486,16 +528,24 @@ _SKELETON_ROW_BYTES = 16.0
 
 
 def knn_auto_res_points(
-    points: DataFrame, k: int = 5, row_bytes: float = _SKELETON_ROW_BYTES
+    points: DataFrame,
+    k: int = 5,
+    row_bytes: float = _SKELETON_ROW_BYTES,
+    cols: tuple = ("lon", "lat"),
 ) -> int:
     """Stats-based twin of :func:`knn_auto_res`: derive the point count
-    from Catalyst's size estimate of the skeleton plan instead of
-    running a count() job — at 10^12 rows that count is a full extra
-    scan paid before the join starts, and the res knob only needs an
-    order-of-magnitude n (each res step quadruples the grid, and the
-    operator's output is EXACT kNN at any res). Falls back to one
-    count() only when plan stats are unavailable."""
-    est = _plan_size_bytes(points)
+    from Catalyst's size estimate of the coordinate-skeleton PROJECTION
+    instead of running a count() job — at 10^12 rows that count is a
+    full extra scan paid before the join starts, and the res knob only
+    needs an order-of-magnitude n (each res step quadruples the grid,
+    and the operator's output is EXACT kNN at any res). The estimate
+    projects ``cols`` first (Catalyst scales Project stats by column
+    width): measuring the FULL frame would inflate n by the payload
+    factor on a bytes-carrying image table and saturate res, costing
+    many empty expansion rounds. Falls back to one count() only when
+    plan stats are unavailable."""
+    have = [c for c in cols if c in points.columns]
+    est = _plan_size_bytes(points.select(*have) if have else points)
     if 0 < est < (1 << 60):
         n = max(1, int(est / row_bytes))
     else:
@@ -591,7 +641,14 @@ def radius_join(
             F.explode(F.expr(f"sequence(greatest(-{r_rows}, -y0), least({r_rows}, {nyr - 1} - y0))")),
         )
         .withColumn("kx_c", F.expr(f"least(kx, {nxr // 2})"))
-        .withColumn("dx", F.explode(F.expr("sequence(-kx_c, kx_c)")))
+        # truncate the high side when a full wrap would alias the two
+        # extreme columns (the ring's dx_hi mechanism in knn_join_many):
+        # pmod maps any window of ≤ nx offsets injectively, so the disk
+        # needs NO dropDuplicates exchange — the previous layout paid a
+        # full shuffle of |queries| × |disk| rows per call for a case
+        # the truncation eliminates for free
+        .withColumn("dx_hi", F.expr(f"least(kx_c, {nxr} - 1 - kx_c)"))
+        .withColumn("dx", F.explode(F.expr("sequence(-kx_c, dx_hi)")))
         .withColumn(
             "cell",
             F.expr(
@@ -601,9 +658,6 @@ def radius_join(
             ),
         )
         .select("query_id", "q_lon", "q_lat", "cell")
-        # full-wrap disks alias their two extreme columns (see the ring
-        # dedup note in knn_join_many)
-        .dropDuplicates(["query_id", "cell"])
     )
     return (
         skel.join(disk, "cell")
@@ -660,6 +714,9 @@ def radius_anti_join(
         .select(F.col("image_id").alias("__mid"))
         .dropDuplicates(["__mid"])
     )
+    # eqNullSafe: a NULL-id point inside a buffer yields a NULL __mid
+    # row; plain == makes the anti condition NULL and left_anti KEEPS
+    # the row — the opposite of the documented exclusion semantics
     return points.join(
-        matched, points[id_col].cast("string") == matched["__mid"], "left_anti"
+        matched, points[id_col].cast("string").eqNullSafe(matched["__mid"]), "left_anti"
     )

@@ -47,11 +47,13 @@ PINS = [
     # size-estimate regimes collapse to the pinned-broadcast one here
     # (r5: 15 -> 11 via density-derived auto-res; then 11 -> 12 when
     # the density estimate moved from a count() SCAN to Catalyst plan
-    # stats — the count job disappears, but the stats-rounded res is
+    # stats — the count job disappears, but the stats-rounded res was
     # one finer at this tiny fixture, costing one extra expansion
-    # round; at the operator's target scale the removed full-table
-    # scan is the win)
-    ("knn_join_distributed", 12),
+    # round; then 12 -> 11 when the estimate switched to the
+    # coordinate-skeleton PROJECTION (width-scaled stats put the res
+    # back at the count()-derived value, dropping that round) while
+    # the new duplicate-query-id guard adds one tiny agg job)
+    ("knn_join_distributed", 11),
     # banded LSH pair-gen (single exchange) + pointer-jumping CC
     ("dedup_image_clusters", 13),
     # seeded Lloyd under the driver-bounded regime: one

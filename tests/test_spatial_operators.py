@@ -488,6 +488,104 @@ class TestKNNDuplicateRows:
             assert list(got["rank"]) == [1, 2]
 
 
+class TestKNNEdgeContracts:
+    """r5 review regressions for knn_join_many / radius_anti_join."""
+
+    def _pts(self, spark, n=60):
+        pdf = data.images_meta_pdf(n, seed=7)
+        return spark.createDataFrame(pdf[["image_id", "lon", "lat"]])
+
+    def test_k_zero_query_yields_no_rows(self, spark):
+        """k=0 must behave like the bruteforce twin (rank <= 0 → no
+        rows) — pre-fix, topk2[k-1] evaluated index -1 and threw under
+        ANSI, killing the whole job."""
+        from htrc_ingester_spark.operators.knn_join import knn_join_many
+
+        pts = self._pts(spark)
+        qdf = spark.createDataFrame(
+            [("z", 10.0, 10.0, 0), ("a", 10.0, 10.0, 2)],
+            "query_id string, lon double, lat double, k int",
+        )
+        out = knn_join_many(spark, pts, qdf, res=5).toPandas()
+        assert set(out.query_id) == {"a"}
+        assert len(out[out.query_id == "a"]) == 2
+
+    def test_duplicate_query_ids_raise(self, spark):
+        from htrc_ingester_spark.operators.knn_join import knn_join_many
+
+        pts = self._pts(spark)
+        qdf = spark.createDataFrame(
+            [("d", 10.0, 10.0, 2), ("d", -40.0, 0.0, 2)],
+            "query_id string, lon double, lat double, k int",
+        )
+        with pytest.raises(ValueError, match="duplicate query_id"):
+            knn_join_many(spark, pts, qdf, res=5)
+
+    def test_max_rounds_exhaustion_raises_not_partial(self, spark):
+        """An undersized max_rounds must raise, not silently emit a
+        best-so-far topk indistinguishable from exact output."""
+        from htrc_ingester_spark.operators.knn_join import knn_join_many
+
+        pts = self._pts(spark)
+        qdf = spark.createDataFrame(
+            [("q", 10.0, 10.0, 5)], "query_id string, lon double, lat double, k int"
+        )
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            knn_join_many(spark, pts, qdf, res=12, max_rounds=1)
+
+    def test_anti_join_excludes_null_id_points(self, spark):
+        """A NULL-id point inside a buffer must be EXCLUDED (the
+        documented clear-zone semantics) — plain == made the anti
+        condition NULL and kept the row."""
+        from htrc_ingester_spark.operators.knn_join import radius_anti_join
+
+        pts = spark.createDataFrame(
+            [(None, 10.0, 10.0), ("far", 60.0, -40.0)],
+            "image_id string, lon double, lat double",
+        )
+        qdf = spark.createDataFrame(
+            [("q", 10.0, 10.0)], "query_id string, lon double, lat double"
+        )
+        out = radius_anti_join(spark, pts, qdf, radius_m=50_000.0).toPandas()
+        assert list(out.image_id) == ["far"]
+
+
+class TestKxSqlTwin:
+    def test_kx_sql_matches_numpy_twin(self, spark):
+        """_kx_sql is the twin PRODUCTION executes (knn_join_many,
+        radius_join); _required_kx_batch is the numpy twin the
+        coverage-bound property test exercises. Pin them equal over a
+        lat × r grid per res so a transcription slip in either cannot
+        pass the suite (r5 review: the property test alone guarded
+        code that never runs)."""
+        from htrc_ingester_spark.operators.knn_join import (
+            _kx_sql,
+            _required_kx_batch,
+        )
+
+        lats = np.array(
+            [-89.9, -66.5, -45.0, -12.3, 0.0, 7.7, 30.0, 59.9, 83.0, 89.9]
+        )
+        rs = np.array([1, 2, 4, 8, 16, 50])
+        for res in (3, 5, 7):
+            la, rr = (m.ravel() for m in np.meshgrid(lats, rs))
+            ch = H.cell_h_deg(res)
+            want = _required_kx_batch(
+                rr * ch * H.M_PER_DEG_LAT, la, rr, res
+            )
+            pdf = pd.DataFrame(
+                {"i": np.arange(len(la)), "lat": la, "r": rr.astype(int)}
+            )
+            rows = (
+                spark.createDataFrame(pdf)
+                .selectExpr("i", f"cast({_kx_sql('lat', 'r', res)} as int) as kx")
+                .orderBy("i")
+                .collect()
+            )
+            got = np.array([r2["kx"] for r2 in rows])
+            assert (got == want).all(), f"res={res}: {got} != {want}"
+
+
 class TestRadiusJoin:
     def test_matches_bruteforce_including_polar_and_antimeridian(self, spark, images_df):
         """radius_join (ST_DWithin analog) must return EXACTLY the
