@@ -274,7 +274,15 @@ def connected_components_edges(
         rows = pd.DataFrame(
             {"node": list(parent), "cluster": [comp_min[find(n)] for n in parent]}
         )
-        out = spark.createDataFrame(rows).persist()
+        # explicit schema from the EDGE column type: an empty pandas
+        # frame has object dtypes Spark cannot infer from, so a clean
+        # corpus (zero near-dup pairs) crashed here with
+        # CANNOT_INFER_EMPTY_SCHEMA instead of returning the empty
+        # (node, cluster) frame the contract promises
+        node_t = e2.schema["src"].dataType.simpleString()
+        out = spark.createDataFrame(
+            rows, schema=f"node {node_t}, cluster {node_t}"
+        ).persist()
         out.count()
         return out
     both = e2.unionByName(

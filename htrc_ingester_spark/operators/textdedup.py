@@ -93,6 +93,16 @@ def bound_shingles_expr(k: int, hashed: bool = False) -> str:
     )
 
 
+def _minhash_chunk_off(j: int) -> tuple[int, int]:
+    """Shared md5-family constants: min-hash #j reads 8 hex chars at
+    ``off`` from the chunk-``chunk`` salted digest (md5 = 128 bits =
+    4×32, so four hashes share one digest). ONE source for both
+    :func:`minhash_sql` (the cross-dialect oracle twin) and
+    minhash_signatures' md5 branch — a drift between them would
+    silently break the promised signature-level parity."""
+    return j // 4, (j % 4) * 8 + 1
+
+
 def minhash_sql(shingles: str, j: int, dialect: str) -> str:
     """Min-hash #j: lexicographic min over shingles of a 32-bit (8 hex
     chars) slice of a salted md5. Four hashes share one md5 call
@@ -100,7 +110,7 @@ def minhash_sql(shingles: str, j: int, dialect: str) -> str:
     32 bits is ample for shingle-set sketching (collisions ~n²/2³²)."""
     fn = "array_min" if dialect == "spark" else "list_min"
     tf = "transform" if dialect == "spark" else "list_transform"
-    chunk, off = j // 4, (j % 4) * 8 + 1
+    chunk, off = _minhash_chunk_off(j)
     return f"{fn}({tf}({shingles}, s -> substr(md5(concat('c{chunk}:', s)), {off}, 8)))"
 
 
@@ -110,10 +120,12 @@ def _bit_sign(col: str, i: int) -> str:
     return f"(2 * (ascii(substr(md5({col}), {i + 1}, 1)) % 2) - 1)"
 
 
-def simhash32_sql(doc_id: str, word: str) -> str:
+def simhash32_sql(word: str) -> str:
     """32-bit SimHash aggregate over exploded words: per-bit majority
     vote. Same string works in Spark SQL and DuckDB (sum/case/ascii).
-    Use over: ``select {doc_id}, <this> as simhash ... group by 1``."""
+    Use in a per-doc aggregation: ``select doc_id, <this> as simhash
+    ... group by 1`` (the doc id is the caller's GROUP BY key — it
+    does not participate in the hash)."""
     bits = [
         f"(case when sum({_bit_sign(word, i)}) > 0 then cast({1 << i} as bigint) else 0 end)"
         for i in range(32)
@@ -198,13 +210,23 @@ def _parallelism_floor(df: DataFrame) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact dedup: keep the lowest id per content hash (SO3/J3)."""
-    return (
-        df.withColumn("_h", F.md5(F.col(text_col).cast("binary")))
+    """Exact dedup: keep the lowest id per content hash (SO3/J3).
+
+    NULL text carries no content to compare: such docs pass through as
+    their own singleton groups. Without the split, md5(NULL) = NULL and
+    groupBy folds EVERY null-text doc (failed-OCR rows at corpus
+    scale) into one group, silently keeping a single survivor."""
+    h = df.withColumn("_h", F.md5(F.col(text_col).cast("binary")))
+    dups = (
+        h.where(F.col("_h").isNotNull())
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .drop("_h")
     )
+    nulls = h.where(F.col("_h").isNull()).select(
+        F.col(id_col), F.lit(1).cast("bigint").alias("n_copies")
+    )
+    return dups.unionByName(nulls)
 
 
 def minhash_signatures(
@@ -252,6 +274,10 @@ def minhash_signatures(
     words = _parallelism_floor(df).select(
         id_col, F.expr(f"split({text_col}, ' ')").alias("_w")
     )
+    if hash_impl not in ("xx64", "md5"):
+        # a typo must not silently select the ~n_hashes×-costlier md5
+        # family with different bucket values
+        raise ValueError(f"hash_impl must be 'xx64' or 'md5', got {hash_impl!r}")
     if hash_impl == "xx64":
         # Double hashing + zero shingle materialization: each word
         # k-gram is hashed to ONE 64-bit base value directly from the
@@ -289,10 +315,11 @@ def minhash_signatures(
             id_col,
             *[F.expr(f"md5(concat('c{c}:', _s))").alias(f"_h{c}") for c in range(n_chunks)],
         )
+        chunk_off = [_minhash_chunk_off(h) for h in range(n_hashes)]
         mins = exploded.groupBy(id_col).agg(
             *[
-                F.min(F.expr(f"substr(_h{h // 4}, {(h % 4) * 8 + 1}, 8)")).alias(f"_m{h}")
-                for h in range(n_hashes)
+                F.min(F.expr(f"substr(_h{c}, {off}, 8)")).alias(f"_m{h}")
+                for h, (c, off) in enumerate(chunk_off)
             ]
         )
         band_cols = [
@@ -393,8 +420,13 @@ def lsh_near_dup_pairs(
     cand_ids = cand.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
-    if broadcast_verify:
+    if broadcast_verify is True:
         cand_ids = F.broadcast(cand_ids)
+    elif broadcast_verify is False:
+        # force the shuffle path: a strategy hint survives AQE's
+        # runtime conversion, which a bare `if broadcast_verify:`
+        # (collapsing False into None) did not
+        cand_ids = cand_ids.hint("merge")
     # bound `_w` projection: same reason as minhash_signatures — a
     # HOF lambda is interpreted, so an inline split() re-splits the
     # doc per shingle (O(words²) bytes); bound, it's referenced once.
@@ -419,8 +451,10 @@ def lsh_near_dup_pairs(
     )
     docs_a = docs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha")
     docs_b = docs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb")
-    if broadcast_verify:
+    if broadcast_verify is True:
         docs_a, docs_b = F.broadcast(docs_a), F.broadcast(docs_b)
+    elif broadcast_verify is False:
+        docs_a, docs_b = docs_a.hint("merge"), docs_b.hint("merge")
     verified = (
         cand.join(docs_a, "id_a")
         .join(docs_b, "id_b")
@@ -479,7 +513,7 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
     ).where(F.col("_w") != "")
-    return words.groupBy(id_col).agg(F.expr(simhash32_sql(id_col, "_w")).alias("simhash"))
+    return words.groupBy(id_col).agg(F.expr(simhash32_sql("_w")).alias("simhash"))
 
 
 def winnow_fingerprints(
@@ -639,7 +673,11 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
-    ("phone", r"\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    # country code OPTIONAL: with it mandatory, the most common US
+    # shapes '555-123-4567' and '(555) 123-4567' were never redacted
+    # (and the \(? alternative was unreachable — a '(' can't follow
+    # the required country-code separator)
+    ("phone", r"(\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
 ]
 
 
@@ -765,8 +803,15 @@ def repetition_stats(
     # bound `_w` projection (same HOF-lambda rule as minhash: an
     # inline split() would re-split the doc per bigram, O(words²))
     bi = bound_shingles_expr(2)
+    # size-0 guard: a doc with fewer than 2 words has no bigrams, and
+    # under ANSI mode the bare division aborts the whole job with
+    # DIVIDE_BY_ZERO; NULL here matches the DuckDB twin's x/0 = NULL
     frac = F.round(
-        1 - F.expr(f"size(array_distinct({bi}))") / F.expr(f"size({bi})"), 6
+        F.expr(
+            f"if(size({bi}) = 0, cast(null as double),"
+            f" 1 - size(array_distinct({bi})) / size({bi}))"
+        ),
+        6,
     )
     # CollapseProject would inline the O(words) HOF into the Generate's
     # projection, re-evaluating it once PER EXPLODED ROW (measured 45×

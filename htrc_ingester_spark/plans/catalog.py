@@ -3240,7 +3240,7 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_pairs_oracle() -> str:
     from ..operators import textdedup as TD
 
-    sim = TD.simhash32_sql("doc_id", "w")
+    sim = TD.simhash32_sql("w")
     ham = TD.hamming32_sql("a.simhash", "b.simhash", "duckdb")
     return f"""
     with docs as ({_dup_docs_sql('duckdb')}),
@@ -3279,7 +3279,7 @@ def _simhash_oracle() -> str:
     from ..operators import textdedup as TD
 
     return f"""
-    select doc_id, {TD.simhash32_sql('doc_id', 'w')} as simhash
+    select doc_id, {TD.simhash32_sql('w')} as simhash
     from (select cast(doc_id as bigint) as doc_id,
                  unnest(string_split(text, ' ')) as w
           from documents) t

@@ -542,3 +542,86 @@ class TestRepetitionStats:
         plan = TD.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Join") == 0
         assert plan.count("Exchange") <= 2
+
+
+class TestR5ReviewRegressions:
+    """r5 review: edge contracts that crashed or silently mis-answered."""
+
+    def test_repetition_stats_single_word_doc(self, spark):
+        """A doc with < 2 words has no bigrams: pre-fix the division
+        aborted the whole job with DIVIDE_BY_ZERO under ANSI. NULL
+        dup_bigram_frac matches the DuckDB twin's x/0 = NULL."""
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["hello", "a a b"]})
+        )
+        out = TD.repetition_stats(df).toPandas().set_index("doc_id")
+        assert pd.isna(out.loc[0, "dup_bigram_frac"])
+        assert out.loc[1, "n_words"] == 3
+
+    def test_dedup_clusters_clean_corpus_no_pairs(self, spark):
+        """Zero near-dup pairs (a clean corpus) must yield every doc as
+        its own cluster, not CANNOT_INFER_EMPTY_SCHEMA."""
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [10, 20], "text": ["alpha beta gamma delta epsilon zeta", "one two three four five six"]}
+            )
+        )
+        pairs = TD.lsh_near_dup_pairs(df, jaccard_threshold=0.5)
+        assert pairs.count() == 0
+        cl = TD.dedup_clusters(df, pairs).toPandas().sort_values("doc_id")
+        assert list(cl.cluster) == [10, 20]
+        surv = TD.dedup_keep_canonical(df, pairs)
+        assert surv.count() == 2
+
+    def test_exact_dedup_null_text_not_grouped(self, spark):
+        """NULL-text docs (failed OCR) must pass through as singleton
+        groups — md5(NULL) grouped them ALL into one survivor."""
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "same"), (4, "same")],
+            "doc_id bigint, text string",
+        )
+        out = TD.exact_dedup(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out.doc_id) == [1, 2, 3]
+        assert list(out.n_copies) == [1, 1, 2]
+
+    def test_phone_formats_without_country_code_redacted(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "call 555-123-4567 now"),
+                (1, "call (555) 123-4567 now"),
+                (2, "call +1-555-123-4567 now"),
+                (3, "no numbers here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = TD.pii_redact(df).toPandas().set_index("doc_id")
+        assert list(out.n_phone) == [1, 1, 1, 0]
+        for i in range(3):
+            assert "[PHONE]" in out.loc[i, "redacted"]
+            assert "4567" not in out.loc[i, "redacted"]
+
+    def test_unknown_hash_impl_raises(self, docs_df):
+        with pytest.raises(ValueError, match="hash_impl"):
+            TD.minhash_signatures(docs_df, hash_impl="xxh64")
+
+    def test_broadcast_verify_false_forces_shuffle_join(self, docs_df):
+        """False must be distinguishable from None: the verify joins
+        carry a merge hint that survives AQE. Compared against True on
+        the same input (the un-hinted pair-gen self-join may broadcast
+        either way, so the assertion is RELATIVE): forcing off must
+        yield strictly fewer broadcast joins and at least the three
+        hinted verify joins as sort-merge."""
+        def plan_of(bv):
+            # the operator persists its candidate/doc intermediates;
+            # clear them so each variant plans from scratch instead of
+            # canonicalizing onto the other's cache entries
+            docs_df.sparkSession.catalog.clearCache()
+            out = TD.lsh_near_dup_pairs(
+                docs_df, jaccard_threshold=0.5, broadcast_verify=bv
+            )
+            out.count()
+            return out._jdf.queryExecution().executedPlan().toString()
+
+        p_false, p_true = plan_of(False), plan_of(True)
+        assert p_false.count("SortMergeJoin") >= 3
+        assert p_false.count("BroadcastHashJoin") < p_true.count("BroadcastHashJoin")
