@@ -42,19 +42,24 @@ def _md5_sign(tag: str) -> float:
     return float(2 * (ord(hashlib.md5(tag.encode()).hexdigest()[0]) % 2) - 1)
 
 
-def sign_array_sql(plane: int, dim: int, dialect: str) -> str:
-    """±1.0 component array of hyperplane ``plane`` (length ``dim``).
-
-    The components are the fixed md5-parity family, but they are
-    PRECOMPUTED here and embedded as literals: the lambda form made
-    every engine evaluate dim md5 digests per plane PER ROW (Catalyst
-    does not constant-fold through higher-order lambdas — measured 512
-    md5/row on the 8-plane bucket), where the array is a compile-time
-    constant."""
-    comps = ", ".join(repr(_md5_sign(f"p{plane}:{d}")) for d in range(dim))
+def _sign_literal_array(tag: str, dim: int, dialect: str) -> str:
+    """±1.0 component literal array from the md5-parity family, tagged
+    ``{tag}:{d}`` per component. The components are PRECOMPUTED and
+    embedded as literals: the lambda form made every engine evaluate
+    dim md5 digests per plane PER ROW (Catalyst does not constant-fold
+    through higher-order lambdas — measured 512 md5/row on the 8-plane
+    bucket), where the array is a compile-time constant. ONE builder
+    for both the LSH hyperplanes and the IVF centroids so the dialect
+    spelling can never drift between them."""
+    comps = ", ".join(repr(_md5_sign(f"{tag}:{d}")) for d in range(dim))
     if dialect == "spark":
         return f"cast(array({comps}) as array<double>)"
     return f"cast(list_value({comps}) as double[])"
+
+
+def sign_array_sql(plane: int, dim: int, dialect: str) -> str:
+    """±1.0 component array of hyperplane ``plane`` (length ``dim``)."""
+    return _sign_literal_array(f"p{plane}", dim, dialect)
 
 
 def dot_sql(vec_a: str, vec_b: str, dialect: str) -> str:
@@ -83,14 +88,49 @@ def bucket_sql(vec: str, dim: int, dialect: str) -> str:
 
 
 def cosine_sql(vec_a: str, vec_b: str, dialect: str) -> str:
+    """Exact cosine. Zero-norm guard (both dialects): a zero vector has
+    no direction, so its cosine is NULL via nullif — NOT NaN, which
+    Spark orders GREATER than every number (a zero-padding artifact
+    row would rank #1 in every top-k and pass ``cos >= threshold``
+    near-dup filters as a false pair). NULL instead sorts last under
+    desc in both engines and fails threshold filters."""
     return (
         f"({dot_sql(vec_a, vec_b, dialect)} /"
-        f" ({norm_sql(vec_a, dialect)} * {norm_sql(vec_b, dialect)}))"
+        f" nullif({norm_sql(vec_a, dialect)} * {norm_sql(vec_b, dialect)},"
+        f" cast(0.0 as double)))"
+    )
+
+
+def _cos_norms_sql(vec_a: str, vec_b: str, norm_a: str, norm_b: str) -> str:
+    """Spark-side cosine over PRE-MATERIALIZED norm columns: inlining
+    :func:`cosine_sql` per candidate recomputes each vector's norm for
+    every pair it appears in (a full dim-length fold each) — computing
+    the norm once per ROW before the join cuts per-candidate work to
+    one dot + multiply-divide. Same arithmetic, bit-identical values
+    to the oracle's inline form."""
+    return (
+        f"({dot_sql(vec_a, vec_b, 'spark')} /"
+        f" nullif({norm_a} * {norm_b}, cast(0.0 as double)))"
+    )
+
+
+def _checked_vec_sql(vec_col: str, dim: int) -> str:
+    """Wrap a vector reference with a size contract: a mis-sized
+    embedding is data corruption and must surface loudly (zip_with
+    null-pads silently, the dot goes NULL, and every such row lands in
+    bucket 0 / vanishes from IVF through a NULL cell — an 'ANN' that
+    silently degenerates). NULL vectors pass through (null-propagating
+    operators filter them downstream)."""
+    return (
+        f"if({vec_col} is not null and size({vec_col}) != {dim},"
+        f" raise_error(concat('embedding size ', cast(size({vec_col}) as string),"
+        f" ' != expected {dim}')), {vec_col})"
     )
 
 
 def with_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
-    return df.withColumn("bucket", F.expr(bucket_sql(vec_col, dim, "spark")).cast("int"))
+    checked = _checked_vec_sql(vec_col, dim)
+    return df.withColumn("bucket", F.expr(bucket_sql(checked, dim, "spark")).cast("int"))
 
 
 def _maybe_broadcast(q: DataFrame, broadcast_queries: bool | None) -> DataFrame:
@@ -133,10 +173,16 @@ def ann_topk(
     equi-join on the bucket column (partition-pruned at scale)."""
     from pyspark.sql import Window
 
-    data = with_bucket(df, vec_col, dim)
+    # project down to (id, vec) BEFORE the join: extra df columns
+    # (worse: one named query_id) would ride the bucket join and rank
+    # window — ivf_topk/neardup_pairs already prune identically. The
+    # norm is materialized once per row (see _cos_norms_sql).
+    data = with_bucket(df.select(id_col, vec_col), vec_col, dim).withColumn(
+        "_n", F.expr(norm_sql(vec_col, "spark"))
+    )
     q = with_bucket(
         query_df.select(F.col("query_id"), F.col(vec_col).alias("_qv")), "_qv", dim
-    )
+    ).withColumn("_qn", F.expr(norm_sql("_qv", "spark")))
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
@@ -150,7 +196,9 @@ def ann_topk(
         q = q.withColumnRenamed("bucket", "_qb")
     cand = data.join(
         _maybe_broadcast(q, broadcast_queries), F.col("bucket") == F.col("_qb"), "inner"
-    ).withColumn("cos", F.expr(f"round({cosine_sql(vec_col, '_qv', 'spark')}, 5)"))
+    ).withColumn(
+        "cos", F.expr(f"round({_cos_norms_sql(vec_col, '_qv', '_n', '_qn')}, 5)")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -181,7 +229,9 @@ def neardup_pairs(
     (exhaustive — a public pair-finder must not silently lose pairs);
     scale-sensitive call sites opt into the guard explicitly (the
     catalog entry passes 1000)."""
-    b = with_bucket(df.select(id_col, vec_col), vec_col, dim)
+    b = with_bucket(df.select(id_col, vec_col), vec_col, dim).withColumn(
+        "_norm", F.expr(norm_sql(vec_col, "spark"))
+    )
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -192,15 +242,19 @@ def neardup_pairs(
             .drop("_n")
         )
     a1 = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("bucket")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"), F.col("bucket"),
     )
     a2 = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("bucket")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"), F.col("bucket"),
     )
     return (
         a1.join(a2, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.expr(f"round({cosine_sql('_va', '_vb', 'spark')}, 5)"))
+        .withColumn(
+            "cos", F.expr(f"round({_cos_norms_sql('_va', '_vb', '_na', '_nb')}, 5)")
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -238,13 +292,9 @@ N_LIST = 16
 
 
 def ivf_centroid_sql(c: int, dim: int, dialect: str) -> str:
-    """±1.0 component array of centroid ``c`` — precomputed md5-parity
-    literals (same reasoning as ``sign_array_sql``: the lambda form
-    cost nlist×dim md5 digests per row)."""
-    comps = ", ".join(repr(_md5_sign(f"ivf{c}:{d}")) for d in range(dim))
-    if dialect == "spark":
-        return f"cast(array({comps}) as array<double>)"
-    return f"cast(list_value({comps}) as double[])"
+    """±1.0 component array of centroid ``c`` (shared
+    :func:`_sign_literal_array` builder — see its precompute note)."""
+    return _sign_literal_array(f"ivf{c}", dim, dialect)
 
 
 def ivf_dots_sql(vec: str, dim: int, nlist: int, dialect: str) -> str:
@@ -268,15 +318,34 @@ def ivf_cell_sql(dots: str, dialect: str) -> str:
     return f"cast(list_position({dots}, list_max({dots})) as int)"
 
 
-def ivf_probe_cells_sql(dots: str, nlist: int, nprobe: int, dialect: str) -> str:
-    """Cells whose dot ≥ the nprobe-th largest (≥ nprobe cells when
-    tied — deterministic, identical in both dialects)."""
+def ivf_probe_threshold_sql(dots: str, nlist: int, nprobe: int, dialect: str) -> str:
+    """The nprobe-th largest dot — materialize this as its OWN column
+    on the Spark side (Catalyst does not hoist subexpressions out of
+    HOF lambdas, so an inline threshold re-sorts the dot array once
+    per lambda element)."""
+    if not 1 <= nprobe <= nlist:
+        # out of range silently degenerated: index 0 errors in Spark /
+        # NULLs in DuckDB, and a negative index counts from the array
+        # END — asking for more recall silently probed the minimum
+        raise ValueError(f"nprobe must be in 1..{nlist}, got {nprobe}")
     if dialect == "spark":
-        thr = f"element_at(array_sort({dots}), {nlist - nprobe + 1})"
-        return (
-            f"filter(sequence(1, {nlist}), c -> element_at({dots}, c) >= {thr})"
-        )
-    thr = f"(list_sort({dots}))[{nlist - nprobe + 1}]"
+        return f"element_at(array_sort({dots}), {nlist - nprobe + 1})"
+    return f"(list_sort({dots}))[{nlist - nprobe + 1}]"
+
+
+def ivf_probe_cells_sql(
+    dots: str, nlist: int, nprobe: int, dialect: str, thr: str | None = None
+) -> str:
+    """Cells whose dot ≥ the nprobe-th largest (≥ nprobe cells when
+    tied — deterministic, identical in both dialects). Pass ``thr``
+    to reference a pre-materialized threshold column instead of
+    inlining the sort into the filter lambda."""
+    if thr is None:
+        thr = ivf_probe_threshold_sql(dots, nlist, nprobe, dialect)
+    elif not 1 <= nprobe <= nlist:
+        raise ValueError(f"nprobe must be in 1..{nlist}, got {nprobe}")
+    if dialect == "spark":
+        return f"filter(sequence(1, {nlist}), c -> element_at({dots}, c) >= {thr})"
     return f"list_filter(range(1, {nlist + 1}), c -> ({dots})[c] >= {thr})"
 
 
@@ -305,26 +374,35 @@ def ivf_topk(
     # CollapseProject keeps multiply-referenced non-cheap aliases as a
     # separate projection, so the column form compiles the big
     # expression exactly once)
-    dots = ivf_dots_sql(vec_col, dim, nlist, "spark")
+    dots = ivf_dots_sql(_checked_vec_sql(vec_col, dim), dim, nlist, "spark")
     data = (
         df.select(id_col, vec_col)
         .withColumn("_dots", F.expr(dots))
         .withColumn("ivf_cell", F.expr(ivf_cell_sql("_dots", "spark")))
         .drop("_dots")
+        .withColumn("_n", F.expr(norm_sql(vec_col, "spark")))
     )
-    qdots = ivf_dots_sql("_qv", dim, nlist, "spark")
+    qdots = ivf_dots_sql(_checked_vec_sql("_qv", dim), dim, nlist, "spark")
     q = (
         query_df.select(F.col("query_id"), F.col(vec_col).alias("_qv"))
         .withColumn("_qdots", F.expr(qdots))
+        # threshold as its own column: inlined, the array_sort re-ran
+        # once per filter-lambda element (nlist sorts per row)
+        .withColumn(
+            "_thr", F.expr(ivf_probe_threshold_sql("_qdots", nlist, nprobe, "spark"))
+        )
         .withColumn(
             "ivf_cell",
-            F.explode(F.expr(ivf_probe_cells_sql("_qdots", nlist, nprobe, "spark"))),
+            F.explode(
+                F.expr(ivf_probe_cells_sql("_qdots", nlist, nprobe, "spark", thr="_thr"))
+            ),
         )
         .withColumn("ivf_cell", F.col("ivf_cell").cast("int"))
-        .drop("_qdots")
+        .drop("_qdots", "_thr")
+        .withColumn("_qn", F.expr(norm_sql("_qv", "spark")))
     )
     cand = data.join(_maybe_broadcast(q, broadcast_queries), "ivf_cell").withColumn(
-        "cos", F.expr(f"round({cosine_sql(vec_col, '_qv', 'spark')}, 5)")
+        "cos", F.expr(f"round({_cos_norms_sql(vec_col, '_qv', '_n', '_qn')}, 5)")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -367,6 +445,25 @@ def hamming64_sql(a: str, b: str, dialect: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _banded(frame: DataFrame, ph: str, keep: list[str]) -> DataFrame:
+    """Explode a 64-bit phash column into its 4×16-bit (band, bucket)
+    rows — the shared banding for phash_neardup_pairs and phash_search
+    (one copy, so the pigeonhole-completeness contract both rely on
+    cannot drift)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(phash_band_sql(ph, b, "spark")).alias("bucket"),
+            )
+            for b in range(N_PHASH_BANDS)
+        ]
+    )
+    return frame.withColumn("_b", F.explode(bands)).select(
+        *keep, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+
+
 def phash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -380,19 +477,8 @@ def phash_neardup_pairs(
     (identical-phash floods) capped like MinHash boilerplate."""
     from pyspark.sql import Window
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(phash_band_sql(phash_col, b, "spark")).alias("bucket"),
-            )
-            for b in range(N_PHASH_BANDS)
-        ]
-    )
-    sig = (
-        df.select(F.col(id_col), F.col(phash_col))
-        .withColumn("_b", F.explode(bands))
-        .select(id_col, phash_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+    sig = _banded(
+        df.select(F.col(id_col), F.col(phash_col)), phash_col, [id_col, phash_col]
     )
     # single-exchange pair generation (the textdedup.lsh_near_dup_pairs
     # round-2 rework, ported here): the bucket-size guard is a WINDOW
@@ -474,28 +560,12 @@ def phash_search(
             f"{N_PHASH_BANDS - 1}; got {max_hamming}"
         )
 
-    def banded(frame: DataFrame, ph: str, keep: list[str]) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.expr(phash_band_sql(ph, b, "spark")).alias("bucket"),
-                )
-                for b in range(N_PHASH_BANDS)
-            ]
-        )
-        return (
-            frame.withColumn("_b", F.explode(bands))
-            .select(*keep, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
-        )
-
-    data = banded(df.select(id_col, phash_col), phash_col, [id_col, phash_col])
-    q = banded(
+    data = _banded(df.select(id_col, phash_col), phash_col, [id_col, phash_col])
+    q = _banded(
         query_df.select("query_id", F.col(phash_col).alias("_qph")),
         "_qph",
         ["query_id", "_qph"],
     )
-    ham = hamming64_sql("_qph", phash_col, "spark")
     out = (
         data.join(_maybe_broadcast(q, broadcast_queries), ["band", "bucket"])
         .select("query_id", id_col, phash_col, "_qph")
@@ -503,7 +573,10 @@ def phash_search(
         .select(
             "query_id",
             F.col(id_col),
-            F.expr(ham).cast("int").alias("hamming"),
+            # one codegen bit_count, as phash_neardup_pairs does — the
+            # 64-term hamming64_sql template stays for the DuckDB
+            # oracle dialect only (values identical)
+            F.expr(f"cast(bit_count(_qph ^ {phash_col}) as int)").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )

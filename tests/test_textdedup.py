@@ -625,3 +625,47 @@ class TestR5ReviewRegressions:
         p_false, p_true = plan_of(False), plan_of(True)
         assert p_false.count("SortMergeJoin") >= 3
         assert p_false.count("BroadcastHashJoin") < p_true.count("BroadcastHashJoin")
+
+
+class TestEmbeddingEdgeContracts:
+    """r5 review: zero-norm vectors, dim contract, nprobe validation."""
+
+    def _df(self, spark, extra=()):
+        rows = [(i, [0.1 * (i + 1)] * 7 + [0.3]) for i in range(20)]
+        rows += list(extra)
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_zero_vector_is_not_a_near_dup_or_top_hit(self, spark):
+        """cos(zero, x) was NaN — greater than everything under Spark's
+        ordering, so the zero vector ranked #1 for every query and
+        passed the near-dup threshold. NULL now: filtered/last."""
+        df = self._df(spark, extra=[(99, [0.0] * 8)])
+        pairs = E.neardup_pairs(df, threshold=0.9, dim=8).toPandas()
+        assert 99 not in set(pairs.id_a) | set(pairs.id_b)
+        q = spark.createDataFrame(
+            [("q", [0.1] * 8)], "query_id string, embedding array<double>"
+        )
+        top = E.ann_topk(df, q, k=3, dim=8).toPandas()
+        assert 99 not in set(top.vec_id)
+        assert top.cos.notna().all()
+
+    def test_wrong_dim_raises_descriptively(self, spark):
+        """A mis-sized embedding silently landed every row in bucket 0
+        (zip_with null-pads) or vanished from IVF via a NULL cell."""
+        df = self._df(spark)  # 8-dim vectors, default dim=64
+        q = spark.createDataFrame(
+            [("q", [0.1] * 8)], "query_id string, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="embedding size 8 != expected 64"):
+            E.ann_topk(df, q, k=3).count()
+        with pytest.raises(Exception, match="embedding size 8 != expected 64"):
+            E.ivf_topk(df, q, k=3).count()
+
+    def test_nprobe_out_of_range_raises(self, spark):
+        df = self._df(spark)
+        q = spark.createDataFrame(
+            [("q", [0.1] * 8)], "query_id string, embedding array<double>"
+        )
+        for bad in (0, 17, 18):
+            with pytest.raises(ValueError, match="nprobe"):
+                E.ivf_topk(df, q, k=3, dim=8, nprobe=bad)
