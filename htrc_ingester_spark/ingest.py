@@ -104,16 +104,25 @@ def path_to_volume_id(path):
     return F.translate(stem, "+=,", ":/.")
 
 
+def classified_line_cols(line_col: str):
+    """(kind, path) column pair for one raw delta-log line — the ONE
+    copy of the line grammar (kind classification + the 'deleting '
+    strip), shared by :func:`parse_delta_log` and the streaming
+    stateful collapse so the two feeds can never diverge on it."""
+    kind = classify_line(line_col)
+    path = F.when(
+        kind == KIND_DELETE, F.regexp_replace(F.col(line_col), "^deleting ", "")
+    ).otherwise(F.col(line_col))
+    return kind, path
+
+
 def parse_delta_log(df: DataFrame, line_col: str = "value", seq_col: str = "seq") -> DataFrame:
     """Classified change stream: (seq, kind, path, volume_id).
 
     ``seq`` must be a monotone total order over lines (file offset,
     ingest timestamp, …) — it drives last-writer-wins downstream.
     """
-    kind = classify_line(line_col)
-    path = F.when(
-        kind == KIND_DELETE, F.regexp_replace(F.col(line_col), "^deleting ", "")
-    ).otherwise(F.col(line_col))
+    kind, path = classified_line_cols(line_col)
     out = df.select(
         F.col(seq_col).cast("long").alias("seq"),
         kind.alias("kind"),

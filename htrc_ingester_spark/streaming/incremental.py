@@ -32,24 +32,34 @@ apply_changes plan and an atomic directory swap.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import ingest as I
 
 
-def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
+def read_snapshot(
+    spark: SparkSession, snapshot_dir: str, include_tombstones: bool = False
+) -> DataFrame | None:
     """Current snapshot via tables.py's atomic _LATEST pointer; None
     when nothing is committed yet. A missing/torn version dir with a
-    valid pointer is a hard error (never silently reset — data loss)."""
+    valid pointer is a hard error (never silently reset — data loss).
+
+    The stored table RETAINS tombstone rows (op='delete') as the
+    cross-batch last-writer-wins defense: without them, a late
+    straggler upsert for a deleted volume finds no stored seq to lose
+    against and silently resurrects it. The default view filters them
+    out (the live snapshot); ``include_tombstones=True`` is the merge
+    path's internal read. Tombstones are one row per deleted volume —
+    compact by dropping those older than the maximum accepted
+    straggler horizon."""
     from .. import tables as TB
 
     try:
-        return TB.read(spark, snapshot_dir)
+        df = TB.read(spark, snapshot_dir)
     except FileNotFoundError:
         return None
+    return df if include_tombstones else df.where(F.col("op") != F.lit("delete"))
 
 
 def read_delta_log_stream(spark: SparkSession, dlog_dir: str) -> DataFrame:
@@ -72,24 +82,47 @@ def read_delta_log_stream(spark: SparkSession, dlog_dir: str) -> DataFrame:
 def parse_batch(batch_df: DataFrame) -> DataFrame:
     """Micro-batch whole-file rows → classified change stream.
 
-    ``seq`` = (file-name rank ≪ 40 | line offset within the file).
-    File names are timestamp-sortable (the reference's dlog-<ts>/t-<ts>
-    convention) → cross-file chronology; posexplode of the file's own
-    line array → EXACT within-file order (no dependence on split or
-    partition scheduling)."""
-    from pyspark.sql import Window
-
+    ``seq`` = (file-name numeral ≪ 20 | line offset within the file),
+    derived from the NAME — not a within-batch rank — so it is
+    comparable ACROSS micro-batches and runs. The previous
+    dense_rank-per-batch restarted at 1 every micro-batch: a drain
+    spanning more than maxFilesPerTrigger files, or a late-arriving
+    older-named dlog in a second run, produced seq values that
+    compared WRONG against already-applied batches (last-BATCH-wins,
+    not last-writer-wins; the stateful twin collapse_stream_stateful
+    always compared (src_file, pos) across batches — this brings the
+    MERGE path to the same discipline). File names carry a sortable
+    numeral per the dlog convention (dlog-<ts> / t-<ts>); a name with
+    no digits, a 13+-digit numeral (would overflow the 43-bit pack;
+    epoch SECONDS fit), or a file of ≥2^20 lines fails the batch
+    loudly rather than silently mis-ordering. posexplode of the
+    file's own line array → EXACT within-file order (no dependence on
+    split or partition scheduling)."""
+    base = "element_at(split(src_file, '/'), -1)"
+    digits = f"regexp_replace({base}, '[^0-9]', '')"
+    fnum = (
+        f"case when {digits} = '' then"
+        f" cast(raise_error(concat('dlog file name has no numeric ordinal: ', {base})) as long)"
+        f" when length({digits}) > 12 then"
+        f" cast(raise_error(concat('dlog file-name ordinal too large to order: ', {base})) as long)"
+        f" else cast({digits} as long) end"
+    )
     ranked = (
-        batch_df.withColumn(
-            "_frank",
-            F.dense_rank().over(Window.orderBy("src_file")).cast("long"),
-        )
+        batch_df.withColumn("_fnum", F.expr(fnum))
         .select(
-            "_frank",
+            "_fnum",
+            "src_file",
             F.posexplode(F.split(F.col("value"), "\n")).alias("_pos", "line"),
         )
         .where(F.col("line") != "")
-        .withColumn("seq", F.col("_frank") * F.lit(1 << 40) + F.col("_pos"))
+        .withColumn(
+            "seq",
+            F.expr(
+                f"if(_pos >= {1 << 20},"
+                f" cast(raise_error(concat('dlog file exceeds 2^20 lines: ', src_file)) as long),"
+                f" _fnum * {1 << 20} + _pos)"
+            ),
+        )
     )
     return I.parse_delta_log(ranked, line_col="line")
 
@@ -106,25 +139,56 @@ def run_incremental_merge(
     MERGE. Returns the (possibly stopped) StreamingQuery."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        changes = I.collapse_changes(parse_batch(batch_df))
-        if not changes.take(1):
-            return
-        snapshot = read_snapshot(spark, snapshot_dir)
-        if snapshot is None:
-            snapshot = spark.createDataFrame(
-                [], "volume_id string, op string, seq long, path string"
+        # persist: the emptiness probe and the commit are separate
+        # actions — unpersisted, each re-ran the wholetext read, the
+        # explode, and the collapse window (exchange reuse does not
+        # span actions); the collapsed change set is tiny by
+        # construction (≤ one row per touched volume)
+        collapsed = I.collapse_changes(parse_batch(batch_df)).persist()
+        changes = collapsed
+        try:
+            if not changes.take(1):
+                return
+            snapshot = read_snapshot(spark, snapshot_dir, include_tombstones=True)
+            if snapshot is None:
+                snapshot = spark.createDataFrame(
+                    [], "volume_id string, op string, seq long, path string"
+                )
+            else:
+                # cross-batch last-writer-wins: a change only applies
+                # if it is NEWER than the snapshot's stored seq for
+                # that volume (collapse_changes only collapses WITHIN
+                # the batch; without this, a late-arriving older dlog
+                # in a later micro-batch overwrote newer rows — e.g.
+                # an old upsert resurrecting a tombstoned volume).
+                # seq is name-derived (parse_batch) so the comparison
+                # is valid across batches and runs; replayed batches
+                # compare equal and no-op (idempotent).
+                stored = snapshot.select("volume_id", F.col("seq").alias("_sseq"))
+                changes = (
+                    changes.join(stored, "volume_id", "left")
+                    .where(F.col("_sseq").isNull() | (F.col("seq") > F.col("_sseq")))
+                    .drop("_sseq")
+                )
+            new_rows = changes.where(F.col("op") == "upsert")
+            # tombstones are RETAINED in the stored table (see
+            # read_snapshot): apply_changes drops the deleted volumes'
+            # old rows; the union writes the delete markers that future
+            # batches' LWW filter compares stragglers against
+            merged = I.apply_changes(snapshot, changes, new_rows).unionByName(
+                changes.where(F.col("op") == "delete")
             )
-        new_rows = changes.where(F.col("op") == "upsert")
-        merged = I.apply_changes(snapshot, changes, new_rows)
-        # commit through tables.py: it allocates latest+1 (NEVER the
-        # directory the lazy `snapshot` read is still reading from —
-        # version=batch_id here once self-overwrote vN on crash
-        # replay, destroying the snapshot mid-read) and flips the
-        # pointer atomically; a replayed batch simply commits a new
-        # version with identical content (merge is idempotent)
-        from .. import tables as TB
+            # commit through tables.py: it allocates latest+1 (NEVER the
+            # directory the lazy `snapshot` read is still reading from —
+            # version=batch_id here once self-overwrote vN on crash
+            # replay, destroying the snapshot mid-read) and flips the
+            # pointer atomically; a replayed batch simply commits a new
+            # version with identical content (merge is idempotent)
+            from .. import tables as TB
 
-        TB.commit(merged, snapshot_dir, note=f"batch {batch_id}")
+            TB.commit(merged, snapshot_dir, note=f"batch {batch_id}")
+        finally:
+            collapsed.unpersist()
 
     writer = (
         read_delta_log_stream(spark, dlog_dir)
@@ -221,10 +285,9 @@ def collapse_stream_stateful(raw_stream: DataFrame) -> DataFrame:
         F.col("src_file"),
         F.posexplode(F.split(F.col("value"), "\n")).alias("pos", "line"),
     ).where(F.col("line") != "")
-    kind = I.classify_line("line")
-    path = F.when(
-        kind == I.KIND_DELETE, F.regexp_replace(F.col("line"), "^deleting ", "")
-    ).otherwise(F.col("line"))
+    # shared line grammar (ingest.classified_line_cols): this feed and
+    # the MERGE path's parse_delta_log must classify identically
+    kind, path = I.classified_line_cols("line")
     parsed = (
         lines.select(
             "src_file",
@@ -304,22 +367,21 @@ def trajectory_legs_stream(
         F.col(lat_col).cast("double").alias("lat"),
     )
 
+    # shared kernel (geo.geometry.haversine_m): same formula/radius as
+    # the batch twin, WITH the arcsin clip a hand-rolled copy here
+    # lacked (near-antipodal pairs can round a to 1+eps → NaN leg)
+    from ..geo.geometry import haversine_m as hav_np
+
     def hav(lat1, lon1, lat2, lon2):
-        la1, lo1, la2, lo2 = map(np.radians, (lat1, lon1, lat2, lon2))
-        return (
-            2.0
-            * 6371008.8
-            * np.arcsin(
-                np.sqrt(
-                    np.sin((la2 - la1) / 2.0) ** 2
-                    + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2.0) ** 2
-                )
-            )
-        )
+        return hav_np(lat1, lon1, lat2, lon2)
 
     def fn(key, pdf_iter, state):
         last = tuple(state.get) if state.exists else None  # (t, lon, lat)
-        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("t")
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        # a non-finite ts (NULL casts to NaN) must never reach state:
+        # NaN compared False against every future t, so ONE bad row
+        # permanently bricked its entity (no leg ever emitted again)
+        pdf = pdf[np.isfinite(pdf["t"])].sort_values("t")
         if last is not None:
             pdf = pdf[pdf["t"] > last[0]]  # monotone-advance: late rows drop
         if pdf.empty:
@@ -390,9 +452,24 @@ def geofence_stream(
 
     Output == batch ``pip_join`` on the same rows
     (test_streaming.test_geofence_stream_equals_batch, fence set
-    including a polygon with a hole)."""
-    from ..operators.pip_join import pip_join
+    including a polygon with a hole).
 
+    Fence-set bound: the broadcast regime only. Past
+    ``_TABLE_POLYS_BUDGET`` polygons, ``pip_join`` auto-dispatches to
+    the cover-as-table regime, which persists and repartitions frames
+    derived from the POINT side — illegal on a streaming frame — so
+    that dispatch is refused here with a clear error instead of an
+    AnalysisException at query start. (A larger fence catalog wants a
+    stream-static join against a pre-built cover table; the broadcast
+    regime covers the realistic geofencing range.)"""
+    from ..operators.pip_join import _TABLE_POLYS_BUDGET, pip_join
+
+    if len(polys) > _TABLE_POLYS_BUDGET:
+        raise ValueError(
+            f"geofence_stream supports at most {_TABLE_POLYS_BUDGET} fence "
+            f"polygons (got {len(polys)}): the cover-as-table regime that "
+            "larger sets dispatch to cannot run on a streaming point frame"
+        )
     return pip_join(
         spark,
         point_stream,

@@ -939,3 +939,86 @@ def test_geofence_stream_with_wkt_loaded_fences(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_late_older_file_does_not_resurrect_tombstone(spark, dirs):
+    """Cross-batch last-writer-wins (r5 review): a late-arriving
+    OLDER-named dlog drained in a later run must not overwrite the
+    snapshot state newer files already applied — pre-fix, seq was a
+    within-batch rank, so the stale upsert resurrected the tombstoned
+    volume."""
+    _write_dlog(
+        os.path.join(dirs["dlog"], "t-005.txt"),
+        ["root/ab/uc2,ark+=13960=ta.zip", "deleting root/ab/uc2,ark+=13960=tb.zip"],
+    )
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    assert _snapshot_ids(spark, dirs["snap"]) == ["uc2.ark:/13960/ta"]
+    # the straggler: an older log (lower name ordinal) upserting tb
+    # and deleting ta — BOTH must lose to the newer state already in
+    # the snapshot
+    _write_dlog(
+        os.path.join(dirs["dlog"], "t-002.txt"),
+        ["root/ab/uc2,ark+=13960=tb.zip", "deleting root/ab/uc2,ark+=13960=ta.zip"],
+    )
+    S.run_incremental_merge(spark, dirs["dlog"], dirs["snap"], dirs["ckpt"])
+    assert _snapshot_ids(spark, dirs["snap"]) == ["uc2.ark:/13960/ta"]
+
+
+def test_trajectory_null_ts_does_not_brick_entity(spark, tmp_path):
+    """r5 review: a NULL ts cast to NaN was stored into state and every
+    future comparison failed — one bad row silenced its entity
+    forever. Non-finite ts rows now drop before state."""
+    import pandas as pd
+
+    src = tmp_path / "nan_src"
+    src.mkdir()
+    schema = None
+
+    def write(name, rows):
+        nonlocal schema
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["entity_id", "ts", "lon", "lat"]),
+            "entity_id string, ts double, lon double, lat double",
+        )
+        schema = df.schema
+        df.coalesce(1).write.parquet(str(src / name))
+
+    emitted = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            S.trajectory_legs_stream(stream)
+            .writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_nan_legs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("f1", [("e", 100.0, 0.0, 0.0), ("e", None, 9.0, 9.0)])
+    drain()
+    assert emitted == []  # one real point, no leg yet — and no poison
+    write("f2", [("e", 200.0, 1.0, 0.0)])
+    drain()
+    assert len(emitted) == 1
+    assert (emitted[0]["t0"], emitted[0]["t1"]) == (100.0, 200.0)
+
+
+def test_geofence_stream_refuses_table_regime_fence_sets(spark):
+    """r5 review: past the table-regime dispatch budget, pip_join would
+    persist/repartition the streaming point side and crash at query
+    start — refuse clearly instead."""
+    import pytest as _pytest
+
+    big = [
+        {"poly_id": f"p{i}", "ring": [(0, 0), (1, 0), (1, 1), (0, 1)]}
+        for i in range(5000)
+    ]
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("cast(value as double) as lon", "cast(value as double) as lat")
+    )
+    with _pytest.raises(ValueError, match="fence polygons"):
+        S.geofence_stream(spark, stream, big)
