@@ -45,7 +45,14 @@ def _parent_expr(cell_col: str, parent_res: int):
 def parent_sql_expr(cell_col: str, parent_res: int, dialect: str = "spark") -> str:
     """cell_to_parent as SQL (Spark + DuckDB): unpack res/x/y with exact
     integer division, right-shift x and y by (res - parent_res), repack.
-    Aperture-4 ⇒ parent index = child index halved per res step."""
+    Aperture-4 ⇒ parent index = child index halved per res step.
+
+    A cell COARSER than ``parent_res`` has no res-``parent_res`` parent
+    — the Spark dialect raises a descriptive error (the numpy twin
+    ``h3lite.cell_to_parent`` raises ValueError; unguarded, the repack
+    divided by zero: an opaque DIVIDE_BY_ZERO under ANSI, silent NULL
+    cells without it). The DuckDB dialect is oracle-only and never
+    sees invalid fixtures."""
     from ..functions import _IDIV
 
     idiv = _IDIV[dialect]
@@ -54,6 +61,13 @@ def parent_sql_expr(cell_col: str, parent_res: int, dialect: str = "spark") -> s
     x = f"(({c} {idiv} {1 << 28}) % {1 << 28})"
     y = f"({c} % {1 << 28})"
     p2 = f"cast(pow(cast(2 as double), cast({res} - {parent_res} as double)) as bigint)"
+    if dialect == "spark":
+        p2 = (
+            f"if({res} < {parent_res},"
+            f" cast(raise_error(concat('cannot take the res-{parent_res} parent"
+            f" of a coarser res-', cast({res} as string), ' cell')) as bigint),"
+            f" {p2})"
+        )
     return (
         f"(cast({parent_res} as bigint) * {1 << 56}"
         f" + ({x} {idiv} {p2}) * {1 << 28} + ({y} {idiv} {p2}))"
@@ -245,7 +259,10 @@ def focal_stats(
         .agg(
             F.max(F.when(center, F.col("__v"))).alias(value_col),
             F.sum("__v").alias("focal_sum"),
-            F.count(F.lit(1)).alias("focal_n"),
+            # count the VALUES, not the rows: a present-but-NULL
+            # neighbor (a nodata cell from e.g. local_op) must not
+            # deflate focal_mean or inflate hotspot_gi's W
+            F.count("__v").alias("focal_n"),
             F.min("__v").alias("focal_min"),
             F.max("__v").alias("focal_max"),
             F.max(F.when(center, 1).otherwise(0)).alias("__is_center"),
@@ -431,16 +448,19 @@ def mosaic_best(
     payload = [c for c in points.columns if c not in (score_col, id_col)]
     id_numeric = isinstance(points.schema[id_col].dataType, NumericType)
     if id_numeric:
+        # reserved __-prefixed field names: a payload column named
+        # plain 's'/'neg_id' produced duplicate struct fields and an
+        # ambiguous b.s extraction
         packed = F.struct(
-            F.col(score_col).alias("s"),
-            (-F.col(id_col)).alias("neg_id"),
+            F.col(score_col).alias("__s"),
+            (-F.col(id_col)).alias("__neg_id"),
             *[F.col(c).alias(c) for c in payload],
         )
         best = tiled.groupBy(tile_col).agg(F.max(packed).alias("b"))
         return best.select(
             tile_col,
-            (-F.col("b.neg_id")).cast(points.schema[id_col].dataType).alias(id_col),
-            F.col("b.s").alias(score_col),
+            (-F.col("b.__neg_id")).cast(points.schema[id_col].dataType).alias(id_col),
+            F.col("b.__s").alias(score_col),
             *[F.col(f"b.{c}").alias(c) for c in payload],
         )
     from pyspark.sql.window import Window
@@ -524,7 +544,15 @@ def uncompact_cells(cells: DataFrame, res: int, cell_col: str = "cell") -> DataF
     x = f"(({c} div {1 << 28}) % {1 << 28})"
     y = f"({c} % {1 << 28})"
     k = f"cast({res} - ({c} div {1 << 56}) as int)"
-    side = f"cast(pow(cast(2 as double), cast({k} as double)) as bigint)"
+    # a cell FINER than the target res has no descendants at that res:
+    # raise like the numpy twin (unguarded, k < 0 made side = 0 and
+    # sequence(0, -1) DESCENDS, emitting 4 corrupt cell ids per input)
+    side = (
+        f"if({k} < 0,"
+        f" cast(raise_error(concat('uncompact target res {res} is coarser"
+        f" than cell res ', cast(({c} div {1 << 56}) as string))) as bigint),"
+        f" cast(pow(cast(2 as double), cast({k} as double)) as bigint))"
+    )
     return (
         cells.withColumn("__side", F.expr(side))
         .withColumn("__dx", F.explode(F.expr("sequence(cast(0 as bigint), __side - 1)")))
@@ -567,12 +595,24 @@ def mosaic_pyramid(
 
     Returns (res, cell, ``id_col``, ``score_col``).
     """
+    from pyspark.sql.types import NumericType
+
     from ..functions import h3_cell
 
-    packed = F.struct(
-        F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
-    )
     id_type = points.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        # the struct-max encoding negates the id; mosaic_best guards
+        # this and falls back to a window — here the pyramid's
+        # re-aggregation REQUIRES the associative struct-max, so a
+        # non-numeric id is an upfront error, not a deep cast failure
+        raise ValueError(
+            f"mosaic_pyramid needs a numeric id_col for the argmax "
+            f"encoding; {id_col!r} is {id_type.simpleString()} — "
+            "use mosaic_best per level, or map ids to numbers first"
+        )
+    packed = F.struct(
+        F.col(score_col).alias("__s"), (-F.col(id_col)).alias("__neg_id")
+    )
     level = (
         points.withColumn("cell", h3_cell(lon_col, lat_col, res_max))
         .groupBy("cell")
@@ -593,8 +633,8 @@ def mosaic_pyramid(
     return out.select(
         F.col("res").cast("int").alias("res"),
         "cell",
-        (-F.col("b.neg_id")).cast(id_type).alias(id_col),
-        F.col("b.s").alias(score_col),
+        (-F.col("b.__neg_id")).cast(id_type).alias(id_col),
+        F.col("b.__s").alias(score_col),
     )
 
 
@@ -623,7 +663,25 @@ def coverage_gaps(
     """
     from .bbox_join import _cover
 
-    cov = _cover(boxes.select("poly_id", "lon_min", "lat_min", "lon_max", "lat_max"), res, "g_")
+    # bbox_join's no-wrap contract applies here too (split an
+    # antimeridian-crossing box into two rows upstream): unchecked, a
+    # wrapping box's descending x-sequence covered the COMPLEMENT
+    # longitude band — thousands of bogus gap cells outside the region
+    # and none of the real ones inside it, silently
+    checked = boxes.select(
+        "poly_id",
+        F.expr(
+            "if(lon_min > lon_max,"
+            " cast(raise_error(concat('coverage_gaps: box ',"
+            " cast(poly_id as string),"
+            " ' wraps the antimeridian (lon_min > lon_max) — split it"
+            " into two rows')) as double), lon_min)"
+        ).alias("lon_min"),
+        "lat_min",
+        "lon_max",
+        "lat_max",
+    )
+    cov = _cover(checked, res, "g_")
     occupied = (
         points.select(
             F.expr(H.h3_sql_expr(lon_col, lat_col, res)).alias("cell")
@@ -711,7 +769,12 @@ def tile_sample(
     rk = F.expr(f"substr(md5(concat('sample:', cast({id_col} as string))), 1, 16)")
     w = Window.partitionBy("cell").orderBy("__rk", id_col)
     return (
-        points.withColumn("cell", cell)
+        # NULL ids cannot be sampled (nothing to show) and must not
+        # WIN: md5(NULL) is NULL, and NULLs sort FIRST ascending, so
+        # null-id rows deterministically crowded out every real
+        # thumbnail in their cell
+        points.where(F.col(id_col).isNotNull())
+        .withColumn("cell", cell)
         .withColumn("__rk", rk)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -739,33 +802,69 @@ def adaptive_cells(
     plus max_res leaves of still-hot lineages. Σn over the output =
     total points (levels partition the data; pinned in tests).
 
-    Shape per level: one cell groupBy + a BROADCAST semi-join of the
-    points against the (small) hot-cell set — L = max_res - base_res
-    passes over geometrically shrinking data, each a narrow map + one
-    exchange. The aperture-4 grid makes re-encoding at res r+1
-    consistent with parentage (child cells tile their parent exactly).
-    """
+    Shape — ONE corpus pass (r5 rework): the max_res histogram is the
+    only scan of the raw points; every coarser level's counts are
+    parent-SUMS of it (aperture-4 additivity — all of a cell's points
+    share its ancestors), the same re-aggregation-not-recomputation
+    trick as :func:`mosaic_pyramid`/``pyramid_rollup``. The quadtree
+    descent then runs entirely over CELL tables: level r's active set
+    is the children of level r-1's hot cells (a semi-join on the
+    parent id, sizes AQE-decided — the previous shape both re-scanned
+    and re-encoded the full corpus once per level, ~L× the dominant
+    cost, and force-broadcast a hot-cell set that is unbounded at
+    scale). Counts are identical by construction: a child cell's
+    points all lie in its parent, so restricting to hot lineages never
+    changes any surviving cell's count. The histogram is persisted for
+    the descent and the output is materialized (cell-table sized)
+    before it is released."""
     from ..geo import h3lite as Hh
 
-    out = None
-    pts = points
-    for r in range(base_res, max_res + 1):
-        cell = F.expr(Hh.h3_sql_expr(lon_col, lat_col, r))
-        counts = pts.groupBy(cell.alias("cell")).agg(
-            F.count(F.lit(1)).cast("long").alias("n")
+    hist = (
+        points.groupBy(
+            F.expr(Hh.h3_sql_expr(lon_col, lat_col, max_res)).alias("cell")
         )
-        if r == max_res:
-            lvl = counts
-        else:
-            lvl = counts.where(F.col("n") <= threshold)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+
+    def parent_of(cell: str, child_res: int, parent_res: int) -> str:
+        # every cell at this point is KNOWN to be res child_res (built
+        # that way), so the shift is a literal — lighter codegen than
+        # the general parent_sql_expr (whose per-row res unpack + guard
+        # nested L-deep pushed the unioned plan past the codegen limit)
+        s = 1 << (child_res - parent_res)
+        c = f"cast({cell} as bigint)"
+        return (
+            f"(cast({parent_res} as bigint) * {1 << 56}"
+            f" + ((({c} div {1 << 28}) % {1 << 28}) div {s}) * {1 << 28}"
+            f" + (({c} % {1 << 28}) div {s}))"
+        )
+
+    # rollups: counts at every level from ONE histogram, no corpus scan
+    levels = {max_res: hist}
+    for r in range(max_res - 1, base_res - 1, -1):
+        levels[r] = (
+            levels[r + 1]
+            .groupBy(F.expr(parent_of("cell", r + 1, r)).alias("cell"))
+            .agg(F.sum("n").alias("n"))
+        )
+    out = None
+    active = levels[base_res]
+    for r in range(base_res, max_res + 1):
+        lvl = active if r == max_res else active.where(F.col("n") <= threshold)
         lvl = lvl.select("cell", F.lit(r).cast("int").alias("res"), "n")
         out = lvl if out is None else out.unionByName(lvl)
         if r == max_res:
             break
-        hot = counts.where(F.col("n") > threshold).select("cell")
-        pts = pts.join(
-            F.broadcast(hot),
-            F.expr(Hh.h3_sql_expr(lon_col, lat_col, r)) == F.col("cell"),
+        hot = active.where(F.col("n") > threshold).select(
+            F.col("cell").alias("__hot_cell")
+        )
+        active = levels[r + 1].join(
+            hot,
+            F.expr(parent_of("cell", r + 1, r)) == F.col("__hot_cell"),
             "left_semi",
         )
+    out = out.persist()
+    out.count()
+    hist.unpersist()
     return out

@@ -1198,10 +1198,10 @@ def _raster_focal_oracle() -> str:
     select tgt as cell,
            cast(max(case when dx = 0 and dy = 0 then value end) as bigint) as value,
            cast(sum(value) as bigint) as focal_sum,
-           cast(count(*) as bigint) as focal_n,
+           cast(count(value) as bigint) as focal_n,
            cast(min(value) as bigint) as focal_min,
            cast(max(value) as bigint) as focal_max,
-           cast(sum(value) as double) / cast(count(*) as double) as focal_mean
+           cast(sum(value) as double) / cast(count(value) as double) as focal_mean
     from sc
     group by tgt
     having max(case when dx = 0 and dy = 0 then 1 else 0 end) = 1
@@ -1268,7 +1268,7 @@ def _raster_hotspots_oracle() -> str:
       select tgt as cell,
              cast(max(case when dx = 0 and dy = 0 then value end) as bigint) as value,
              cast(sum(value) as bigint) as focal_sum,
-             cast(count(*) as bigint) as focal_n
+             cast(count(value) as bigint) as focal_n
       from sc
       group by tgt
       having max(case when dx = 0 and dy = 0 then 1 else 0 end) = 1)

@@ -1853,3 +1853,100 @@ class TestPIPTable:
         for line in plan.splitlines():
             if "LocalTableScan" in line:
                 assert not ("cell#" in line and "full#" in line), line
+
+
+class TestTilesEdgeContracts:
+    """r5 review regressions for the tile/raster family."""
+
+    def test_uncompact_coarser_target_raises(self, spark):
+        from htrc_ingester_spark.operators.tiles import uncompact_cells
+
+        cells = spark.createDataFrame(
+            [(int(6) << 56 | (3 << 28) | 2,)], "cell long"
+        )
+        with pytest.raises(Exception, match="coarser than cell res"):
+            uncompact_cells(cells, res=5).collect()
+
+    def test_parent_of_coarser_cell_raises(self, spark):
+        from htrc_ingester_spark.operators.tiles import parent_sql_expr
+
+        cells = spark.createDataFrame([(int(4) << 56 | (1 << 28) | 1,)], "cell long")
+        with pytest.raises(Exception, match="coarser res-4 cell"):
+            cells.selectExpr(parent_sql_expr("cell", 6)).collect()
+
+    def test_coverage_gaps_wrapping_box_raises(self, spark):
+        from htrc_ingester_spark.operators.tiles import coverage_gaps
+
+        pts = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+        boxes = spark.createDataFrame(
+            [("pacific", 170.0, -10.0, -170.0, 10.0)],
+            "poly_id string, lon_min double, lat_min double, lon_max double, lat_max double",
+        )
+        with pytest.raises(Exception, match="antimeridian"):
+            coverage_gaps(pts, boxes, res=4).collect()
+
+    def test_tile_sample_null_ids_never_win(self, spark):
+        from htrc_ingester_spark.operators.tiles import tile_sample
+
+        pdf = pd.DataFrame(
+            {
+                "image_id": [None, None, "a", "b", "c"],
+                "lon": [10.0] * 5,
+                "lat": [10.0] * 5,
+            }
+        )
+        out = tile_sample(
+            spark.createDataFrame(pdf, "image_id string, lon double, lat double"),
+            res=4, k=2,
+        ).toPandas()
+        assert out.image_id.notna().all()
+        assert len(out) == 2
+
+    def test_mosaic_best_payload_named_s(self, spark):
+        from htrc_ingester_spark.operators.tiles import mosaic_best
+
+        pdf = pd.DataFrame(
+            {
+                "image_id": [1, 2],
+                "score": [0.5, 0.9],
+                "s": ["x", "y"],  # collided with the struct field 's'
+                "lon": [10.0, 10.0],
+                "lat": [10.0, 10.0],
+            }
+        )
+        out = mosaic_best(spark.createDataFrame(pdf), "score", "image_id", zoom_res=4).toPandas()
+        assert list(out.image_id) == [2] and list(out.s) == ["y"]
+
+    def test_mosaic_pyramid_non_numeric_id_raises(self, spark):
+        from htrc_ingester_spark.operators.tiles import mosaic_pyramid
+
+        pdf = pd.DataFrame(
+            {"image_id": ["u1"], "score": [1.0], "lon": [0.0], "lat": [0.0]}
+        )
+        with pytest.raises(ValueError, match="numeric id_col"):
+            mosaic_pyramid(spark.createDataFrame(pdf), "score", "image_id", 3, 5)
+
+    def test_adaptive_cells_single_scan_matches_semantics(self, spark):
+        """The one-pass rollup rework must reproduce the quadtree
+        descent exactly: each output cell's n is its TRUE point count,
+        hot lineages descend, sum(n) partitions the corpus."""
+        from htrc_ingester_spark.operators.tiles import adaptive_cells
+
+        rng = np.random.default_rng(3)
+        # hotspot at (10, 10) + sparse background
+        lons = np.concatenate([10 + 0.01 * rng.normal(size=400), rng.uniform(-170, 170, 100)])
+        lats = np.concatenate([10 + 0.01 * rng.normal(size=400), rng.uniform(-80, 80, 100)])
+        df = spark.createDataFrame(
+            pd.DataFrame({"lon": lons, "lat": lats})
+        )
+        out = adaptive_cells(df, base_res=2, max_res=6, threshold=50).toPandas()
+        assert out.n.sum() == 500
+        # the hotspot forced max-res leaves; background stabilized coarse
+        assert (out.res == 6).any() and (out.res == 2).any()
+        # every cell's count is the true count of points in that cell
+        from htrc_ingester_spark.geo import h3lite as Hh
+
+        for row in out.sample(min(20, len(out)), random_state=0).itertuples(index=False):
+            r = int(row.cell) >> 56
+            want = int((Hh.latlng_to_cell(lats, lons, r) == row.cell).sum())
+            assert want == row.n
