@@ -3698,7 +3698,7 @@ def _mets_pages_oracle() -> str:
       select volume_id, unnest(range(1, n_pages + 1)) as i from vols)
     select volume_id, cast(i as int) as page_order,
            lpad(cast(i as string), 8, '0') as sequence,
-           concat(translate(volume_id, ':/', '+='), '_',
+           concat(translate(volume_id, ':/.', '+=,'), '_',
                   lpad(cast(i as string), 8, '0'), '.txt') as filename,
            cast(1000 + i as bigint) as size
     from pages order by volume_id, page_order

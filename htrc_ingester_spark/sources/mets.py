@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .filesystem import clean_volume_id
+
 METS_NS = "http://www.loc.gov/METS/"
 XLINK_NS = "http://www.w3.org/1999/xlink"
 
@@ -82,8 +84,16 @@ def parse_mets(df: DataFrame, xml_col: str = "mets_xml", id_col: str = "volume_i
             for r in pdf.itertuples(index=False):
                 vid = str(getattr(r, id_col))
                 try:
-                    root = ET.fromstring(getattr(r, xml_col))
-                except ET.ParseError as e:
+                    xml = getattr(r, xml_col)
+                    if xml is None:
+                        raise ValueError("NULL mets_xml")
+                    root = ET.fromstring(xml)
+                except (ET.ParseError, ValueError, TypeError) as e:
+                    # ET raises ValueError (not ParseError) for a str
+                    # with an XML encoding declaration — the shape real
+                    # METS documents open with — and TypeError for
+                    # non-string cells; ALL of them are one-bad-doc
+                    # error rows, never job aborts
                     rows.append({"volume_id": vid, "kind": "error", "label": repr(e)})
                     continue
                 def _int(v, default=None):
@@ -102,7 +112,11 @@ def parse_mets(df: DataFrame, xml_col: str = "mets_xml", id_col: str = "volume_i
                         href = loc.get(f"{x}href", "") if loc is not None else ""
                         kind = "dup_file" if fid in seen else "file"
                         seen.add(fid)
-                        size = _int(f_el.get("SIZE", 0))
+                        # default None, NOT 0: a missing SIZE must
+                        # surface as the bad-SIZE error row, not as a
+                        # declared size 0 that later fails validation
+                        # with a misleading mismatch
+                        size = _int(f_el.get("SIZE"))
                         if size is None:
                             # malformed attr → error row, NOT a batch
                             # abort (one bad doc must not kill the job)
@@ -127,23 +141,32 @@ def parse_mets(df: DataFrame, xml_col: str = "mets_xml", id_col: str = "volume_i
                 for smap in root.iter(f"{m}structMap"):
                     if smap.get("TYPE") != "physical":
                         continue
-                    for div in smap.iter(f"{m}div"):
-                        order = _int(div.get("ORDER"))
-                        if order is None:
+                    # each fptr belongs to its NEAREST ORDER-bearing
+                    # ancestor div (the reference's StAX parser's
+                    # innermost-div association): iterating div.iter()
+                    # per div double-counted fptrs under nested
+                    # ORDER-bearing divs (one row per ancestor, with
+                    # the ancestor's order)
+                    parent = {c: p for p in smap.iter() for c in p}
+                    for fptr in smap.iter(f"{m}fptr"):
+                        div = parent.get(fptr)
+                        while div is not None and not (
+                            div.tag == f"{m}div" and _int(div.get("ORDER")) is not None
+                        ):
+                            div = parent.get(div)
+                        if div is None:
                             continue
-                        feats = div.get("LABEL", "")
-                        for fptr in div.iter(f"{m}fptr"):
-                            rows.append(
-                                {
-                                    "volume_id": vid,
-                                    "kind": "div",
-                                    "file_id": fptr.get("FILEID", ""),
-                                    "order": order,
-                                    "order_label": div.get("ORDERLABEL"),
-                                    "label": div.get("LABEL"),
-                                    "features": feats,
-                                }
-                            )
+                        rows.append(
+                            {
+                                "volume_id": vid,
+                                "kind": "div",
+                                "file_id": fptr.get("FILEID", ""),
+                                "order": _int(div.get("ORDER")),
+                                "order_label": div.get("ORDERLABEL"),
+                                "label": div.get("LABEL"),
+                                "features": div.get("LABEL", ""),
+                            }
+                        )
             out = pd.DataFrame(rows, columns=[f.name for f in PARSED_SCHEMA.fields])
             yield out
 
@@ -160,9 +183,11 @@ def pages_table(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     divs = parsed.where(F.col("kind") == "div").select(
         "volume_id", "file_id", "order", "order_label", "label", "features"
     )
+    from ..functions import zero_pad_seq
+
     pages = (
         files.join(divs, ["volume_id", "file_id"], "inner")
-        .withColumn("sequence", F.lpad(F.col("order").cast("string"), 8, "0"))
+        .withColumn("sequence", zero_pad_seq("order"))
         .select(
             "volume_id",
             "file_id",
@@ -205,7 +230,7 @@ def synthesize_mets(volume_id: str, n_pages: int, drop_fptr_for: set[int] = froz
     divs = []
     for i in range(1, n_pages + 1):
         fid = f"XML{i:08d}"
-        name = f"{volume_id.replace(':', '+').replace('/', '=')}_{i:08d}.txt"
+        name = f"{clean_volume_id(volume_id)}_{i:08d}.txt"
         if real_content:
             from .zipsource import page_text
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from htrc_ingester_spark.sources import filesystem as FS
 from htrc_ingester_spark.sources import mets as M
+from htrc_ingester_spark.sources import zipsource as Z
 
 
 @pytest.fixture(scope="module")
@@ -31,7 +32,9 @@ class TestMETSParse:
         pa = pages.where("volume_id = 'uc2.ark:/13960/ta'").orderBy("order").toPandas()
         assert list(pa["order"]) == [1, 2, 3, 4, 5]
         assert list(pa.sequence) == [f"{i:08d}" for i in range(1, 6)]
-        assert pa.filename.iloc[0] == "uc2.ark+=13960=ta_00000001.txt"
+        # full pairtree cleaning (':'→'+' '/'→'=' '.'→','): fixture
+        # member names now follow the same spec as the directory names
+        assert pa.filename.iloc[0] == "uc2,ark+=13960=ta_00000001.txt"
         assert pa.order_label.iloc[0] == "p1"
         import hashlib
 
@@ -153,3 +156,79 @@ class TestRealMETSFixture:
         # scans) — size 0 is valid data, not a parse failure
         assert (got["size"] >= 0).all()
         assert (got["size"] == 0).sum() == 13
+
+
+class TestSourcesEdgeContracts:
+    """r5 review regressions for the ingest sources."""
+
+    def test_parse_mets_encoding_decl_and_null_are_error_rows(self, spark):
+        """Real METS opens with an XML encoding declaration — ET raises
+        ValueError for that (not ParseError), and NULL cells raise
+        TypeError; both must become error rows, not job aborts."""
+        decl = '<?xml version="1.0" encoding="UTF-8"?><bad>'
+        df = spark.createDataFrame(
+            [("v1", decl), ("v2", None), ("v3", M.synthesize_mets("v3", 2))],
+            "volume_id string, mets_xml string",
+        )
+        out = M.parse_mets(df).toPandas()
+        errs = out[out.kind == "error"]
+        assert set(errs.volume_id) == {"v1", "v2"}
+        assert (out[out.volume_id == "v3"].kind != "error").all()
+
+    def test_validate_accepts_hyphenated_sha1_and_uppercase_hex(self, spark):
+        import hashlib
+
+        data = b"page body"
+        joined = spark.createDataFrame(
+            [
+                ("v", "p1.txt", len(data), hashlib.sha1(data).hexdigest(),
+                 hashlib.md5(data).hexdigest(), len(data),
+                 hashlib.sha1(data).hexdigest().upper(), "SHA-1"),
+            ],
+            "volume_id string, filename string, byte_count long, sha1 string,"
+            " md5 string, size long, checksum string, checksum_type string",
+        )
+        ok, bad = Z.validate_pages(joined)
+        assert ok.count() == 1 and bad.count() == 0
+
+    def test_empty_zip_surfaces_as_error_row(self, spark):
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w"):
+            pass  # zero members
+        df = spark.createDataFrame(
+            [("vempty", buf.getvalue())], "volume_id string, content binary"
+        )
+        out = Z.explode_zip_pages(df).toPandas()
+        assert len(out) == 1
+        assert out.error.iloc[0] is not None and "no page members" in out.error.iloc[0]
+
+    def test_nested_order_divs_attribute_fptr_once(self, spark):
+        """An fptr under a nested ORDER-bearing div belongs to its
+        INNERMOST div only (the reference's StAX association) — the
+        old div.iter() emitted one row per ORDER-bearing ancestor."""
+        xml = (
+            '<METS:mets xmlns:METS="http://www.loc.gov/METS/"'
+            ' xmlns:xlink="http://www.w3.org/1999/xlink">'
+            '<METS:fileSec><METS:fileGrp USE="ocr">'
+            '<METS:file SIZE="10" ID="XML1" CHECKSUM="x" CHECKSUMTYPE="MD5">'
+            '<METS:FLocat LOCTYPE="OTHER" xlink:href="p1.txt"/></METS:file>'
+            "</METS:fileGrp></METS:fileSec>"
+            '<METS:structMap TYPE="physical">'
+            '<METS:div ORDER="9" TYPE="section">'
+            '<METS:div ORDER="1" TYPE="page"><METS:fptr FILEID="XML1"/></METS:div>'
+            "</METS:div></METS:structMap></METS:mets>"
+        )
+        out = M.parse_mets(
+            spark.createDataFrame([("v", xml)], "volume_id string, mets_xml string")
+        ).toPandas()
+        divs = out[out.kind == "div"]
+        assert len(divs) == 1
+        assert divs.order.iloc[0] == 1  # the innermost (page) div wins
+
+    def test_page_text_contract_holds_for_large_page_numbers(self):
+        vid = "v"
+        for i in (1, 50, 600, 2000):
+            assert len(Z.page_text(vid, i)) == 1000 + i
