@@ -521,10 +521,14 @@ def knn_auto_res(n_points: int, k: int = 5) -> int:
     return max(0, min(H.RES_MAX, int((math.log2(target_cells) - 3.0) // 2)))
 
 
-# estimated bytes per skeleton row for the stats-based auto-res: the
-# two float64 coordinate columns dominate Catalyst's width accounting
-# for an (id, lon, lat) projection
-_SKELETON_ROW_BYTES = 16.0
+# estimated bytes per skeleton row for the stats-based auto-res,
+# matched to the (lon, lat) two-double projection the estimate runs
+# over (Catalyst width-scales Project stats, and parquet file-size
+# scaling lands near 8 B/row for two doubles — measured 7.4 B/row on
+# the customer fixture). The knob only needs order-of-magnitude n,
+# but a 2× bias here is half a res step, and one res too coarse
+# tripled the mutual-kNN wall at bench scale.
+_SKELETON_ROW_BYTES = 8.0
 
 
 def knn_auto_res_points(

@@ -816,7 +816,10 @@ def adaptive_cells(
     points all lie in its parent, so restricting to hot lineages never
     changes any surviving cell's count. The histogram is persisted for
     the descent and the output is materialized (cell-table sized)
-    before it is released."""
+    before it is released — at bench scale that extra cell-table pass
+    makes this ~2× the old per-level descent's wall (the corpus is
+    in-memory there), but at the operator's design scale the removed
+    L-1 full-corpus scans dominate everything else."""
     from ..geo import h3lite as Hh
 
     hist = (
@@ -864,7 +867,13 @@ def adaptive_cells(
             F.expr(parent_of("cell", r + 1, r)) == F.col("__hot_cell"),
             "left_semi",
         )
+    from ..session import static_plan
+
     out = out.persist()
-    out.count()
+    # static: the descent is a chain of KNOWN-SMALL cell-table
+    # exchanges (the AQE anti-case — measured 42 jobs adaptive vs a
+    # handful static on the bench fixture, pure replan latency)
+    with static_plan(points.sparkSession):
+        out.count()
     hist.unpersist()
     return out

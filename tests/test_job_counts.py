@@ -52,8 +52,13 @@ PINS = [
     # round; then 12 -> 11 when the estimate switched to the
     # coordinate-skeleton PROJECTION (width-scaled stats put the res
     # back at the count()-derived value, dropping that round) while
-    # the new duplicate-query-id guard adds one tiny agg job)
-    ("knn_join_distributed", 11),
+    # the new duplicate-query-id guard adds one tiny agg job; then
+    # 11 -> 14 when _SKELETON_ROW_BYTES moved to the 2-double width
+    # the projection actually has (16 was tuned to a 3-column frame
+    # and under-derived res by one step, tripling the mutual-kNN
+    # bench wall) — at THIS tiny fixture the corrected n lands one
+    # res finer, costing one extra expansion round
+    ("knn_join_distributed", 14),
     # banded LSH pair-gen (single exchange) + pointer-jumping CC
     ("dedup_image_clusters", 13),
     # seeded Lloyd under the driver-bounded regime: one
