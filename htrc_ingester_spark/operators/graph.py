@@ -37,7 +37,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize as session_materialize
 from ..session import reliable_checkpoint_configured
+from ..session import static_plan as static_plan_ctx
 
 __all__ = ["shortest_paths"]
 
@@ -77,78 +79,108 @@ def shortest_paths(
     # every distributed round's plan compiles against the
     # InMemoryRelation's EXACT size (a small adjacency auto-broadcasts;
     # the lazy-persist plans saw upstream estimates and sort-merged).
+    def _req(col: str) -> F.Column:
+        # a NULL src/dst/weight is edge-list corruption: unguarded, the
+        # driver regime crashed with an opaque pandas NaN-cast error
+        # while the distributed regime silently emitted node=NULL rows
+        # — same input, different wrongness
+        return F.expr(
+            f"if({col} is null,"
+            f" cast(raise_error('NULL {col} in edge row') as long),"
+            f" cast({col} as long))"
+        )
+
     e = (
         edges.groupBy(
-            F.col(src_col).cast("long").alias("_src"),
-            F.col(dst_col).cast("long").alias("_dst"),
+            _req(src_col).alias("_src"), _req(dst_col).alias("_dst")
         )
-        .agg(F.min(F.col(weight_col).cast("long")).alias("_w"))
+        .agg(F.min(_req(weight_col)).alias("_w"))
         .persist()
     )
-    n_e = _materialize(spark, e)
-    if n_e <= driver_max_edges:
-        pdf = e.toPandas()
-        e.unpersist(blocking=False)
-        src_a = pdf["_src"].to_numpy(dtype=np.int64)
-        dst_a = pdf["_dst"].to_numpy(dtype=np.int64)
-        w_a = pdf["_w"].to_numpy(dtype=np.int64)
-        s_a = np.unique(np.asarray(list(sources), dtype=np.int64))
-        nodes = np.unique(np.concatenate([src_a, dst_a, s_a]))
-        si = np.searchsorted(nodes, src_a)
-        di = np.searchsorted(nodes, dst_a)
-        inf = np.iinfo(np.int64).max
-        dist = np.full(len(nodes), inf, dtype=np.int64)
-        dist[np.searchsorted(nodes, s_a)] = 0
-        for _ in range(hops):
-            reach = dist[si] != inf
-            nd = dist.copy()
-            np.minimum.at(nd, di[reach], dist[si[reach]] + w_a[reach])
-            if np.array_equal(nd, dist):
-                break  # fixpoint: remaining rounds are no-ops
-            dist = nd
-        keep = dist != inf
-        out = spark.createDataFrame(
-            pd.DataFrame({"node": nodes[keep], "dist": dist[keep]}),
-            "node long, dist long",
-        ).persist()
-        _materialize(spark, out)
-        return out
-    best = spark.createDataFrame(
-        [(int(s), 0) for s in sources], "node long, dist long"
-    ).groupBy("node").agg(F.min("dist").alias("dist"))
     checkpoints: list[DataFrame] = []
-    for i in range(hops):
-        cand = best.join(e, best["node"] == e["_src"]).select(
-            F.col("_dst").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
-        )
-        best = (
-            best.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
-        )
-        if persist_every and (i + 1) % persist_every == 0 and i + 1 < hops:
-            if reliable_checkpoint_configured(spark):
-                # cluster regime: the periodic cut goes to the
-                # fault-tolerant checkpoint dir (truncates the plan AND
-                # survives executor loss mid-walk); nothing to unpersist
-                best = best.checkpoint(True)
-            else:
-                best = best.persist()
-                _materialize(spark, best)
-                checkpoints.append(best)
-    # cache hygiene (ADVICE r3, matching the dissolve discipline):
-    # materialize the result ONCE, then release the adjacency and every
-    # intermediate checkpoint — a long-lived session calling this
-    # repeatedly must not accumulate cached partitions. The returned
-    # frame itself stays cached (the only surviving entry); callers that
-    # are done with it can unpersist.
-    best = best.persist()
-    _materialize(spark, best)
-    e.unpersist(blocking=False)
-    for cp in checkpoints:
-        cp.unpersist(blocking=False)
-    return best
+    try:
+        n_e = _materialize(spark, e)
+        # driver_max_edges=0 must force the distributed rounds even on
+        # an EMPTY collapsed adjacency (0 <= 0 silently took the driver
+        # path out from under the force-distributed parity tests)
+        if driver_max_edges > 0 and n_e <= driver_max_edges:
+            pdf = e.toPandas()
+            src_a = pdf["_src"].to_numpy(dtype=np.int64)
+            dst_a = pdf["_dst"].to_numpy(dtype=np.int64)
+            w_a = pdf["_w"].to_numpy(dtype=np.int64)
+            if len(w_a) and hops > 0:
+                wmax = int(w_a.max())
+                if wmax > 0 and wmax > (np.iinfo(np.int64).max - 1) // hops:
+                    # numpy int64 wraps SILENTLY (a huge negative then
+                    # wins every min); the distributed/ANSI and oracle
+                    # paths throw — fail loudly in this regime too
+                    raise ValueError(
+                        f"edge weights up to {wmax} can overflow int64 "
+                        f"within {hops} hops — rescale the weights"
+                    )
+            s_a = np.unique(np.asarray(list(sources), dtype=np.int64))
+            nodes = np.unique(np.concatenate([src_a, dst_a, s_a]))
+            si = np.searchsorted(nodes, src_a)
+            di = np.searchsorted(nodes, dst_a)
+            inf = np.iinfo(np.int64).max
+            dist = np.full(len(nodes), inf, dtype=np.int64)
+            dist[np.searchsorted(nodes, s_a)] = 0
+            for _ in range(hops):
+                reach = dist[si] != inf
+                nd = dist.copy()
+                np.minimum.at(nd, di[reach], dist[si[reach]] + w_a[reach])
+                if np.array_equal(nd, dist):
+                    break  # fixpoint: remaining rounds are no-ops
+                dist = nd
+            keep = dist != inf
+            out = spark.createDataFrame(
+                pd.DataFrame({"node": nodes[keep], "dist": dist[keep]}),
+                "node long, dist long",
+            ).persist()
+            _materialize(spark, out)
+            return out
+        best = spark.createDataFrame(
+            [(int(s), 0) for s in sources], "node long, dist long"
+        ).groupBy("node").agg(F.min("dist").alias("dist"))
+        for i in range(hops):
+            cand = best.join(e, best["node"] == e["_src"]).select(
+                F.col("_dst").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
+            )
+            best = (
+                best.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+            )
+            if persist_every and (i + 1) % persist_every == 0 and i + 1 < hops:
+                if reliable_checkpoint_configured(spark):
+                    # cluster regime: the periodic cut goes to the
+                    # fault-tolerant checkpoint dir (truncates the plan
+                    # AND survives executor loss mid-walk); run it
+                    # static like every other internal action
+                    with static_plan_ctx(spark):
+                        best = best.checkpoint(True)
+                else:
+                    # materialize = eager localCheckpoint: TRUNCATES
+                    # the lineage (each round references `best` twice,
+                    # so the analyzed plan doubles per round — persist()
+                    # cached data but kept the doubling plan, the exact
+                    # driver-OOM failure dissolve._cc_loop documents)
+                    with static_plan_ctx(spark):
+                        best = session_materialize(best)
+        # cache hygiene (ADVICE r3, matching the dissolve discipline):
+        # materialize the result ONCE; the adjacency and any stray
+        # intermediates release in the finally below — ALSO on failure,
+        # so a crashed call cannot strand cached partitions in a
+        # long-lived session. The returned frame itself stays cached
+        # (the only surviving entry); callers can unpersist when done.
+        best = best.persist()
+        _materialize(spark, best)
+        return best
+    finally:
+        e.unpersist(blocking=False)
+        for cp in checkpoints:
+            cp.unpersist(blocking=False)
 
 
-def _materialize(spark, df: DataFrame) -> None:
+def _materialize(spark, df: DataFrame) -> int:
     """Execute an internal checkpoint/result count with AQE OFF
     (session.static_plan): bounded small per-round state means there
     is nothing for the replanner to learn — the per-stage

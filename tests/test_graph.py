@@ -96,3 +96,37 @@ def test_driver_and_distributed_regimes_agree(spark):
 def test_hops_zero_is_sources_only(spark):
     edges = [(0, 1, 1)]
     assert _run(spark, edges, [0], hops=0) == {0: 0}
+
+
+class TestGraphEdgeContracts:
+    """r5 review regressions."""
+
+    def test_null_edge_fields_raise_in_both_regimes(self, spark):
+        from htrc_ingester_spark.operators.graph import shortest_paths
+
+        e = spark.createDataFrame(
+            [(1, 2, 5), (2, None, 3)], "src long, dst long, w long"
+        )
+        for dme in (2_000_000, 0):
+            with pytest.raises(Exception, match="NULL dst"):
+                shortest_paths(e, [1], hops=2, driver_max_edges=dme).collect()
+
+    def test_force_distributed_holds_on_empty_adjacency(self, spark):
+        """driver_max_edges=0 must force the distributed rounds even
+        when the collapsed adjacency is EMPTY (0 <= 0 silently took
+        the driver path)."""
+        from htrc_ingester_spark.operators.graph import shortest_paths
+
+        e = spark.createDataFrame([], "src long, dst long, w long")
+        out = shortest_paths(e, [7], hops=2, driver_max_edges=0).toPandas()
+        assert list(out.node) == [7] and list(out.dist) == [0]
+
+    def test_driver_regime_overflow_raises(self, spark):
+        from htrc_ingester_spark.operators.graph import shortest_paths
+
+        big = (2**63 - 1) // 2
+        e = spark.createDataFrame(
+            [(1, 2, big), (2, 3, big)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="overflow"):
+            shortest_paths(e, [1], hops=3)
